@@ -1,0 +1,76 @@
+"""Pipeline configuration.
+
+Mirrors the reference's env-tunable knobs (reference:
+entrypoint.sh:30-42, pass_pdf.py:92-96, output_writer.py:72-75) as a
+typed dataclass. Defaults follow the reference's *effective* runtime
+defaults (entrypoint.sh values, which override the in-code defaults —
+see BASELINE.md).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+def _env_float(name: str, default: float) -> float:
+    try:
+        return float(os.getenv(name, str(default)))
+    except (TypeError, ValueError):
+        return default
+
+
+def _env_int(name: str, default: int) -> int:
+    try:
+        return int(os.getenv(name, str(default)))
+    except (TypeError, ValueError):
+        return default
+
+
+@dataclass
+class PipelineConfig:
+    # --- cascade acceptance cutoffs (reference: entrypoint.sh:37-40;
+    # pass_pdf.py:92-94). Our HTML cascade occupies the reference's
+    # TXT -> OCR-A -> OCR-B slots (SURVEY.md R5/E4).
+    pdf_text_cutoff: float = field(
+        default_factory=lambda: _env_float("PASS_PDF_TEXT_CUTOFF", 0.75))
+    html_strict_cutoff: float = field(
+        default_factory=lambda: _env_float("PASS_HTML_STRICT_CUTOFF", 0.75))
+    html_lenient_cutoff: float = field(
+        default_factory=lambda: _env_float("PASS_HTML_LENIENT_CUTOFF", 0.60))
+    html_raw_cutoff: float = field(
+        default_factory=lambda: _env_float("PASS_HTML_RAW_CUTOFF", 0.30))
+    txt_cutoff: float = 0.0  # reference pass_txt.py always accepts (rc=0)
+
+    # --- scan-only triage (reference: common.py:216-244, 352-371)
+    triage_sample_pages: int = 6
+    triage_min_chars: int = 40
+    triage_rel_cap: float = 0.15
+
+    # --- per-doc / per-page granularity switch (reference:
+    # pass_pdf.py:95-96, 108-110; BIGPDF_* env)
+    bigdoc_size_limit_bytes: int = field(
+        default_factory=lambda: _env_int(
+            "BIGDOC_SIZE_LIMIT_BYTES", 50 * 1024 * 1024))
+    bigdoc_page_limit: int = field(
+        default_factory=lambda: _env_int("BIGDOC_PAGE_LIMIT", 500))
+
+    # --- combined-chunk bin packing (reference: output_writer.py:62-116)
+    max_combined_bytes: int = field(
+        default_factory=lambda: _env_int("MAX_COMBINED_BYTES", 3_000_000))
+
+    # --- HTML block classification (north_star block model)
+    min_block_chars: int = 25
+    max_link_density: float = 0.35
+
+    # --- partitioning / skew (north_rule: url-hash buckets + salting)
+    url_hash_buckets: int = field(
+        default_factory=lambda: _env_int("URL_HASH_BUCKETS", 0))  # 0 = leave to AQE
+    salt_factor: int = field(default_factory=lambda: _env_int("SALT_FACTOR", 16))
+
+    # --- Arrow batching: rows carry multi-KB binaries, keep batches small
+    arrow_max_records_per_batch: int = 256
+
+    run_id: str = "run-000"
+
+
+DEFAULT_CONFIG = PipelineConfig()

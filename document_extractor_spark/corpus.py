@@ -1,0 +1,323 @@
+"""Deterministic synthetic Common-Crawl-style corpus generator.
+
+Builds the `pages(url, warc_ts, html, text, lang)` table
+(BASELINE.json input_hint) plus the golden `expected_extracted` /
+`expected_quarantine` tables per FIXTURES.md §2-3. Everything is
+seeded (``random.Random(f"{seed}:{i}")`` — SHA-512 string seeding is
+platform-stable), so the same (n, seed) regenerates byte-identically.
+
+The expected extracted text is *ground truth known at generation
+time* (the content paragraphs placed in <main>, the PDF page lines,
+the lossy-decoded plaintext), NOT a snapshot of the extractor's own
+output — keeping the byte-identity test non-circular.
+
+Reference analogs for each fixture class are cited in FIXTURES.md §2
+(routing: process_run.py:35-37, 93-109).
+"""
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta, timezone
+
+import pandas as pd
+
+from .functions.scoring import exact_median, score_reliability
+from .pdf_gen import build_pdf
+
+_WORDS = {
+    "en": (
+        "the quick market report growth revenue margin supply chain policy "
+        "energy climate research model data system network science health "
+        "industry council budget election transport housing culture review "
+        "analysis forecast quarter annual global regional strong weak stable "
+        "rising falling record noted early later major minor public private"
+    ).split(),
+    "de": (
+        "der die das bericht markt wachstum umsatz marge politik energie "
+        "klima forschung modell daten system netz wissenschaft gesundheit "
+        "industrie rat haushalt wahl verkehr wohnen kultur analyse prognose "
+        "quartal global stark schwach stabil steigend fallend rekord neue"
+    ).split(),
+    "fr": (
+        "le la rapport marche croissance revenu marge politique energie "
+        "climat recherche modele donnees systeme reseau science sante "
+        "industrie conseil budget election transport logement culture "
+        "analyse prevision trimestre mondial fort faible stable record"
+    ).split(),
+}
+
+_HOT_DOMAINS = [
+    ("news.example.com", 0.30),
+    ("blog.example.org", 0.20),
+    ("portal.example.net", 0.10),
+]
+
+# fixture class -> cumulative weight (FIXTURES.md §2 mix)
+_MIX = [
+    ("html_clean", 0.38),
+    ("html_noisy", 0.50),
+    ("html_garbage", 0.54),
+    ("pdf_text", 0.68),
+    ("pdf_big", 0.71),
+    ("pdf_scanonly", 0.73),
+    ("plaintext", 0.84),
+    ("pretext", 0.86),
+    ("container", 0.90),
+    ("noise", 0.93),
+    ("unsupported", 0.96),
+    ("dup", 1.00),
+]
+
+_EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+
+def _sentence(rng: random.Random, lang: str, n_lo: int = 8, n_hi: int = 14) -> str:
+    words = _WORDS[lang]
+    n = rng.randint(n_lo, n_hi)
+    toks = [rng.choice(words) for _ in range(n)]
+    return toks[0].capitalize() + " " + " ".join(toks[1:]) + "."
+
+
+def _paragraph(rng: random.Random, lang: str, lo: int = 2, hi: int = 5) -> str:
+    return " ".join(_sentence(rng, lang) for _ in range(rng.randint(lo, hi)))
+
+
+def _domain(rng: random.Random) -> str:
+    r = rng.random()
+    acc = 0.0
+    for dom, w in _HOT_DOMAINS:
+        acc += w
+        if r < acc:
+            return dom
+    return f"site{rng.randint(0, 999)}.example.com"
+
+
+def _render_html(
+    rng: random.Random,
+    lang: str,
+    title: str,
+    paragraphs: list[str],
+    malformed: bool = False,
+) -> str:
+    nav = "".join(
+        f'<li><a href="/{p}">{p.capitalize()}</a></li>'
+        for p in ("home", "world", "business", "tech", "about")
+    )
+    related = " ".join(
+        f'<a href="/story/{rng.randint(1, 9999)}">'
+        f"{_sentence(rng, lang, 3, 5)}</a>"
+        for _ in range(3)
+    )
+    body_paras = "\n".join(f"<p>{p}</p>" for p in paragraphs)
+    aside = f"<aside><p>{_paragraph(rng, lang, 1, 2)}</p></aside>"
+    article_close = "</main>" if malformed else "</article></main>"
+    stray = "</section>" if malformed else ""
+    return f"""<!DOCTYPE html>
+<html lang="{lang}"><head><title>{title} | Site</title>
+<meta charset="utf-8"><style>body{{margin:0}}</style></head>
+<body>
+<header><div><a href="/">Logo</a></div></header>
+<nav><ul>{nav}</ul></nav>
+<main><article>
+<h1>{title}</h1>
+{body_paras}{stray}
+<div class="related">{related}</div>
+<div>Ad!</div>
+{article_close}
+{aside}
+<footer><p>Copyright 2026 Example Corp. All rights reserved.</p></footer>
+</body></html>"""
+
+
+@dataclass
+class Corpus:
+    pages: pd.DataFrame
+    expected: pd.DataFrame
+    expected_quarantine: pd.DataFrame
+    noise_urls: list[str] = field(default_factory=list)
+
+
+def _pick_class(rng: random.Random) -> str:
+    r = rng.random()
+    for name, cum in _MIX:
+        if r < cum:
+            return name
+    return "html_clean"
+
+
+def generate_corpus(
+    n_rows: int,
+    seed: int = 42,
+    big_pdf_pages: int = 8,
+) -> Corpus:
+    pages: list[dict] = []
+    expected: list[dict] = []
+    quarantine: list[dict] = []
+    noise_urls: list[str] = []
+    last_clean: dict | None = None
+    last_clean_expected: dict | None = None
+
+    for i in range(n_rows):
+        rng = random.Random(f"{seed}:{i}")
+        cls = _pick_class(rng)
+        lang = rng.choices(["en", "de", "fr"], weights=[0.8, 0.1, 0.1])[0]
+        domain = _domain(rng)
+        url = f"https://{domain}/{cls}/{i:07d}"
+        ts = _EPOCH + timedelta(seconds=i)
+        row = {"url": url, "warc_ts": ts, "html": None, "text": None, "lang": lang}
+
+        def _exp(text: str, method: str, fallback: bool, rel: float,
+                 page: int | None = None, pages_n: int = 1,
+                 status: str = "OK", u: str | None = None) -> dict:
+            return {
+                "url": u or url, "extracted_text": text, "page": page,
+                "pages": pages_n, "method": method,
+                "used_fallback": fallback, "reliability": rel,
+                "status": status, "fixture_class": cls,
+            }
+
+        if cls in ("html_clean", "html_noisy", "dup"):
+            if cls == "dup" and last_clean is not None:
+                row["html"] = last_clean["html"]
+                expected.append(dict(
+                    last_clean_expected, url=url, fixture_class="dup"))
+                pages.append(row)
+                continue
+            title = _sentence(rng, lang, 4, 7)[:-1]  # no trailing period
+            paras = [_paragraph(rng, lang, 2, 4)
+                     for _ in range(rng.randint(3, 6))]
+            html = _render_html(
+                rng, lang, title, paras, malformed=(cls == "html_noisy"))
+            row["html"] = html.encode("utf-8")
+            truth = "\n".join([title] + paras)
+            method = "html_text" if cls != "html_noisy" else "html_lenient"
+            e = _exp(truth, method, cls == "html_noisy",
+                     score_reliability(truth))
+            expected.append(e)
+            if cls == "html_clean":
+                last_clean, last_clean_expected = row, e
+
+        elif cls == "html_garbage":
+            soup = " ".join(
+                "".join(rng.choices("#$%^&*()!@~;:,._+=-|<>?", k=rng.randint(3, 8)))
+                for _ in range(rng.randint(30, 60))
+            )
+            row["html"] = f"<html><body><div>{soup}</div><p></body>".encode()
+            quarantine.append({"url": url, "reason": "extract_below_cutoff",
+                               "fixture_class": cls})
+
+        elif cls in ("pdf_text", "pdf_big", "pdf_scanonly"):
+            if cls == "pdf_scanonly":
+                # nearly-empty text layer -> triage reject (common.py:216-244)
+                pdf_pages = [[""] for _ in range(rng.randint(2, 4))]
+            elif cls == "pdf_big":
+                pdf_pages = [
+                    [_sentence(rng, lang) for _ in range(rng.randint(2, 4))]
+                    for _ in range(big_pdf_pages)
+                ]
+            else:
+                pdf_pages = [
+                    [_sentence(rng, lang) for _ in range(rng.randint(2, 5))]
+                    for _ in range(rng.randint(2, 4))
+                ]
+            row["html"] = build_pdf(pdf_pages, compress=rng.random() < 0.5)
+            if cls == "pdf_scanonly":
+                quarantine.append({"url": url, "reason": "pdf_below_cutoff",
+                                   "fixture_class": cls})
+            else:
+                page_texts = ["\n".join(lines) for lines in pdf_pages]
+                rels = [score_reliability(t) for t in page_texts]
+                if cls == "pdf_big":
+                    for k, (t, r) in enumerate(zip(page_texts, rels), 1):
+                        expected.append(_exp(t, "pdf_text", False, r,
+                                             page=k, pages_n=len(page_texts)))
+                else:
+                    expected.append(_exp(
+                        "\n".join(page_texts), "pdf_text", False,
+                        exact_median(rels), pages_n=len(page_texts)))
+
+        elif cls == "plaintext":
+            text = "\n".join(
+                _paragraph(rng, lang, 1, 3) for _ in range(rng.randint(2, 5)))
+            variant = rng.random()
+            if variant < 0.15:
+                payload = ("café résumé " + text).encode("latin-1")
+            elif variant < 0.30:
+                payload = b"\xef\xbb\xbf" + text.encode("utf-8")
+            else:
+                payload = text.encode("utf-8")
+            row["html"] = payload
+            # reference parity: utf-8 lossy decode (pass_txt.py:30-31)
+            dec = payload.decode("utf-8", errors="ignore")
+            expected.append(_exp(dec, "txt", False, score_reliability(dec)))
+
+        elif cls == "pretext":
+            text = _paragraph(rng, lang, 2, 4)
+            row["text"] = text
+            expected.append(_exp(text, "txt", False, score_reliability(text)))
+
+        elif cls == "container":
+            children = []
+            child_expected = []
+            for c in range(rng.randint(2, 3)):
+                ctext = _paragraph(rng, lang, 1, 3)
+                cname = f"child{c}.txt"
+                children.append((cname, ctext.encode("utf-8")))
+                child_expected.append(_exp(
+                    ctext, "txt", False, score_reliability(ctext),
+                    u=f"{url}::{cname}"))
+            row["html"] = build_pdf(
+                [["Container manifest page."]], attachments=children)
+            expected.extend(child_expected)
+
+        elif cls == "noise":
+            row["html"] = b"RIFF\x24\x00\x00\x00WAVEfmt " + bytes(32)
+            noise_urls.append(url)
+
+        elif cls == "unsupported":
+            row["html"] = b"PK\x03\x04" + bytes(60)
+            quarantine.append({"url": url, "reason": "unsupported",
+                               "fixture_class": cls})
+
+        pages.append(row)
+
+    pages_df = pd.DataFrame(
+        pages, columns=["url", "warc_ts", "html", "text", "lang"])
+    exp_cols = ["url", "extracted_text", "page", "pages", "method",
+                "used_fallback", "reliability", "status", "fixture_class"]
+    expected_df = pd.DataFrame(expected, columns=exp_cols)
+    quarantine_df = pd.DataFrame(
+        quarantine, columns=["url", "reason", "fixture_class"])
+    return Corpus(pages_df, expected_df, quarantine_df, noise_urls)
+
+
+def write_corpus(out_dir: str, n_rows: int, seed: int = 42,
+                 big_pdf_pages: int = 8) -> dict[str, str]:
+    """Write pages/expected/quarantine parquet files; returns paths."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    corpus = generate_corpus(n_rows, seed=seed, big_pdf_pages=big_pdf_pages)
+    paths = {}
+    schema = pa.schema([
+        ("url", pa.string()), ("warc_ts", pa.timestamp("us", tz="UTC")),
+        ("html", pa.binary()), ("text", pa.string()), ("lang", pa.string()),
+    ])
+    paths["pages"] = f"{out_dir}/pages.parquet"
+    pq.write_table(
+        pa.Table.from_pandas(corpus.pages, schema=schema,
+                             preserve_index=False),
+        paths["pages"])
+    paths["expected"] = f"{out_dir}/expected.parquet"
+    pq.write_table(
+        pa.Table.from_pandas(corpus.expected, preserve_index=False),
+        paths["expected"])
+    paths["expected_quarantine"] = f"{out_dir}/expected_quarantine.parquet"
+    pq.write_table(
+        pa.Table.from_pandas(corpus.expected_quarantine, preserve_index=False),
+        paths["expected_quarantine"])
+    return paths

@@ -1,0 +1,68 @@
+"""Format dispatch by magic-byte sniff — a pure Column expression.
+
+The reference routes by *file extension* (process_run.py:93-109 with
+the allow/deny/noise sets at :35-37). Our input is a binary payload
+column, so routing becomes content sniffing (SURVEY.md R1), kept
+entirely JVM-side inside whole-stage codegen: the binary prefix is
+decoded ISO-8859-1 (lossless byte<->char) and matched with ordinary
+string predicates. No Python worker is involved in dispatch, so
+Catalyst can push the per-branch filters down to the scan.
+
+Format -> reference route mapping:
+  pdf         <- '.pdf'   (%PDF- magic)                -> PDF branch
+  html        <- '.txt' + north_star HTML model        -> cascade branch
+  txt         <- '.txt'  (decodable text)              -> text branch
+  pretext     <- rows with pre-extracted `text` column -> passthrough
+  noise       <- '.wav' NOISE_DELETE_EXTS (RIFF/WAVE)  -> silently dropped
+  unsupported <- '.xlsx' UNSUPPORTED_EXTS (PK zip) or undecodable
+                 -> quarantine
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+FMT_PDF = "pdf"
+FMT_HTML = "html"
+FMT_TXT = "txt"
+FMT_PRETEXT = "pretext"
+FMT_NOISE = "noise"
+FMT_UNSUPPORTED = "unsupported"
+
+ALL_FORMATS = [FMT_PDF, FMT_HTML, FMT_TXT, FMT_PRETEXT, FMT_NOISE, FMT_UNSUPPORTED]
+
+# how many payload bytes the sniffer inspects
+_PREFIX_LEN = 512
+
+
+def sniff_format(html: Column, text: Column) -> Column:
+    """Return a `fmt` column from the binary payload + optional text.
+
+    Mirrors the reference's routing table (process_run.py:93-109):
+    noise first, then deny-list, then per-format dispatch.
+    """
+    # lossless byte->char view of the payload prefix
+    prefix = F.decode(F.substring(html, 1, _PREFIX_LEN), "ISO-8859-1")
+    low = F.lower(prefix)
+
+    is_wav = prefix.startswith("RIFF") & (F.substring(prefix, 9, 4) == "WAVE")
+    is_zip = prefix.startswith("PK")
+    is_pdf = prefix.startswith("%PDF-")
+    looks_html = (
+        low.contains("<!doctype html")
+        | low.contains("<html")
+        | (low.contains("<head") & low.contains("<body"))
+    )
+    # printable-text heuristic: no NUL byte in the sniffed prefix
+    has_nul = F.instr(prefix, "\x00") > 0
+
+    return (
+        F.when(html.isNull() & text.isNotNull(), F.lit(FMT_PRETEXT))
+        .when(html.isNull(), F.lit(FMT_UNSUPPORTED))
+        .when(is_wav, F.lit(FMT_NOISE))          # noise deleted on sight
+        .when(is_zip, F.lit(FMT_UNSUPPORTED))    # xlsx-style containers
+        .when(is_pdf, F.lit(FMT_PDF))
+        .when(looks_html, F.lit(FMT_HTML))
+        .when(~has_nul, F.lit(FMT_TXT))
+        .otherwise(F.lit(FMT_UNSUPPORTED))
+    )

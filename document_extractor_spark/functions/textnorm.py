@@ -1,0 +1,48 @@
+"""Encoding / charset normalization (north_star requirement).
+
+Two decode modes:
+
+- ``decode_reference``: byte-parity with the reference's lossy
+  ``open(..., encoding='utf-8', errors='ignore')`` (pass_txt.py:30-31)
+  — invalid byte sequences silently dropped. Used on the txt branch
+  where the per-url byte-identical invariant is checked.
+- ``decode_detect``: the engine's proper decode — BOM sniff
+  (UTF-8-sig / UTF-16 LE/BE), strict UTF-8 attempt, Latin-1 fallback
+  (total: never fails), documented as a deliberate divergence
+  (SURVEY.md R8). Used on the HTML branch before DOM parsing.
+"""
+from __future__ import annotations
+
+import unicodedata
+
+
+def decode_reference(payload: bytes | None) -> str:
+    """Lossy UTF-8 decode, parity with reference pass_txt.py:30-31."""
+    if payload is None:
+        return ""
+    return payload.decode("utf-8", errors="ignore")
+
+
+def decode_detect(payload: bytes | None) -> tuple[str, str]:
+    """Charset-detected decode -> (text, charset_used).
+
+    Deterministic cascade: BOM > strict UTF-8 > Latin-1. Latin-1 is
+    total over bytes, so this never raises.
+    """
+    if payload is None:
+        return "", "none"
+    if payload.startswith(b"\xef\xbb\xbf"):
+        return payload[3:].decode("utf-8", errors="replace"), "utf-8-sig"
+    if payload.startswith(b"\xff\xfe"):
+        return payload[2:].decode("utf-16-le", errors="replace"), "utf-16-le"
+    if payload.startswith(b"\xfe\xff"):
+        return payload[2:].decode("utf-16-be", errors="replace"), "utf-16-be"
+    try:
+        return payload.decode("utf-8"), "utf-8"
+    except UnicodeDecodeError:
+        return payload.decode("latin-1"), "latin-1"
+
+
+def nfc(text: str) -> str:
+    """Unicode NFC normalization for the detected-decode path."""
+    return unicodedata.normalize("NFC", text)

