@@ -1,0 +1,78 @@
+"""Idempotent snapshot resume (S10).
+
+The reference achieves idempotency destructively: on success it
+deletes the source file so the watcher never re-sees it
+(process_run.py:124-128, 194-197). A crash mid-CSV-append leaves
+partial rows — nothing guards output_writer.py:230-257.
+
+Spark replacement (north_rule: "resumes idempotently from the last
+committed snapshot checkpoint"): outputs append to parquet and a tiny
+`_manifest` parquet of committed urls is written LAST (commit point).
+On restart, the input is anti-joined against the manifest, so only
+never-committed urls are processed; a crash before the manifest write
+re-processes that batch (at-least-once into an append dir, dedup on
+read via the manifest). On a real deployment this maps 1:1 onto an
+Iceberg snapshot commit; the parquet manifest is the sandbox stand-in
+(SURVEY.md §4.4).
+
+Scale note: the manifest carries only (url, run_id) — at 10^12 docs it
+would itself be big, which is why the anti-join broadcasts *per-run*
+manifests and the production path is an Iceberg metadata predicate,
+not a data join. Here the anti-join is a shuffle-hash join Spark
+plans automatically with AQE.
+"""
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import PipelineConfig
+from .pipeline import ExtractionResult, run_extraction
+
+
+def committed_urls(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    manifest = os.path.join(out_dir, "_manifest")
+    if not os.path.isdir(manifest) or not os.listdir(manifest):
+        return None
+    return spark.read.parquet(manifest)
+
+
+def filter_uncommitted(
+    spark: SparkSession, pages: DataFrame, out_dir: str
+) -> DataFrame:
+    """Anti-join input vs the committed manifest (the resume filter)."""
+    manifest = committed_urls(spark, out_dir)
+    if manifest is None:
+        return pages
+    return pages.join(manifest.select("url"), "url", "left_anti")
+
+
+def run_and_commit(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    cfg: PipelineConfig | None = None,
+) -> ExtractionResult | None:
+    """One incremental batch: resume-filter -> extract -> append ->
+    commit manifest. Returns None when nothing is uncommitted."""
+    cfg = cfg or PipelineConfig()
+    todo = filter_uncommitted(spark, pages, out_dir)
+    if not todo.take(1):
+        return None
+    result = run_extraction(spark, todo, cfg)
+    result.extracted.write.mode("append").parquet(
+        os.path.join(out_dir, "extracted"))
+    result.quarantine.write.mode("append").parquet(
+        os.path.join(out_dir, "quarantine"))
+    result.metrics.write.mode("append").parquet(
+        os.path.join(out_dir, "metrics"))
+    # commit point: manifest written last, after all data lands
+    (
+        todo.select("url")
+        .withColumn("run_id", F.lit(cfg.run_id))
+        .write.mode("append")
+        .parquet(os.path.join(out_dir, "_manifest"))
+    )
+    return result

@@ -16,18 +16,21 @@ Byte-parity targets (reference file:line):
 """
 from __future__ import annotations
 
+import re
 import statistics
 from typing import Iterable, Sequence
 
 import pandas as pd
-import regex  # supports \p{L}\p{N} Unicode property classes
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Unicode alphanumeric exactly as Python's str.isalnum:
-# isalpha (L*) or isdecimal/isdigit/isnumeric (Nd, Nl, No).
-_ALNUM_RE = regex.compile(r"[\p{L}\p{N}]")
+# Unicode alphanumeric exactly as Python's str.isalnum: stdlib re's
+# \w is implemented as Py_UNICODE_ISALNUM(ch) || ch == '_', so
+# [^\W_] == isalnum per-char — same interpreter Unicode tables as the
+# reference (the third-party `regex` module ships *newer* tables and
+# diverges on recently-assigned codepoints, e.g. U+13460).
+_ALNUM_RE = re.compile(r"[^\W_]")
 
 
 def score_reliability(text: str | None) -> float:

@@ -1,0 +1,82 @@
+"""Chunk bin-packing (A9) + rendered-doc template (S6) tests."""
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from document_extractor_spark.operators.chunker import (
+    DOCUMENT_BREAK,
+    assign_chunks,
+    render_doc_text,
+)
+
+
+def _pack_local(sizes, max_bytes):
+    """Reference-semantics greedy packer (output_writer.py:62-116)."""
+    chunk, used, out = 1, 0, []
+    for s in sizes:
+        if used > 0 and used + s > max_bytes:
+            chunk, used = chunk + 1, 0
+        used += s
+        out.append(chunk)
+    return out
+
+
+def test_assign_chunks_matches_greedy(spark):
+    rows = [("r1", f"u{i:03d}", s) for i, s in enumerate(
+        [100, 200, 300, 250, 900, 50, 1000, 10, 10, 980])]
+    df = spark.createDataFrame(rows, "run_id string, url string, doc_bytes long")
+    got = (
+        assign_chunks(df, max_bytes=1000).toPandas()
+        .sort_values("url").chunk_id.tolist()
+    )
+    assert got == _pack_local(
+        [100, 200, 300, 250, 900, 50, 1000, 10, 10, 980], 1000)
+
+
+@given(st.lists(st.integers(1, 500), min_size=1, max_size=50),
+       st.integers(100, 1000))
+@settings(max_examples=50, deadline=None)
+def test_chunk_invariant(sizes, max_bytes):
+    """Every chunk <= limit OR contains exactly one oversized doc
+    (output_writer.py:99-101 behavior)."""
+    ids = _pack_local(sizes, max_bytes)
+    by_chunk: dict[int, list[int]] = {}
+    for cid, s in zip(ids, sizes):
+        by_chunk.setdefault(cid, []).append(s)
+    for members in by_chunk.values():
+        assert sum(members) <= max_bytes or len(members) == 1
+    # never-split + sequential: ids are non-decreasing starting at 1
+    assert ids[0] == 1
+    assert all(b - a in (0, 1) for a, b in zip(ids, ids[1:]))
+
+
+def test_render_doc_text_template():
+    """Byte-parity with output_writer.py:168-193."""
+    out = render_doc_text(
+        url="https://x.example.com/a/doc1",
+        relative_path="a/doc1",
+        pages=[(1, "first page text"), (2, "")],
+        pass_used="pdf_text",
+        score=0.8123,
+        status="OK",
+        processed_at="2026-01-01T00:00:00Z",
+    )
+    assert out == (
+        "# original_file: https://x.example.com/a/doc1\n"
+        "# original_name: doc1\n"
+        "# relative_path: a/doc1\n"
+        "# pages: 2\n"
+        "# processed_at: 2026-01-01T00:00:00Z\n"
+        "# pass_used: pdf_text\n"
+        "# score: 0.8123\n"
+        "# status: OK\n"
+        "\n"
+        "=== [PAGE 1] ===\n"
+        "\n"
+        "first page text\n"
+        "\n"
+        "=== [PAGE 2] ===\n"
+        "\n"
+        "\n"
+    )
+    assert DOCUMENT_BREAK == "----- DOCUMENT BREAK -----\n\n"

@@ -1,0 +1,140 @@
+"""Golden end-to-end pipeline tests: byte-identical extracted text per
+url vs the generator's ground truth (the north_rule invariant), plus
+sniff routing, granularity, quarantine, metrics, and idempotent resume.
+"""
+import os
+
+import pandas as pd
+import pytest
+
+from document_extractor_spark.functions.sniff import sniff_format
+from pyspark.sql import functions as F
+
+
+def _merge(corpus, extracted: pd.DataFrame) -> pd.DataFrame:
+    m = corpus.expected.merge(
+        extracted, on="url", how="left", suffixes=("_e", ""))
+    return m[(m.page_e.isna() & m.page.isna()) | (m.page_e == m.page)]
+
+
+def test_sniff_routes_every_fixture_class(spark, pages_df):
+    got = (
+        pages_df.withColumn("fmt", sniff_format(F.col("html"), F.col("text")))
+        .select("url", "fmt").toPandas()
+    )
+    got["cls"] = got.url.str.split("/").str[3]
+    route = {
+        "html_clean": "html", "html_noisy": "html", "html_garbage": "html",
+        "dup": "html", "pdf_text": "pdf", "pdf_big": "pdf",
+        "pdf_scanonly": "pdf", "container": "pdf", "plaintext": "txt",
+        "pretext": "pretext", "noise": "noise", "unsupported": "unsupported",
+    }
+    for cls, expect in route.items():
+        sub = got[got.cls == cls]
+        if len(sub):
+            assert set(sub.fmt) == {expect}, f"{cls}: {set(sub.fmt)}"
+
+
+def test_byte_identical_extracted_text(corpus, extraction):
+    """THE invariant: extracted text matches ground truth byte-for-byte
+    per url (BASELINE.json north_rule)."""
+    m = _merge(corpus, extraction["extracted"])
+    assert len(m) == len(corpus.expected)
+    mismatch = m[m.extracted_text != m.text]
+    assert mismatch.empty, mismatch[["url", "fixture_class"]].head()
+
+
+def test_reliability_and_method_parity(corpus, extraction):
+    m = _merge(corpus, extraction["extracted"])
+    assert (m.method_e == m.method).all()
+    assert (m.used_fallback_e == m.used_fallback).all()
+    assert ((m.reliability_e - m.reliability).abs() < 1e-12).all()
+    assert (m.status_e == m.status).all()
+
+
+def test_big_pdfs_become_per_page_rows(corpus, extraction):
+    ext = extraction["extracted"]
+    big = ext[ext.url.str.contains("/pdf_big/")]
+    assert len(big) > 0
+    assert big.page.notna().all()  # per-page granularity (A7)
+    small = ext[ext.url.str.contains("/pdf_text/")]
+    assert small.page.isna().all()  # per-doc rows
+
+
+def test_container_children_extracted(corpus, extraction):
+    ext = extraction["extracted"]
+    kids = ext[ext.url.str.contains("::child")]
+    parents = ext[ext.url.str.contains("/container/") & ~ext.url.str.contains("::")]
+    assert len(kids) > 0
+    assert parents.empty  # parent consumed (portfolio_unpack.py:59-90)
+
+
+def test_noise_rows_absent_everywhere(corpus, extraction):
+    noise = set(corpus.noise_urls)
+    assert noise
+    assert not noise & set(extraction["extracted"].url)
+    assert not noise & set(extraction["quarantine"].url)
+
+
+def test_quarantine_parity(corpus, extraction):
+    got = extraction["quarantine"].set_index("url").reason.to_dict()
+    want = corpus.expected_quarantine.set_index("url").reason.to_dict()
+    assert got == want
+
+
+def test_spans_cover_text(corpus, extraction):
+    """Spans self-consistency: html spans map into the decoded source
+    (verified in test_html_extract); here: pdf doc spans partition the
+    joined text exactly."""
+    ext = extraction["extracted"]
+    pdf_docs = ext[(ext.fmt == "pdf") & (ext.status == "OK") & ext.page.isna()]
+    for r in pdf_docs.head(20).itertuples():
+        assert r.spans[-1]["end"] == len(r.text)
+        for span in r.spans:
+            assert 0 <= span["start"] <= span["end"] <= len(r.text)
+
+
+def test_metrics_counters(corpus, extraction):
+    met = extraction["metrics"]
+    ext = extraction["extracted"]
+    assert met.docs_out.sum() == len(ext)
+    assert met.parse_failures.sum() == (ext.status == "ERROR").sum()
+    want_bytes = ext.text.dropna().str.encode("utf-8").str.len().sum()
+    assert met.bytes_extracted.sum() == want_bytes
+
+
+def test_idempotent_resume(spark, pages_df, cfg, tmp_path):
+    """Run twice over the same snapshot: second run writes 0 new rows
+    (replaces the reference's delete-on-success, process_run.py:194-197)."""
+    from document_extractor_spark.checkpoint import run_and_commit
+
+    out = str(tmp_path / "out")
+    sub = pages_df.limit(60).cache()
+    first = run_and_commit(spark, sub, out, cfg)
+    assert first is not None
+    n1 = len(spark.read.parquet(os.path.join(out, "extracted")).toPandas())
+    second = run_and_commit(spark, sub, out, cfg)
+    assert second is None  # nothing uncommitted
+    n2 = len(spark.read.parquet(os.path.join(out, "extracted")).toPandas())
+    assert n1 == n2
+
+
+def test_resume_processes_only_new_rows(spark, pages_df, cfg, tmp_path):
+    from document_extractor_spark.checkpoint import run_and_commit
+
+    out = str(tmp_path / "out2")
+    base = pages_df.limit(80).cache()
+    first_half = base.limit(40)
+    run_and_commit(spark, first_half, out, cfg)
+    manifest1 = spark.read.parquet(os.path.join(out, "_manifest")).count()
+    run_and_commit(spark, base, out, cfg)
+    manifest2 = spark.read.parquet(os.path.join(out, "_manifest")).count()
+    assert manifest1 == 40
+    assert manifest2 == 80
+
+
+@pytest.mark.parametrize("status", ["OK", "ERROR"])
+def test_reliability_bounds(extraction, status):
+    ext = extraction["extracted"]
+    sub = ext[ext.status == status]
+    assert ((sub.reliability >= 0) & (sub.reliability <= 1)).all()
