@@ -666,8 +666,8 @@ def q_fingerprints(spark, sf_dir):
 
 _ORACLE_FINGERPRINT = """
 SELECT source, count(*) AS n_docs,
-       count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
-                                         'g'))) AS distinct_fps
+       count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                              'g')))) AS distinct_fps
 FROM documents GROUP BY source
 """
 

@@ -72,10 +72,23 @@ _MIX = [
 _EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 
 
+_FUNCTION_WORDS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+}
+
+
 def _sentence(rng: random.Random, lang: str, n_lo: int = 8, n_hi: int = 14) -> str:
     words = _WORDS[lang]
+    fn_words = _FUNCTION_WORDS[lang]
     n = rng.randint(n_lo, n_hi)
-    toks = [rng.choice(words) for _ in range(n)]
+    toks = []
+    for i in range(n):
+        # natural text interleaves function words (~1 in 4)
+        if i > 0 and rng.random() < 0.25:
+            toks.append(rng.choice(fn_words))
+        toks.append(rng.choice(words))
     return toks[0].capitalize() + " " + " ".join(toks[1:]) + "."
 
 

@@ -88,24 +88,54 @@ def _unescape_pdf_string(raw: bytes) -> bytes:
     return bytes(out)
 
 
+_OBJ_HEADER_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+
+
 def _parse_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
-    """obj number -> (dict/body bytes, decoded stream bytes or None)."""
+    """obj number -> (dict/body bytes, decoded stream bytes or None).
+
+    Streams are consumed *positionally* using /Length: compressed bytes
+    can legally contain the literals `endobj`/`endstream`, so a pure
+    regex-to-delimiter scan would truncate them (and did). A sequential
+    cursor skips object headers that fall inside consumed stream data.
+    """
     objects: dict[int, tuple[bytes, bytes | None]] = {}
-    for m in _OBJ_RE.finditer(data):
+    pos = 0
+    for m in _OBJ_HEADER_RE.finditer(data):
+        if m.start() < pos:
+            continue  # header-looking bytes inside a consumed stream
         num = int(m.group(1))
-        body = m.group(2)
-        stream = None
-        sm = _STREAM_RE.search(body)
-        if sm:
-            stream = sm.group(1)
-            head = body[: sm.start()]
+        sidx = data.find(b"stream", m.end())
+        eidx = data.find(b"endobj", m.end())
+        if sidx != -1 and (eidx == -1 or sidx < eidx):
+            head = data[m.end():sidx]
+            dstart = sidx + len(b"stream")
+            if data[dstart:dstart + 2] == b"\r\n":
+                dstart += 2
+            elif data[dstart:dstart + 1] == b"\n":
+                dstart += 1
+            lm = _LENGTH_RE.search(head)
+            if lm:
+                dend = dstart + int(lm.group(1))
+            else:  # no direct /Length: fall back to delimiter scan
+                dend = data.find(b"endstream", dstart)
+                if dend == -1:
+                    dend = len(data)
+            stream: bytes | None = data[dstart:dend]
             if b"/FlateDecode" in head:
                 try:
                     stream = zlib.decompress(stream)
                 except zlib.error:
                     stream = None
-            body = head
-        objects[num] = (body, stream)
+            objects[num] = (head, stream)
+            nxt = data.find(b"endobj", dend)
+            pos = (nxt + len(b"endobj")) if nxt != -1 else dend
+        else:
+            if eidx == -1:
+                eidx = len(data)
+            objects[num] = (data[m.end():eidx], None)
+            pos = eidx + len(b"endobj")
     return objects
 
 

@@ -81,8 +81,10 @@ def quality_score(text: Column) -> Column:
 
 
 def fingerprint(text: Column) -> Column:
-    """Normalized content fingerprint: md5 of lower + ws-collapsed."""
-    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+    """Normalized content fingerprint: md5 of lower + ws-collapsed.
+    Collapse BEFORE trim: trim() strips only spaces, so stray
+    tabs/newlines must first become spaces."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
 
 
 # --------------------------------------------------------------------------

@@ -62,6 +62,97 @@ def _empty(cols=None) -> pd.DataFrame:
 
 
 # --------------------------------------------------------------------------
+# per-row extraction cores (shared by the staged branches below and the
+# fused single-pass dispatcher)
+# --------------------------------------------------------------------------
+def _txt_core(url, warc_ts, lang, fmt, html, text) -> dict:
+    if fmt == "pretext":
+        t = text or ""
+    else:
+        t = decode_reference(html)
+    rel = score_reliability(t)
+    has_text = bool(t.strip())
+    return _row(
+        url, warc_ts, lang, fmt, "txt",
+        "OK" if has_text else "ERROR", False,
+        False, 1 if has_text else 0,
+        [(1, t, rel)] if has_text else [],
+        [(0, len(t))] if has_text else [], rel,
+        "" if has_text else "empty_text")
+
+
+def _pdf_core(url, warc_ts, lang, payload, cfg: PipelineConfig) -> dict:
+    doc = parse_pdf(payload)
+    if not doc.ok:
+        return _row(url, warc_ts, lang, "pdf", "pdf_text", "ERROR",
+                    False, False, 0, [], [], 0.0,
+                    f"pdf_parse_failed: {doc.error}")
+    n = doc.n_pages
+    per_page = (len(payload) >= cfg.bigdoc_size_limit_bytes
+                or n >= cfg.bigdoc_page_limit)  # pass_pdf.py:108-110
+    idxs = sample_page_indices(n, target=min(cfg.triage_sample_pages, n))
+    samples = [doc.page_texts[i - 1] for i in idxs]
+    if likely_scan_only(samples, cfg.triage_min_chars, cfg.triage_rel_cap):
+        return _row(url, warc_ts, lang, "pdf", "pdf_text", "ERROR",
+                    False, per_page, n, [], [], 0.0,
+                    "pdf_below_cutoff: likely scan-only, no text layer")
+    rels = [score_reliability(t) for t in doc.page_texts]
+    med = exact_median(rels)
+    if med < cfg.pdf_text_cutoff:
+        return _row(url, warc_ts, lang, "pdf", "pdf_text", "ERROR",
+                    False, per_page, n, [], [], med,
+                    f"pdf_below_cutoff: median={med:.4f}")
+    pages = [(i + 1, t, rel)
+             for i, (t, rel) in enumerate(zip(doc.page_texts, rels))]
+    spans, off = [], 0
+    for t in doc.page_texts:
+        spans.append((off, off + len(t)))
+        off += len(t) + 1  # the joining "\n"
+    return _row(url, warc_ts, lang, "pdf", "pdf_text", "OK",
+                False, per_page, n, pages, spans, med)
+
+
+_HTML_CASCADE = (
+    ("strict", "html_text", False),
+    ("lenient", "html_lenient", True),
+    ("raw", "html_raw", True),
+)
+
+
+def _html_core(url, warc_ts, lang, payload, cfg: PipelineConfig) -> dict:
+    """Internal strict -> lenient -> raw cascade (one row, short-
+    circuit on first acceptance — the reference's escalation
+    semantics, pass_pdf.py:112-255, fused into a single pass)."""
+    source, _charset = decode_detect(payload)
+    cutoffs = {"strict": cfg.html_strict_cutoff,
+               "lenient": cfg.html_lenient_cutoff,
+               "raw": cfg.html_raw_cutoff}
+    last = None
+    for stage, method, fallback in _HTML_CASCADE:
+        text, spans, err = "", [], ""
+        try:
+            if stage == "raw":
+                text = extract_raw(source)
+            else:
+                text, spans = extract_html(
+                    source, strict=(stage == "strict"),
+                    min_block_chars=cfg.min_block_chars,
+                    max_link_density=cfg.max_link_density)
+        except StrictParseError as exc:
+            err = f"strict_parse: {exc}"
+        rel = score_reliability(text)
+        if not err and rel >= cutoffs[stage] and text.strip():
+            return _row(url, warc_ts, lang, "html", method, "OK",
+                        fallback, False, 1, [(1, text, rel)],
+                        [(int(s), int(e)) for s, e in spans], rel)
+        last = (method, rel, err)
+    method, rel, err = last
+    return _row(url, warc_ts, lang, "html", method, "ERROR", True,
+                False, 0, [], [], rel,
+                err or f"extract_below_cutoff: rel={rel:.4f}")
+
+
+# --------------------------------------------------------------------------
 # txt branch (reference pass_txt.py): lossy utf-8 decode, whole text is
 # page 1, always "succeeds" (status ERROR only when empty — rc is 0 either
 # way, so txt rows are never quarantined).
@@ -69,22 +160,10 @@ def _empty(cols=None) -> pd.DataFrame:
 def make_txt_branch(cfg: PipelineConfig):
     def txt_branch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_batch in batches:
-            out = []
-            for r in pdf_batch.itertuples(index=False):
-                if r.fmt == "pretext":
-                    text = r.text or ""
-                else:
-                    text = decode_reference(r.html)
-                rel = score_reliability(text)
-                has_text = bool(text.strip())
-                pages = [(1, text, rel)] if has_text else []
-                spans = [(0, len(text))] if has_text else []
-                out.append(_row(
-                    r.url, r.warc_ts, r.lang, r.fmt, "txt",
-                    "OK" if has_text else "ERROR", False,
-                    False, 1 if has_text else 0, pages, spans, rel,
-                    "" if has_text else "empty_text",
-                ))
+            out = [
+                _txt_core(r.url, r.warc_ts, r.lang, r.fmt, r.html, r.text)
+                for r in pdf_batch.itertuples(index=False)
+            ]
             yield pd.DataFrame(out, columns=_BRANCH_COLS) if out else _empty()
 
     return txt_branch
@@ -95,57 +174,12 @@ def make_txt_branch(cfg: PipelineConfig):
 # scan-only triage, exact-median gating, per-doc/per-page granularity.
 # --------------------------------------------------------------------------
 def make_pdf_branch(cfg: PipelineConfig):
-    cutoff = cfg.pdf_text_cutoff
-    size_limit = cfg.bigdoc_size_limit_bytes
-    page_limit = cfg.bigdoc_page_limit
-    t_pages, t_chars, t_cap = (
-        cfg.triage_sample_pages, cfg.triage_min_chars, cfg.triage_rel_cap)
-
     def pdf_branch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_batch in batches:
-            out = []
-            for r in pdf_batch.itertuples(index=False):
-                payload = r.html
-                doc = parse_pdf(payload)
-                if not doc.ok:
-                    out.append(_row(
-                        r.url, r.warc_ts, r.lang, "pdf", "pdf_text",
-                        "ERROR", False, False, 0, [], [], 0.0,
-                        f"pdf_parse_failed: {doc.error}"))
-                    continue
-                n = doc.n_pages
-                per_page = (
-                    len(payload) >= size_limit or n >= page_limit
-                )  # reference pass_pdf.py:108-110
-                # triage (reference pass_pdf_txt.py:38-51)
-                idxs = sample_page_indices(n, target=min(t_pages, n))
-                samples = [doc.page_texts[i - 1] for i in idxs]
-                if likely_scan_only(samples, t_chars, t_cap):
-                    out.append(_row(
-                        r.url, r.warc_ts, r.lang, "pdf", "pdf_text",
-                        "ERROR", False, per_page, n, [], [], 0.0,
-                        "pdf_below_cutoff: likely scan-only, no text layer"))
-                    continue
-                rels = [score_reliability(t) for t in doc.page_texts]
-                med = exact_median(rels)
-                if med < cutoff:
-                    out.append(_row(
-                        r.url, r.warc_ts, r.lang, "pdf", "pdf_text",
-                        "ERROR", False, per_page, n, [], [], med,
-                        f"pdf_below_cutoff: median={med:.4f}"))
-                    continue
-                pages = [
-                    (i + 1, t, rel)
-                    for i, (t, rel) in enumerate(zip(doc.page_texts, rels))
-                ]
-                # spans: page offsets within the "\n".join(pages) doc text
-                spans, off = [], 0
-                for t in doc.page_texts:
-                    spans.append((off, off + len(t)))
-                    off += len(t) + 1  # the joining "\n"
-                out.append(_row(
-                    r.url, r.warc_ts, r.lang, "pdf", "pdf_text", "OK",
-                    False, per_page, n, pages, spans, med))
+            out = [
+                _pdf_core(r.url, r.warc_ts, r.lang, r.html, cfg)
+                for r in pdf_batch.itertuples(index=False)
+            ]
             yield pd.DataFrame(out, columns=_BRANCH_COLS) if out else _empty()
 
     return pdf_branch
@@ -217,3 +251,77 @@ def make_html_stage(cfg: PipelineConfig, stage: str, final: bool = False):
                    if out else _empty(_CASCADE_COLS))
 
     return html_stage
+
+
+# --------------------------------------------------------------------------
+# fused single-pass dispatcher — the performance path.
+#
+# The staged branches above are the *structural* expression of the
+# reference's cascade; but expressed as separate DataFrames, every
+# consumer (cascade remainder, doc/page split, quarantine, metrics)
+# re-executes the upstream Python stages. The escalation decision is
+# per-row and data-dependent, so the idiomatic-Spark answer is ONE
+# Arrow stage that dispatches on the (JVM-computed) fmt column and
+# short-circuits the cascade per row: one scan, one Python stage,
+# zero duplicate work. Containers recurse inline (depth 1), so child
+# docs never need a second dispatch pass. Tests assert fused ==
+# staged row-for-row.
+# --------------------------------------------------------------------------
+def sniff_bytes(html: bytes | None, text: str | None) -> str:
+    """Python twin of functions/sniff.sniff_format (same routing)."""
+    if html is None:
+        return "pretext" if text is not None else "unsupported"
+    prefix = html[:512]
+    if prefix.startswith(b"RIFF") and prefix[8:12] == b"WAVE":
+        return "noise"
+    if prefix.startswith(b"PK"):
+        return "unsupported"
+    if prefix.startswith(b"%PDF-"):
+        return "pdf"
+    low = prefix.decode("iso-8859-1").lower()
+    if ("<!doctype html" in low or "<html" in low
+            or ("<head" in low and "<body" in low)):
+        return "html"
+    if b"\x00" not in prefix:
+        return "txt"
+    return "unsupported"
+
+
+def make_extract_any(cfg: PipelineConfig):
+    from ..functions.pdf_mini import parse_pdf as _parse  # container probe
+
+    def _dispatch_one(url, warc_ts, lang, fmt, html, text, out: list,
+                      allow_container: bool = True) -> None:
+        if fmt == "noise":
+            return  # deleted on sight (process_run.py:158-164)
+        if fmt == "unsupported":
+            out.append(_row(url, warc_ts, lang, fmt, "none", "ERROR",
+                            False, False, 0, [], [], 0.0, "unsupported"))
+            return
+        if fmt in ("txt", "pretext"):
+            out.append(_txt_core(url, warc_ts, lang, fmt, html, text))
+            return
+        if fmt == "html":
+            out.append(_html_core(url, warc_ts, lang, html, cfg))
+            return
+        # pdf: container probe first (portfolio_unpack.py semantics)
+        if allow_container and html is not None \
+                and b"/EmbeddedFile" in html:
+            doc = _parse(html)
+            if doc.attachments:
+                for name, child in doc.attachments:
+                    cfmt = sniff_bytes(child, None)
+                    _dispatch_one(f"{url}::{name}", warc_ts, lang, cfmt,
+                                  child, None, out, allow_container=False)
+                return  # parent consumed, never extracted
+        out.append(_pdf_core(url, warc_ts, lang, html, cfg))
+
+    def extract_any(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            out: list[dict] = []
+            for r in pdf_batch.itertuples(index=False):
+                _dispatch_one(r.url, r.warc_ts, r.lang, r.fmt, r.html,
+                              r.text, out)
+            yield pd.DataFrame(out, columns=_BRANCH_COLS) if out else _empty()
+
+    return extract_any

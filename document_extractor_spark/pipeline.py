@@ -6,38 +6,48 @@ process_run -> pass_* -> output_writer DAG, SURVEY.md §3):
     pages ─ sniff fmt (Column expr, codegen)
       ├─ fmt=noise        → dropped silently (process_run.py:158-164)
       ├─ fmt=unsupported  → quarantine (process_run.py:166-171)
-      ├─ fmt=pdf          → container explode → re-sniff children
-      │                      → pdf text-layer branch (median gate)
+      ├─ fmt=pdf          → container explode → pdf text-layer branch
       ├─ fmt=html         → strict → lenient → raw cascade
       ├─ fmt=txt/pretext  → text branch
-      └─ unionByName of all branches
+      └─ one BRANCH_SCHEMA stream
           ├─ granularity switch: per-doc row (array_join pages, JVM)
-          │   or posexplode to per-page rows (pass_pdf.py:108-110)
+          │   or explode to per-page rows (pass_pdf.py:108-110)
           ├─ extracted table (status OK | ERROR)
           ├─ quarantine table (ERROR rows + unsupported)
           └─ metrics per partition (north_rule counters)
 
+Two physical realizations of the same semantics:
+
+- fused (default): ONE Arrow mapInPandas stage dispatches per row on
+  the JVM-sniffed fmt and short-circuits the cascade internally.
+  One scan, one Python stage, zero duplicate work — the right shape
+  at 100 TB, where a staged cascade would re-execute upstream Python
+  stages once per consumer and re-scan the table per branch.
+- staged: the cascade and branches as separate filtered DataFrames
+  (the literal structural twin of the reference's pass scripts).
+  Kept for operator-level testing; tests assert fused == staged.
+
 Scale notes (100 TB design):
 - Dispatch and the final doc-text join are JVM-side (whole-stage
-  codegen); Python runs only inside Arrow-batched mapInPandas parses.
-- Every branch is a narrow pipeline over the sniffed scan — the only
-  shuffles in the whole job are the optional url-hash repartition and
-  the metrics groupBy (tiny).
-- Cascade stages carry the payload only for remainder rows (nulled on
-  accept), so stage k's Arrow traffic shrinks to the escalation rate.
+  codegen); Python runs only inside the Arrow-batched parse stage.
+- The branch stream is persisted (MEMORY_AND_DISK) before fan-out to
+  the three sinks, so extracted/quarantine/metrics share one pass.
+  The persisted stream carries extracted text, never input binaries.
+- The only shuffles in the whole job: the optional url-hash
+  repartition and the metrics groupBy (tiny).
 - AQE handles post-explode page-row skew from big documents.
 """
 from __future__ import annotations
 
 from dataclasses import dataclass
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .config import PipelineConfig
 from .functions.sniff import (
     FMT_HTML,
-    FMT_NOISE,
     FMT_PDF,
     FMT_PRETEXT,
     FMT_TXT,
@@ -48,6 +58,7 @@ from .operators.container import explode_containers
 from .operators.extract_branches import (
     BRANCH_SCHEMA,
     CASCADE_SCHEMA,
+    make_extract_any,
     make_html_stage,
     make_pdf_branch,
     make_txt_branch,
@@ -62,137 +73,177 @@ class ExtractionResult:
     quarantine: DataFrame
     metrics: DataFrame
 
+    def unpersist(self) -> None:
+        for df in (self.extracted, self.quarantine, self.metrics):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
 
 def bucket_by_url_hash(df: DataFrame, buckets: int) -> DataFrame:
     """Explicit url-hash bucketing (north_rule). xxhash64 is uniform on
     unique urls, so extraction work balances regardless of domain skew;
-    the salted path (operators/skew.py) is for keyed aggregations."""
-    if buckets <= 0:
+    the salted path (operators/skew.py) is for keyed aggregations.
+
+    buckets > 0: force that many buckets. buckets == 0 (auto): only
+    repartition when the scan yields fewer splits than the cluster has
+    cores — a wide input (the 100 TB case: thousands of parquet row
+    groups) is left alone, because reshuffling raw binary payloads is
+    pure waste; a narrow input (small corpus, one file) must be spread
+    or every Arrow stage runs on one core.
+    """
+    spark = df.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    if buckets == 0:
+        if df.rdd.getNumPartitions() >= parallelism:
+            return df
+        buckets = parallelism * 2
+    elif buckets < 0:
         return df
     return df.repartition(buckets, F.pmod(F.xxhash64("url"), F.lit(buckets)))
 
 
-def run_extraction(
-    spark: SparkSession,
-    pages: DataFrame,
-    cfg: PipelineConfig | None = None,
-) -> ExtractionResult:
-    cfg = cfg or PipelineConfig()
+def _staged_branches(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Structural cascade: separate mapInPandas per branch/stage.
 
-    pages = pages.select(*_PAGES_COLS)
-    pages = bucket_by_url_hash(pages, cfg.url_hash_buckets)
-    sniffed = pages.withColumn("fmt", sniff_format(F.col("html"), F.col("text")))
+    Each stage runs only on the previous remainder (payload carried
+    through, nulled on accept) — the literal dataflow twin of
+    pass_pdf.py:112-255. Used by tests; run_extraction defaults to
+    the fused dispatcher.
+    """
+    sniffed = pages.withColumn(
+        "fmt", sniff_format(F.col("html"), F.col("text")))
 
-    # --- container explode (S9) then re-sniff children ---------------------
     pdf_stream = (
         sniffed.filter(F.col("fmt") == FMT_PDF)
         .drop("fmt")
         .mapInPandas(explode_containers, schema=pages.schema)
         .withColumn("fmt", sniff_format(F.col("html"), F.col("text")))
     )
-    non_pdf = sniffed.filter(F.col("fmt") != FMT_PDF)
-    dispatched = non_pdf.unionByName(pdf_stream)
+    dispatched = sniffed.filter(F.col("fmt") != FMT_PDF).unionByName(pdf_stream)
 
-    # --- branches -----------------------------------------------------------
     txt_rows = dispatched.filter(F.col("fmt").isin(FMT_TXT, FMT_PRETEXT))
     pdf_rows = dispatched.filter(F.col("fmt") == FMT_PDF)
     html_rows = dispatched.filter(F.col("fmt") == FMT_HTML)
     unsupported = dispatched.filter(F.col("fmt") == FMT_UNSUPPORTED)
-    # fmt=noise rows are dropped here and never appear in any output
-    # (reference deletes .wav on sight, process_run.py:158-164)
-    _ = FMT_NOISE
 
     txt_out = txt_rows.mapInPandas(make_txt_branch(cfg), schema=BRANCH_SCHEMA)
     pdf_out = pdf_rows.mapInPandas(make_pdf_branch(cfg), schema=BRANCH_SCHEMA)
 
-    # html cascade: each stage consumes the previous remainder only
     s1 = html_rows.mapInPandas(
         make_html_stage(cfg, "strict"), schema=CASCADE_SCHEMA)
-    acc1 = s1.filter(F.col("accepted"))
     rest1 = s1.filter(~F.col("accepted")).select(
-        "url", "warc_ts", "html", F.lit(None).cast("string").alias("text"),
-        "lang")
+        "url", "warc_ts", "html",
+        F.lit(None).cast("string").alias("text"), "lang")
     s2 = rest1.mapInPandas(
         make_html_stage(cfg, "lenient"), schema=CASCADE_SCHEMA)
-    acc2 = s2.filter(F.col("accepted"))
     rest2 = s2.filter(~F.col("accepted")).select(
-        "url", "warc_ts", "html", F.lit(None).cast("string").alias("text"),
-        "lang")
+        "url", "warc_ts", "html",
+        F.lit(None).cast("string").alias("text"), "lang")
     s3 = rest2.mapInPandas(
         make_html_stage(cfg, "raw", final=True), schema=CASCADE_SCHEMA)
     html_out = (
-        acc1.unionByName(acc2).unionByName(s3)
+        s1.filter(F.col("accepted"))
+        .unionByName(s2.filter(F.col("accepted")))
+        .unionByName(s3)
         .drop("html", "accepted")
     )
 
-    branches = txt_out.unionByName(pdf_out).unionByName(html_out)
+    unsupported_out = unsupported.select(
+        "url", "warc_ts", "lang",
+        F.lit(FMT_UNSUPPORTED).alias("fmt"),
+        F.lit("none").alias("method"),
+        F.lit("ERROR").alias("status"),
+        F.lit(False).alias("used_fallback"),
+        F.lit(False).alias("per_page"),
+        F.lit(0).alias("n_pages"),
+        F.lit(None).cast(
+            "array<struct<page:int,text:string,reliability:double>>"
+        ).alias("pages"),
+        F.lit(None).cast(
+            "array<struct<start:bigint,end:bigint>>").alias("spans"),
+        F.lit(0.0).alias("reliability"),
+        F.lit("unsupported").alias("error"),
+    )
+    return (txt_out.unionByName(pdf_out).unionByName(html_out)
+            .unionByName(unsupported_out))
 
-    # --- granularity switch (A7) -------------------------------------------
-    doc_rows = branches.filter(~F.col("per_page")).select(
-        "url", "lang", "fmt", "method", "status", "used_fallback",
-        F.col("n_pages").alias("pages"),
+
+def run_extraction(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: PipelineConfig | None = None,
+    mode: str = "fused",
+    persist: bool = True,
+) -> ExtractionResult:
+    cfg = cfg or PipelineConfig()
+
+    pages = pages.select(*_PAGES_COLS)
+    pages = bucket_by_url_hash(pages, cfg.url_hash_buckets)
+
+    if mode == "fused":
+        sniffed = pages.withColumn(
+            "fmt", sniff_format(F.col("html"), F.col("text")))
+        branches = sniffed.mapInPandas(
+            make_extract_any(cfg), schema=BRANCH_SCHEMA)
+    else:
+        branches = _staged_branches(pages, cfg)
+
+    if persist:
+        branches = branches.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # --- granularity switch (A7) in ONE pass: per-doc rows become a
+    # single synthetic whole-doc page struct, then everything explodes
+    doc_struct = F.struct(
         F.lit(None).cast("int").alias("page"),
         F.when(
             F.size("pages") > 0,
             F.array_join(
                 F.transform("pages", lambda p: p["text"]), "\n", ""),
         ).otherwise(F.lit(None)).alias("text"),  # E12 "\n".join contract
-        "spans",
-        "reliability",
-        "error",
+        F.col("reliability").alias("reliability"),
     )
-    page_rows = (
-        branches.filter(F.col("per_page"))
+    pages_repr = F.when(F.col("per_page"), F.col("pages")).otherwise(
+        F.array(doc_struct))
+    extracted = (
+        branches.filter(F.col("fmt") != FMT_UNSUPPORTED)
         .select(
             "url", "lang", "fmt", "method", "status", "used_fallback",
-            F.col("n_pages").alias("pages"), "error", "spans",
+            F.col("n_pages").alias("pages"), "spans", "error",
             F.col("reliability").alias("doc_reliability"),
-            F.explode_outer("pages").alias("p"),
+            F.explode_outer(pages_repr).alias("p"),
         )
         .select(
-            "url", "lang", "fmt", "method", "status", "used_fallback",
-            "pages",
+            "url",
+            F.lit(cfg.run_id).alias("run_id"),
+            "fmt", "method", "status", "used_fallback", "pages",
             F.col("p.page").alias("page"),
             F.col("p.text").alias("text"),
             # per-page row span = that page's offsets in the doc text
-            F.when(
-                F.col("p.page").isNotNull(),
-                F.slice(F.col("spans"), F.col("p.page"), 1),
-            ).otherwise(F.lit(None)).alias("spans"),
+            F.when(F.col("p.page").isNotNull(),
+                   F.slice(F.col("spans"), F.col("p.page"), 1))
+            .otherwise(F.col("spans")).alias("spans"),
             F.coalesce(F.col("p.reliability"), F.col("doc_reliability"))
             .alias("reliability"),
             "error",
-        )
-    )
-    extracted = (
-        doc_rows.unionByName(page_rows)
-        .withColumn("run_id", F.lit(cfg.run_id))
-        .select(
-            "url", "run_id", "fmt", "method", "status", "used_fallback",
-            "pages", "page", "text", "spans", "reliability", "error",
         )
     )
 
     # --- quarantine (S8/R3): parse/gate failures + unsupported --------------
     quarantine = (
         branches.filter(
-            (F.col("status") == "ERROR") & (F.col("fmt") != FMT_TXT))
+            (F.col("status") == "ERROR")
+            & (~F.col("fmt").isin(FMT_TXT, FMT_PRETEXT)))
         .select(
             "url",
             F.regexp_extract("error", r"^([a-z_]+)", 1).alias("reason"),
             F.col("error").alias("note"),
         )
-        .unionByName(
-            unsupported.select(
-                "url",
-                F.lit("unsupported").alias("reason"),
-                F.lit("format not supported").alias("note"),
-            )
-        )
     )
 
     # --- per-partition lineage counters (north_rule) -------------------------
-    metrics_in = dispatched.groupBy(
+    metrics_in = branches.groupBy(
         F.spark_partition_id().alias("partition_id")
     ).agg(F.count("*").alias("docs_in"))
     metrics_out = extracted.groupBy(
@@ -206,9 +257,10 @@ def run_extraction(
     )
     metrics = (
         metrics_in.join(metrics_out, "partition_id", "full_outer")
-        .withColumn("run_id", F.lit(cfg.run_id))
-        .select("run_id", "partition_id", "docs_in", "docs_out",
-                "parse_failures", "bytes_extracted")
+        .select(
+            F.lit(cfg.run_id).alias("run_id"),
+            "partition_id", "docs_in", "docs_out", "parse_failures",
+            "bytes_extracted")
     )
 
     return ExtractionResult(extracted, quarantine, metrics)

@@ -1,0 +1,117 @@
+"""Dedup + similarity operator tests (exact, Jaccard, MinHash-LSH,
+SimHash, embedding cosine, LSH ANN recall)."""
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy dog today"),   # exact dup
+        (2, "the quick brown fox jumps over the lazy cat today"),   # near dup
+        (3, "completely different text about spark query engines"),
+        (4, "another unrelated document discussing parquet files"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16).astype(np.float32)
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base + 0.01]),          # near-dup of 0
+        (2, [float(x) for x in -base]),                # opposite
+        (3, [float(x) for x in rng.standard_normal(16)]),
+        (4, [float(x) for x in rng.standard_normal(16)]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_exact_dedup(spark, docs):
+    from document_extractor_spark.operators.dedup import exact_dedup_groups
+
+    got = exact_dedup_groups(docs).toPandas()
+    dup_groups = got[got.n_docs > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups.iloc[0].n_docs == 2
+    assert dup_groups.iloc[0].keeper_id == 0
+
+
+def test_ngram_jaccard(spark, docs):
+    from document_extractor_spark.operators.dedup import ngram_jaccard_pairs
+
+    got = ngram_jaccard_pairs(docs, threshold=0.5).toPandas()
+    pairs = set(zip(got.id_a, got.id_b))
+    assert (0, 1) in pairs  # exact dup -> jaccard 1.0
+    assert (0, 2) in pairs and (1, 2) in pairs  # one-word diff
+    assert not any(3 in p or 4 in p for p in pairs)
+    assert got[(got.id_a == 0) & (got.id_b == 1)].jaccard.iloc[0] == 1.0
+
+
+def test_minhash_lsh_candidates(spark, docs):
+    from document_extractor_spark.operators.dedup import (
+        minhash_band_buckets,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(docs, k=8).toPandas().set_index("doc_id")
+    # identical docs -> identical signatures
+    assert (sigs.loc[0] == sigs.loc[1]).all()
+    buckets = minhash_band_buckets(docs, k=8, bands=4).toPandas()
+    assert (buckets.n_docs > 1).all()
+    assert len(buckets) >= 4  # 0 and 1 collide in every band
+
+
+def test_simhash(spark, docs):
+    from document_extractor_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_neardup_pairs,
+    )
+
+    fp = simhash_fingerprints(docs).toPandas().set_index("doc_id").simhash
+    assert fp.loc[0] == fp.loc[1]
+    assert (fp >= 0).all()  # 63-bit, sign-safe
+    ham = bin(int(fp.loc[0]) ^ int(fp.loc[2])).count("1")
+    assert ham < bin(int(fp.loc[0]) ^ int(fp.loc[3])).count("1")
+    pairs = simhash_neardup_pairs(docs, max_hamming=0).toPandas()
+    assert {(0, 1)} <= set(zip(pairs.id_a, pairs.id_b))
+
+
+def test_embedding_neardup(spark, emb):
+    from document_extractor_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    got = embedding_neardup_pairs(emb, threshold=0.95).toPandas()
+    assert set(zip(got.id_a, got.id_b)) == {(0, 1)}
+
+
+def test_brute_topk_and_lsh_recall(spark, emb):
+    from document_extractor_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    qv = emb.filter(F.col("vec_id") == 0).head()[1]
+    brute = brute_force_topk(emb, list(qv), k=3).toPandas()
+    assert brute.vec_id.iloc[0] == 0  # self-match first
+    assert brute.cosine.iloc[0] == 1.0
+    assert brute.vec_id.iloc[1] == 1  # near-dup second
+    approx = lsh_topk(emb, list(qv), k=3, n_bits=4).toPandas()
+    # the near-dup must land in the probed buckets
+    assert {0, 1} <= set(approx.vec_id)
+
+
+def test_lsh_deterministic(spark, emb):
+    from document_extractor_spark.operators.similarity import lsh_bucketed
+
+    a = lsh_bucketed(emb, n_bits=6, seed=7).toPandas().set_index("vec_id")
+    b = lsh_bucketed(emb, n_bits=6, seed=7).toPandas().set_index("vec_id")
+    assert (a.bucket == b.bucket).all()
+    # near-identical vectors share a bucket
+    assert a.bucket.loc[0] == a.bucket.loc[1]

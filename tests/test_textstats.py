@@ -1,0 +1,85 @@
+"""Text-analysis function tests: tokens, language-ID, quality,
+fingerprints, winnowing (+ accuracy on the multilingual corpus)."""
+import pytest
+
+from pyspark.sql import functions as F
+
+from document_extractor_spark.functions import textstats as TS
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    rows = [
+        (0, "The cat and the dog sat of the mat.", "en"),
+        (1, "Der Hund und die Katze und der Vogel.", "de"),
+        (2, "Le chat et les chiens et le lapin.", "fr"),
+        (3, "El gato y los perros y el conejo.", "es"),
+        (4, "xyzzy plugh", "unknown"),
+        (5, "", "unknown"),
+    ]
+    return spark.createDataFrame(rows, "id long, text string, lang string")
+
+
+def test_token_count(spark, tdf):
+    got = tdf.select("id", TS.token_count(F.col("text")).alias("n")) \
+        .toPandas().set_index("id").n
+    # "The cat and the dog sat of the mat." -> 9 words + 1 period
+    assert got.loc[0] == 10
+    assert got.loc[4] == 2
+    assert got.loc[5] == 0
+
+
+def test_predict_lang(spark, tdf):
+    got = tdf.select("lang", TS.predict_lang(F.col("text"))
+                     .alias("p")).toPandas()
+    assert (got.lang == got.p).all()
+
+
+def test_langid_on_corpus(spark, corpus):
+    """On the multilingual synthetic corpus, marker-word language-ID
+    must beat 90% accuracy for en/de/fr docs with >= 30 tokens."""
+    import pandas as pd
+
+    exp = corpus.pages[["url", "lang"]].merge(
+        corpus.expected[["url", "extracted_text"]], on="url")
+    exp = exp[exp.extracted_text.str.split().str.len() >= 30]
+    df = spark.createDataFrame(exp[["url", "extracted_text", "lang"]])
+    got = df.select(
+        "lang", TS.predict_lang(F.col("extracted_text")).alias("p")
+    ).toPandas()
+    acc = (got.lang == got.p).mean()
+    assert acc >= 0.9, f"langid accuracy {acc:.3f}"
+
+
+def test_quality_score_bounds(spark, tdf):
+    got = tdf.select(TS.quality_score(F.col("text")).alias("q")).toPandas().q
+    assert ((got >= 0) & (got <= 1)).all()
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "hello world"), (2, "  HELLO WORLD \n")],
+        "id long, text string")
+    got = df.select(TS.fingerprint(F.col("text")).alias("fp")).toPandas().fp
+    assert got.nunique() == 1  # all normalize to the same content
+
+
+def test_winnow_properties():
+    fps = TS.winnow("the quick brown fox jumps over the lazy dog")
+    assert fps and all(f >= 0 for f in fps)
+    assert fps == TS.winnow("the quick brown fox jumps over the lazy dog")
+    assert TS.winnow("") == [] and TS.winnow("abc", k=8) == []
+    # a shared long substring yields shared fingerprints
+    a = set(TS.winnow("PREFIX the common middle section here SUFFIX1"))
+    b = set(TS.winnow("OTHERS the common middle section here SUFFIX2"))
+    assert a & b
+
+
+def test_ascii_ratio_matches_sql_semantics(spark, tdf):
+    got = tdf.select("id", TS.ascii_alnum_ratio(F.col("text"))
+                     .alias("r")).toPandas().set_index("id").r
+    text = "The cat and the dog sat of the mat."
+    import re
+    want = len(re.findall(r"[0-9A-Za-z]", text)) / len(text)
+    assert abs(got.loc[0] - want) < 1e-12
+    assert got.loc[5] == 0.0
