@@ -68,7 +68,7 @@ class PipelineConfig:
     salt_factor: int = field(default_factory=lambda: _env_int("SALT_FACTOR", 16))
 
     # --- Arrow batching: rows carry multi-KB binaries, keep batches small
-    arrow_max_records_per_batch: int = 256
+    arrow_max_records_per_batch: int = 1024
 
     run_id: str = "run-000"
 

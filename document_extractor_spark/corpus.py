@@ -321,10 +321,13 @@ def write_corpus(out_dir: str, n_rows: int, seed: int = 42,
         ("html", pa.binary()), ("text", pa.string()), ("lang", pa.string()),
     ])
     paths["pages"] = f"{out_dir}/pages.parquet"
+    # many small row groups: a single 50k-row row group is ONE Spark
+    # scan split regardless of byte-range splitting — parallel reads
+    # need row-group granularity (real Common-Crawl parquet has it)
     pq.write_table(
         pa.Table.from_pandas(corpus.pages, schema=schema,
                              preserve_index=False),
-        paths["pages"])
+        paths["pages"], row_group_size=1024)
     paths["expected"] = f"{out_dir}/expected.parquet"
     pq.write_table(
         pa.Table.from_pandas(corpus.expected, preserve_index=False),

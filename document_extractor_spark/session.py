@@ -10,7 +10,7 @@ def build_session(
     app_name: str = "document-extractor-spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
-    arrow_max_records_per_batch: int = 256,
+    arrow_max_records_per_batch: int = 1024,
 ) -> SparkSession:
     """local[N] session with the confs the engine relies on.
 

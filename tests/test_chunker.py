@@ -80,3 +80,25 @@ def test_render_doc_text_template():
         "\n"
     )
     assert DOCUMENT_BREAK == "----- DOCUMENT BREAK -----\n\n"
+
+
+def test_artifacts_render_and_chunk(spark, pages_df, cfg):
+    """S6/S7 integration: rendered blocks + greedy chunk assignment
+    over the real extraction output."""
+    from document_extractor_spark.artifacts import chunked_docs, rendered_docs
+    from document_extractor_spark.pipeline import run_extraction
+
+    res = run_extraction(spark, pages_df.limit(80), cfg, persist=False)
+    rendered = rendered_docs(res.extracted).cache()
+    rows = rendered.toPandas()
+    assert len(rows) > 0
+    sample = rows.iloc[0]
+    assert sample.rendered_text.startswith(
+        f"# original_file: {sample.url}\n")
+    assert "=== [PAGE " in sample.rendered_text
+    assert sample.rendered_text.endswith("\n")
+
+    chunks = chunked_docs(rendered, max_bytes=4000).toPandas()
+    assert (chunks.chunk_id >= 1).all()
+    grp = chunks.groupby("chunk_id").doc_bytes.agg(["sum", "count"])
+    assert ((grp["sum"] <= 4000) | (grp["count"] == 1)).all()
