@@ -264,3 +264,18 @@ def run_extraction(
     )
 
     return ExtractionResult(extracted, quarantine, metrics)
+
+
+def extract_one(
+    spark: SparkSession,
+    pages: DataFrame,
+    url: str,
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """Ad-hoc single-document debug path (reference §3.2: pass_any.sh
+    routes one file through the same passes). Same pipeline, WHERE
+    url = X; stage-forcing is done via cfg cutoff overrides, the
+    analog of the probe wrappers setting PASS_*_CUTOFF=2
+    (pass_pdf_ocr_a.sh:40-42)."""
+    one = pages.filter(F.col("url") == url)
+    return run_extraction(spark, one, cfg, persist=False).extracted

@@ -1,0 +1,124 @@
+"""Structured Streaming surface — the watcher loop, Spark-native.
+
+The reference's ingestion is a poll loop: wait for the input dir to
+go quiet (inotify 15 s / sleep 15 s), snapshot entries, process, and
+delete-on-success so files are seen once (entrypoint.sh:92-158).
+
+Spark mapping (S1): a file-source `readStream` over the pages
+directory. New parquet files are discovered per micro-batch; the
+streaming checkpoint replaces delete-on-success with exactly-once
+file tracking; `Trigger.AvailableNow` reproduces "drain whatever is
+there now, then stop" (one watcher cycle), while a processingTime
+trigger reproduces the 15 s poll cadence. The extraction plan is the
+SAME fused pipeline — mapInPandas and the granularity explode are
+streaming-compatible (no aggregation in the path, so append mode
+needs no watermark; the metrics table is written per-batch via
+foreachBatch).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from .config import PipelineConfig
+from .functions.sniff import FMT_UNSUPPORTED, sniff_format
+from .operators.extract_branches import BRANCH_SCHEMA, make_extract_any
+from .schemas import PAGES_SCHEMA
+
+
+def read_pages_stream(spark: SparkSession, input_dir: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    reader = (
+        spark.readStream.schema(PAGES_SCHEMA).format("parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(input_dir)
+
+
+def extracted_stream(pages_stream: DataFrame,
+                     cfg: PipelineConfig | None = None) -> DataFrame:
+    """The fused extraction plan applied to a streaming DataFrame.
+
+    Identical logical plan to pipeline.run_extraction's fused mode,
+    minus the batch-only repartition/persist (a streaming micro-batch
+    is already split by its source files).
+    """
+    cfg = cfg or PipelineConfig()
+    sniffed = pages_stream.withColumn(
+        "fmt", sniff_format(F.col("html"), F.col("text")))
+    branches = sniffed.mapInPandas(make_extract_any(cfg), schema=BRANCH_SCHEMA)
+
+    doc_struct = F.struct(
+        F.lit(None).cast("int").alias("page"),
+        F.when(
+            F.size("pages") > 0,
+            F.array_join(F.transform("pages", lambda p: p["text"]), "\n", ""),
+        ).otherwise(F.lit(None)).alias("text"),
+        F.col("reliability").alias("reliability"),
+    )
+    pages_repr = F.when(F.col("per_page"), F.col("pages")).otherwise(
+        F.array(doc_struct))
+    return (
+        branches.filter(F.col("fmt") != FMT_UNSUPPORTED)
+        .select(
+            "url", "lang", "fmt", "method", "status", "used_fallback",
+            F.col("n_pages").alias("pages"), "spans", "error",
+            F.col("reliability").alias("doc_reliability"),
+            F.explode_outer(pages_repr).alias("p"),
+        )
+        .select(
+            "url", F.lit(cfg.run_id).alias("run_id"), "fmt", "method",
+            "status", "used_fallback", "pages",
+            F.col("p.page").alias("page"),
+            F.col("p.text").alias("text"),
+            F.when(F.col("p.page").isNotNull(),
+                   F.slice(F.col("spans"), F.col("p.page"), 1))
+            .otherwise(F.col("spans")).alias("spans"),
+            F.coalesce(F.col("p.reliability"), F.col("doc_reliability"))
+            .alias("reliability"),
+            "error",
+        )
+    )
+
+
+def run_watcher_once(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    cfg: PipelineConfig | None = None,
+) -> StreamingQuery:
+    """One watcher cycle: drain all currently-available input files
+    (Trigger.AvailableNow) into the extracted table, exactly once."""
+    stream = extracted_stream(read_pages_stream(spark, input_dir), cfg)
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_watcher_continuous(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    poll_secs: int = 15,
+    cfg: PipelineConfig | None = None,
+) -> StreamingQuery:
+    """The long-running daemon: poll cadence mirrors the reference's
+    INPUT_CHECK_INTERVAL (entrypoint.sh:30-31)."""
+    stream = extracted_stream(read_pages_stream(spark, input_dir), cfg)
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(processingTime=f"{poll_secs} seconds")
+        .start()
+    )

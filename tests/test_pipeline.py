@@ -157,3 +157,21 @@ def test_fused_equals_staged(spark, pages_df, cfg):
     assert len(f) == len(s)
     for c in cols:
         assert (f[c].fillna("~") == s[c].fillna("~")).all(), c
+
+
+def test_extract_one_debug_path(spark, pages_df, corpus, cfg):
+    """§3.2 ad-hoc single-doc entry, incl. stage forcing via cutoffs
+    (the analog of PASS_TXT_CUTOFF=2 probe wrappers)."""
+    from document_extractor_spark.config import PipelineConfig
+    from document_extractor_spark.pipeline import extract_one
+
+    url = corpus.expected[
+        corpus.expected.fixture_class == "html_clean"].url.iloc[0]
+    got = extract_one(spark, pages_df, url, cfg).toPandas()
+    assert len(got) == 1 and got.iloc[0].method == "html_text"
+
+    # force past strict (impossible cutoff) -> lenient accepts
+    forced = PipelineConfig(bigdoc_page_limit=6, html_strict_cutoff=2.0)
+    got2 = extract_one(spark, pages_df, url, forced).toPandas()
+    assert got2.iloc[0].method == "html_lenient"
+    assert got2.iloc[0].text == got.iloc[0].text
