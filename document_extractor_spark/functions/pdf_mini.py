@@ -56,6 +56,8 @@ class PdfDoc:
 
 
 def _unescape_pdf_string(raw: bytes) -> bytes:
+    if b"\\" not in raw:  # fast path: nothing to unescape
+        return raw
     out = bytearray()
     i = 0
     n = len(raw)
@@ -102,9 +104,19 @@ def _parse_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
     """
     objects: dict[int, tuple[bytes, bytes | None]] = {}
     pos = 0
-    for m in _OBJ_HEADER_RE.finditer(data):
-        if m.start() < pos:
-            continue  # header-looking bytes inside a consumed stream
+    # every object header precedes the last `endobj`; bounding the
+    # search there keeps the digit-dense xref table (20 bytes/entry of
+    # pure digits, where \d+\s+\d+ backtracks per position) out of the
+    # regex scan entirely
+    last_endobj = data.rfind(b"endobj")
+    endpos = (last_endobj + len(b"endobj")) if last_endobj != -1 else len(data)
+    while True:
+        # search from the cursor instead of finditer over the whole
+        # payload: stream bodies are never regex-scanned (compressed
+        # bytes are digit-dense and made the scan the hot spot)
+        m = _OBJ_HEADER_RE.search(data, pos, endpos)
+        if m is None:
+            break
         num = int(m.group(1))
         sidx = data.find(b"stream", m.end())
         eidx = data.find(b"endobj", m.end())

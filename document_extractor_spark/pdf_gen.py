@@ -33,6 +33,9 @@ def build_pdf(
     """pages: list of pages, each a list of text lines."""
     objs: dict[int, bytes] = {}
     next_num = 3
+    # allocate the font number upfront (pages reference it); compact
+    # numbering keeps the xref free of padded free-entry lines
+    font_num = 3 + 2 * len(pages)
     page_nums: list[int] = []
     for page_lines in pages:
         content_num, page_num = next_num, next_num + 1
@@ -51,12 +54,12 @@ def build_pdf(
         objs[page_num] = (
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             b"/Contents %d 0 R /Resources << /Font << /F1 %d 0 R >> >> >>"
-            % (content_num, 1000)
+            % (content_num, font_num)
         )
         page_nums.append(page_num)
 
-    # font object (fixed high number to keep numbering simple)
-    objs[1000] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    objs[font_num] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    next_num += 1
 
     # portfolio attachments (reference analog: PDF portfolios handled
     # by pdfdetach in portfolio_unpack.py:14-23,146-150)
