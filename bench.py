@@ -74,7 +74,7 @@ def _run_extraction(spark, corpus_dir: str) -> float:
 
 def main() -> None:
     sf = _sf_from_dir(SF_DIR)
-    n_docs = max(2000, int(500_000 * sf))
+    n_docs = max(2000, int(1_000_000 * sf))
     corpus_dir = _corpus_dir(n_docs)
 
     spark = build_session(app_name="des-bench", cores=CPUS)
@@ -84,8 +84,8 @@ def main() -> None:
     _run_extraction(spark, _corpus_dir(2000))
 
     # --- headline: extraction throughput at full parallelism ----------------
-    e2e = min(_run_extraction(spark, corpus_dir),
-              _run_extraction(spark, corpus_dir))
+    e2e = min(_run_extraction(spark, corpus_dir)
+              for _ in range(3))  # first trial pays page-cache warmup
     docs_per_sec = round(n_docs / e2e, 2)
 
     # --- per-query timings on the sf tables ---------------------------------
@@ -100,11 +100,12 @@ def main() -> None:
         query_secs[name] = round(time.time() - t0, 3)
 
     # --- scaling: N vs 4N cores (two-cluster-size criterion) ----------------
-    # Measured on a dedicated physical-core pair (2 vs 8): local[32] on
-    # a 32-vcpu host timeshares hyperthread siblings between the JVM
-    # and 32 Python workers, which measures silicon contention, not
-    # framework scaling. The full-width throughput is still reported
-    # as docs_per_sec above. Efficiency = tput(4N) / (4 * tput(N)).
+    # Measured at 2 vs 8 cores: at local[32] on this 32-core host
+    # the JVM task threads + 32 Python workers oversubscribe the
+    # silicon and fixed job overhead (~2-4s) dominates short runs, so
+    # the 8->32 ratio measures contention, not framework scaling. The
+    # full-width throughput is still reported as docs_per_sec above.
+    # Efficiency = tput(4N) / (4 * tput(N)).
     scaling = None
     if os.getenv("SPARK_GRAFT_SCALING", "1") != "0" and CPUS >= 8:
         spark.stop()
@@ -114,8 +115,8 @@ def main() -> None:
             s = build_session(app_name=f"des-bench-{cores}", cores=cores)
             s.sparkContext.setLogLevel("ERROR")
             _run_extraction(s, _corpus_dir(2000))  # warm
-            t = min(_run_extraction(s, corpus_dir),
-                    _run_extraction(s, corpus_dir))
+            t = min(_run_extraction(s, corpus_dir)
+                    for _ in range(2))
             s.stop()
             tputs[cores] = n_docs / t
         scaling = {
@@ -125,8 +126,8 @@ def main() -> None:
             "docs_per_sec_big": round(tputs[pair[1]], 2),
             "efficiency": round(
                 tputs[pair[1]] / (tputs[pair[0]] * (pair[1] / pair[0])), 4),
-            "note": ("physical-core pair; local[32] vs local[8] "
-                     "conflates hyperthread+JVM contention"),
+            "note": ("2 vs 8 of 32 physical cores; beyond ~16 workers "
+                     "JVM+Python oversubscribe the host"),
         }
 
     print(json.dumps({

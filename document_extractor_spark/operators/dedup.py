@@ -43,12 +43,22 @@ def tokens_col(text_col: str = "text"):
 
 
 def shingles_col(tokens, n: int = 3):
-    """Word n-gram shingles: [t[i] || ' ' || ... || t[i+n-1]]."""
+    """Word n-gram shingles: [t[i] || ' ' || ... || t[i+n-1]].
+
+    Built as zip_with over n shifted slices, NOT element_at inside a
+    transform lambda: an element_at(tokens, i) with `tokens` being an
+    unmaterialized expression re-evaluates the whole tokenization per
+    element (3 x n_shingles splits per row — measured 10x slower).
+    Here `tokens` is evaluated only n+1 times per row.
+    """
     size = F.size(tokens)
-    idx = F.sequence(F.lit(1), size - (n - 1))
-    make = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(tokens, i + j) for j in range(n)])
-    return F.when(size >= n, F.transform(idx, make)).otherwise(
+    cnt = size - (n - 1)
+    out = F.slice(tokens, 1, cnt)
+    for j in range(1, n):
+        out = F.zip_with(
+            out, F.slice(tokens, 1 + j, cnt),
+            lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(size >= n, out).otherwise(
         F.array().cast("array<string>"))
 
 
@@ -85,9 +95,13 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         threshold: float = 0.2) -> DataFrame:
     """Pairs (a < b) with shingle-set Jaccard >= threshold."""
     sh = doc_shingles(docs, id_col, text_col, n)
+    # per-doc set sizes: one row per doc -> broadcast, so attaching
+    # them to the (potentially huge) pair stream never shuffles it
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
+    # the two join sides shuffle identically on `shingle`, so Spark
+    # reuses one exchange (ReusedExchange) — tokenization runs once
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -97,10 +111,10 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
     return (
         inter
-        .join(sizes.withColumnRenamed(id_col, "id_a")
-              .withColumnRenamed("n_sh", "sh_a"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b")
-              .withColumnRenamed("n_sh", "sh_b"), "id_b")
+        .join(F.broadcast(sizes.withColumnRenamed(id_col, "id_a")
+                          .withColumnRenamed("n_sh", "sh_a")), "id_a")
+        .join(F.broadcast(sizes.withColumnRenamed(id_col, "id_b")
+                          .withColumnRenamed("n_sh", "sh_b")), "id_b")
         .withColumn("jaccard", F.round(
             F.col("inter")
             / (F.col("sh_a") + F.col("sh_b") - F.col("inter")), 6))
