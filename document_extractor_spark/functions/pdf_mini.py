@@ -32,8 +32,6 @@ import re
 import zlib
 from dataclasses import dataclass, field
 
-_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 # literal string or operator tokens inside a content stream
 _TEXT_TOKEN_RE = re.compile(

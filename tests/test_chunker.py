@@ -1,5 +1,4 @@
 """Chunk bin-packing (A9) + rendered-doc template (S6) tests."""
-import pandas as pd
 from hypothesis import given, settings
 from hypothesis import strategies as st
 

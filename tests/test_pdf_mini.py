@@ -50,3 +50,25 @@ def test_truncated_pdf_never_raises():
 def test_page_count():
     assert pdf_page_count(build_pdf([["a"], ["b"], ["c"]])) == 3
     assert pdf_page_count(b"junk") == 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_line = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+    max_size=60)
+
+
+@given(st.lists(st.lists(_line, min_size=1, max_size=4),
+                min_size=1, max_size=3),
+       st.booleans())
+@settings(max_examples=60, deadline=None)
+def test_round_trip_property(pages, compress):
+    """build_pdf -> parse_pdf is the identity on arbitrary unicode
+    lines (parens, backslashes, newlines-free by construction)."""
+    clean = [[ln.replace("\r", "").replace("\n", "") for ln in pg]
+             for pg in pages]
+    doc = parse_pdf(build_pdf(clean, compress=compress))
+    assert doc.ok and doc.n_pages == len(clean)
+    assert doc.page_texts == ["\n".join(pg) for pg in clean]

@@ -38,8 +38,6 @@ def test_predict_lang(spark, tdf):
 def test_langid_on_corpus(spark, corpus):
     """On the multilingual synthetic corpus, marker-word language-ID
     must beat 90% accuracy for en/de/fr docs with >= 30 tokens."""
-    import pandas as pd
-
     exp = corpus.pages[["url", "lang"]].merge(
         corpus.expected[["url", "extracted_text"]], on="url")
     exp = exp[exp.extracted_text.str.split().str.len() >= 30]
