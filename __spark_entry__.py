@@ -727,6 +727,106 @@ FROM c WHERE cosine >= 0.5 GROUP BY 1
 """
 
 
+def q_chunk_pack_greedy(spark, sf_dir):
+    """A9 EXACT greedy never-split packing (applyInPandas per run) —
+    oracle: recursive CTE implementing the same greedy scan."""
+    from document_extractor_spark.operators.chunker import assign_chunks
+
+    d = _docs(spark, sf_dir).select(
+        "source", "doc_id", F.col("n_chars").alias("doc_bytes"))
+    out = assign_chunks(d, max_bytes=5000, run_col="source",
+                        order_col="doc_id", size_col="doc_bytes")
+    return out.select("source", "doc_id",
+                      F.col("chunk_id").cast("long").alias("chunk_id"))
+
+
+_ORACLE_CHUNK_GREEDY = """
+WITH RECURSIVE ordered AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents),
+g AS (
+  SELECT source, doc_id, n_chars, rn,
+         CAST(1 AS BIGINT) AS chunk_id, n_chars AS used
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.doc_id, o.n_chars, o.rn,
+         CASE WHEN g.used > 0 AND g.used + o.n_chars > 5000
+              THEN g.chunk_id + 1 ELSE g.chunk_id END,
+         CASE WHEN g.used > 0 AND g.used + o.n_chars > 5000
+              THEN o.n_chars ELSE g.used + o.n_chars END
+  FROM g JOIN ordered o ON o.source = g.source AND o.rn = g.rn + 1)
+SELECT source, doc_id, chunk_id FROM g
+"""
+
+
+def q_salted_domain_stats(spark, sf_dir):
+    """Salted two-phase aggregation (skew handling) — must equal the
+    plain GROUP BY the oracle runs."""
+    from document_extractor_spark.operators.skew import salted_agg
+
+    d = _docs(spark, sf_dir)
+    return salted_agg(
+        d, "source",
+        {"docs": ("count", "doc_id"),
+         "total_chars": ("sum", "n_chars"),
+         "max_chars": ("max", "n_chars")},
+        salt_factor=8,
+    )
+
+
+_ORACLE_SALTED = """
+SELECT source, count(doc_id) AS docs, sum(n_chars) AS total_chars,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY source
+"""
+
+
+def q_order_priority_semi(spark, sf_dir):
+    """Semi-join (TPC-H Q4 pattern): orders having any lineitem."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        orders.join(li.select("l_orderkey").distinct(),
+                    orders.o_orderkey == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_ORACLE_SEMI = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+GROUP BY o_orderpriority
+"""
+
+
+def q_customers_left_join(spark, sf_dir):
+    """Left outer join: per-customer order counts incl. zero."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("customers"),
+            F.count("o_orderkey").alias("orders"),
+            F.sum((F.col("o_orderkey").isNull()).cast("long"))
+            .alias("customers_without_orders"),
+        )
+    )
+
+
+_ORACLE_LEFT_JOIN = """
+SELECT c_mktsegment, count(DISTINCT c_custkey) AS customers,
+       count(o_orderkey) AS orders,
+       sum(CAST(o_orderkey IS NULL AS BIGINT)) AS customers_without_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
 # ===========================================================================
 # non-SQL-expressible ops (rows-only driver check)
 # ===========================================================================
@@ -794,6 +894,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
+        "chunk_pack_greedy": q_chunk_pack_greedy,
+        "salted_domain_stats": q_salted_domain_stats,
+        "order_priority_semi": q_order_priority_semi,
+        "customers_left_join": q_customers_left_join,
         # rows-only (no SQL twin)
         "simhash_fingerprints": q_simhash_fingerprints,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -831,4 +935,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": _ORACLE_FINGERPRINT,
         "ann_cosine_topk": _ORACLE_ANN,
         "embedding_neardup": _ORACLE_NEARDUP,
+        "chunk_pack_greedy": _ORACLE_CHUNK_GREEDY,
+        "salted_domain_stats": _ORACLE_SALTED,
+        "order_priority_semi": _ORACLE_SEMI,
+        "customers_left_join": _ORACLE_LEFT_JOIN,
     }
