@@ -1,0 +1,98 @@
+"""Custom stateful streaming operator: gap-based session windows via
+``applyInPandasWithState``.
+
+The reference has no streaming state at all (its "state" is the
+filesystem, SURVEY.md §2.5); this is the engine's demonstration of
+Spark's arbitrary-stateful surface for stream processing: per-user
+sessionization with a 30-minute inactivity gap, emitting one row per
+CLOSED session. State = (session_start_us, last_event_us, n_events,
+sum_value); a session closes when a later event arrives past the gap
+or the group times out (event-time timeout driven by the watermark).
+
+Batch twin: the `sessionize_events` query (__spark_entry__) computes
+the same sessions with window functions — the pytest asserts the
+stateful streaming output matches the batch computation on the same
+input, which is the strongest check available for stateful code.
+"""
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+GAP_US = 1_800_000_000  # 30 min, matches the batch sessionize query
+
+SESSION_SCHEMA = (
+    "user_id long, session_start_us long, session_end_us long, "
+    "n_events long, total_value double"
+)
+STATE_SCHEMA = (
+    "session_start_us long, last_us long, n_events long, total_value double"
+)
+
+
+def sessionize_with_state(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Emit closed sessions for one user; keep the open one in state."""
+    user_id = key[0]
+    out = []
+
+    if state.hasTimedOut:
+        if state.exists:
+            s0, last, n, tot = state.get
+            out.append((user_id, s0, last, n, tot))
+        state.remove()
+        yield pd.DataFrame(out, columns=[
+            "user_id", "session_start_us", "session_end_us", "n_events",
+            "total_value"])
+        return
+
+    events = pd.concat(list(pdfs), ignore_index=True)
+    events = events.sort_values("us")
+    if state.exists:
+        s0, last, n, tot = state.get
+    else:
+        s0 = last = None
+        n, tot = 0, 0.0
+
+    for us, value in zip(events["us"], events["value"]):
+        us = int(us)
+        if s0 is None:
+            s0, last, n, tot = us, us, 1, float(value)
+        elif us - last >= GAP_US:
+            out.append((user_id, s0, last, n, tot))  # close previous
+            s0, last, n, tot = us, us, 1, float(value)
+        else:
+            last, n, tot = us, n + 1, tot + float(value)
+
+    state.update((s0, last, n, tot))
+    # close the open session if no event arrives within the gap
+    state.setTimeoutTimestamp(last // 1000 + GAP_US // 1000)
+    yield pd.DataFrame(out, columns=[
+        "user_id", "session_start_us", "session_end_us", "n_events",
+        "total_value"])
+
+
+def stateful_sessions(events_stream: DataFrame) -> DataFrame:
+    """events(user_id, ts, value) stream -> closed-session stream."""
+    with_us = (
+        events_stream
+        .withColumn("event_ts", F.col("ts").cast("timestamp"))
+        .withWatermark("event_ts", "1 hour")
+        .withColumn("us", F.unix_micros(F.col("event_ts")))
+        .select("user_id", "event_ts", "us", "value")
+    )
+    return with_us.groupBy("user_id").applyInPandasWithState(
+        sessionize_with_state,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
