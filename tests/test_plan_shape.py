@@ -1,0 +1,61 @@
+"""Physical-plan regression guards: the properties that make the
+engine scale must be visible in `.explain` and stay there.
+
+- fused extraction: exactly ONE Python (MapInPandas) stage, ZERO
+  shuffles when the input is already wide;
+- predicate pushdown + column pruning reach the parquet scan;
+- the broadcast join stays broadcast.
+"""
+import re
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def _nodes(plan: str) -> list[str]:
+    """Node names from the formatted plan's detail section."""
+    return [
+        m.group(1)
+        for ln in plan.splitlines()
+        if (m := re.match(r"\(\d+\) ([A-Za-z]+)", ln))
+    ]
+
+
+def test_fused_extraction_plan_shape(spark, pages_df, cfg):
+    from document_extractor_spark.pipeline import run_extraction
+
+    wide = pages_df.repartition(16)  # already-wide input: no rebucket
+    res = run_extraction(spark, wide, cfg, persist=False)
+    nodes = _nodes(_plan(res.extracted))
+    assert nodes.count("MapInPandas") == 1  # ONE Python stage
+    # everything downstream of the Python stage is shuffle-free
+    # (nodes are listed leaf -> root in the detail section)
+    idx = nodes.index("MapInPandas")
+    assert "Exchange" not in nodes[idx + 1:]
+
+
+def test_filter_pushdown_and_pruning(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = docs.filter(F.col("n_chars") > 300).select("doc_id", "lang")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,300)]" \
+        in plan
+    # column pruning: text (the big column) must not be read
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "text" not in read_schema[0]
+
+
+def test_broadcast_join_stays_broadcast(spark):
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    q = (orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+         .groupBy("n_name").count())
+    plan = _plan(q)
+    assert _nodes(plan).count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
