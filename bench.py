@@ -110,15 +110,17 @@ def main() -> None:
     if os.getenv("SPARK_GRAFT_SCALING", "1") != "0" and CPUS >= 8:
         spark.stop()
         pair = (2, 8)
+        n_scale = min(n_docs, 50_000)  # bounds the 2-core wall time
+        scale_dir = _corpus_dir(n_scale)
         tputs = {}
         for cores in pair:
             s = build_session(app_name=f"des-bench-{cores}", cores=cores)
             s.sparkContext.setLogLevel("ERROR")
             _run_extraction(s, _corpus_dir(2000))  # warm
-            t = min(_run_extraction(s, corpus_dir)
+            t = min(_run_extraction(s, scale_dir)
                     for _ in range(2))
             s.stop()
-            tputs[cores] = n_docs / t
+            tputs[cores] = n_scale / t
         scaling = {
             "cores_small": pair[0],
             "cores_big": pair[1],
