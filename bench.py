@@ -117,8 +117,10 @@ def main() -> None:
             s = build_session(app_name=f"des-bench-{cores}", cores=cores)
             s.sparkContext.setLogLevel("ERROR")
             _run_extraction(s, _corpus_dir(2000))  # warm
+            # best-of-3: this sandbox host is noisy, and one slow trial
+            # in the small-N denominator fabricates super/sub-linearity
             t = min(_run_extraction(s, scale_dir)
-                    for _ in range(2))
+                    for _ in range(3))
             s.stop()
             tputs[cores] = n_scale / t
         scaling = {
