@@ -27,3 +27,27 @@ local[N].
 """
 
 __version__ = "0.1.0"
+
+__all__ = [
+    "PipelineConfig",
+    "run_extraction",
+    "extract_one",
+    "run_and_commit",
+    "build_session",
+]
+
+
+def __getattr__(name):  # lazy: importing the package must not need a JVM
+    if name == "PipelineConfig":
+        from .config import PipelineConfig
+        return PipelineConfig
+    if name in ("run_extraction", "extract_one"):
+        from . import pipeline
+        return getattr(pipeline, name)
+    if name == "run_and_commit":
+        from .checkpoint import run_and_commit
+        return run_and_commit
+    if name == "build_session":
+        from .session import build_session
+        return build_session
+    raise AttributeError(name)
