@@ -850,6 +850,39 @@ def q_winnow_fingerprints(spark, sf_dir):
         F.size(TS.winnow_fingerprint(F.col("text"))).alias("n_grams"))
 
 
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """LSH-bucketed embedding near-dup (the 10^12-row scale path for
+    embedding_neardup; hyperplane buckets -> in-bucket cosine).
+    The input is salted with exact duplicates of every vector, all of
+    which MUST be recovered (identical vectors share every sign bit)."""
+    emb = _emb(spark, sf_dir)
+    dups = emb.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    pairs = DD.embedding_neardup_pairs_lsh(
+        emb.unionByName(dups), threshold=0.99, n_bits=6)
+    return pairs.select(
+        "id_a", "id_b", "cosine").filter(F.col("id_b") - F.col("id_a")
+                                         == 1_000_000)
+
+
+def q_media_metadata(spark, sf_dir):
+    """Multimodal plumbing: typed metadata over opaque binary media
+    columns (deterministic synthetic payloads; stub decode kernels)."""
+    from document_extractor_spark.operators.multimodal import (
+        media_meta_table,
+    )
+
+    rows = [
+        (i, bytes([137, 80, 78, 71, 13, 10, 26, 10]) + bytes([i % 251] * 64))
+        if i % 3 == 0 else
+        (i, b"RIFF" + bytes(4) + b"WAVEfmt " + bytes([i % 251] * 32))
+        if i % 3 == 1 else
+        (i, b"\xff\xd8\xff\xe0" + bytes([i % 251] * 48))
+        for i in range(60)
+    ]
+    media = spark.createDataFrame(rows, "id long, media binary")
+    return media_meta_table(media)
+
+
 def q_extract_pipeline_full(spark, sf_dir):
     """Full binary pipeline (pdf/container/noise mix) over the seeded
     synthetic corpus — the complete engine exercised end to end."""
@@ -901,6 +934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no SQL twin)
         "simhash_fingerprints": q_simhash_fingerprints,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "media_metadata": q_media_metadata,
         "winnow_fingerprints": q_winnow_fingerprints,
         "extract_pipeline_full": q_extract_pipeline_full,
     }

@@ -220,6 +220,41 @@ def simhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def embedding_neardup_pairs_lsh(emb: DataFrame, id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                threshold: float = 0.8,
+                                n_bits: int = 8, seed: int = 7) -> DataFrame:
+    """Scale path for embedding near-dup: random-hyperplane LSH buckets
+    first (similarity.lsh_bucketed), exact cosine only within buckets.
+    At 10^12 rows the candidate set is O(n * avg_bucket_size), never a
+    cross join; near-identical vectors share all sign bits, so recall
+    for threshold >= ~0.8 is high by construction."""
+    from .similarity import lsh_bucketed
+
+    bucketed = lsh_bucketed(emb, n_bits=n_bits, seed=seed,
+                            id_col=id_col, vec_col=vec_col)
+    withn = bucketed.withColumn(
+        "norm",
+        F.sqrt(F.aggregate(
+            F.transform(vec_col, lambda x: x.cast("double") * x),
+            F.lit(0.0), lambda acc, x: acc + x)))
+    a, b = withn.alias("a"), withn.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"),
+                   lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(dot / (F.col("a.norm") * F.col("b.norm")), 4)
+            .alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             threshold: float = 0.8) -> DataFrame:
