@@ -91,7 +91,10 @@ def bucket_by_url_hash(df: DataFrame, buckets: int) -> DataFrame:
     cores — a wide input (the 100 TB case: thousands of parquet row
     groups) is left alone, because reshuffling raw binary payloads is
     pure waste; a narrow input (small corpus, one file) must be spread
-    or every Arrow stage runs on one core.
+    or every Arrow stage runs on one core. (A 4-waves-per-core policy
+    was trialed against per-doc cost skew — PDFs cost many HTMLs —
+    but interleaved A/B on this host showed the extra shuffle is a
+    wash at best; at real scale AQE handles the tail.)
     """
     spark = df.sparkSession
     parallelism = spark.sparkContext.defaultParallelism

@@ -91,6 +91,45 @@ def test_embedding_neardup(spark, emb):
     assert set(zip(got.id_a, got.id_b)) == {(0, 1)}
 
 
+def test_embedding_neardup_lsh(spark, emb):
+    from document_extractor_spark.operators.dedup import (
+        embedding_neardup_pairs, embedding_neardup_pairs_lsh,
+    )
+
+    # exact dups share every hyperplane sign bit -> recall 1.0 for them
+    dups = emb.withColumn("vec_id", F.col("vec_id") + 100)
+    salted = emb.unionByName(dups)
+    got = embedding_neardup_pairs_lsh(salted, threshold=0.999,
+                                      n_bits=4).toPandas()
+    pairs = set(zip(got.id_a, got.id_b))
+    assert {(i, i + 100) for i in range(5)} <= pairs
+    # cosine values agree with the brute-force path on shared pairs
+    brute = embedding_neardup_pairs(salted, threshold=0.999).toPandas()
+    bmap = {(r.id_a, r.id_b): r.cosine for r in brute.itertuples()}
+    for r in got.itertuples():
+        assert abs(bmap[(r.id_a, r.id_b)] - r.cosine) < 1e-6
+
+    # scale guard: the plan must join on bucket, never cross join
+    plan = embedding_neardup_pairs_lsh(salted)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_embedding_neardup_lsh_empty(spark):
+    from pyspark.sql import types as T
+
+    from document_extractor_spark.operators.dedup import (
+        embedding_neardup_pairs_lsh,
+    )
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    assert embedding_neardup_pairs_lsh(
+        spark.createDataFrame([], schema)).count() == 0
+
+
 def test_brute_topk_and_lsh_recall(spark, emb):
     from document_extractor_spark.operators.similarity import (
         brute_force_topk,
