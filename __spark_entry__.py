@@ -655,6 +655,60 @@ FROM documents GROUP BY source
 """
 
 
+def q_repetition_ratios(spark, sf_dir):
+    """Gopher-style repetition signals: per-source average fraction of
+    duplicate words / word-bigrams (template & spam detection)."""
+    d = _docs(spark, sf_dir).select(
+        "source",
+        TS.dup_unigram_ratio(F.col("text")).alias("du"),
+        TS.dup_bigram_ratio(F.col("text")).alias("db"))
+    return d.groupBy("source").agg(
+        F.round(F.avg("du"), 6).alias("avg_dup_unigram"),
+        F.round(F.avg("db"), 6).alias("avg_dup_bigram"))
+
+
+_ORACLE_REPETITION = """
+WITH w AS (
+  SELECT source, string_split(text, ' ') AS ws FROM documents
+), r AS (
+  SELECT source,
+         CASE WHEN len(ws) > 0
+              THEN 1.0 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE)
+              ELSE 0.0 END AS du,
+         CASE WHEN len(ws) >= 2
+              THEN 1.0 - len(list_distinct(list_transform(
+                       range(1, len(ws)),
+                       i -> ws[i] || ' ' || ws[i + 1])))
+                   / CAST(len(ws) - 1 AS DOUBLE)
+              ELSE 0.0 END AS db
+  FROM w)
+SELECT source, round(avg(du), 6) AS avg_dup_unigram,
+       round(avg(db), 6) AS avg_dup_bigram
+FROM r GROUP BY source
+"""
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus-wide top-50 vocabulary with counts (tokenizer-building /
+    frequency-filter primitive). Deterministic tiebreak on the word."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(50)
+    )
+
+
+_ORACLE_VOCAB = """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word ORDER BY n DESC, word ASC LIMIT 50
+"""
+
+
 def q_fingerprints(spark, sf_dir):
     """Normalized md5 content fingerprint distinctness per source."""
     d = _docs(spark, sf_dir).withColumn(
@@ -924,6 +978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "langid": q_langid,
         "quality_scores": q_quality_scores,
+        "repetition_ratios": q_repetition_ratios,
+        "vocab_topk": q_vocab_topk,
         "fingerprints": q_fingerprints,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -967,6 +1023,8 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": _ORACLE_TOKENS,
         "langid": _ORACLE_LANGID,
         "quality_scores": _ORACLE_QUALITY,
+        "repetition_ratios": _ORACLE_REPETITION,
+        "vocab_topk": _ORACLE_VOCAB,
         "fingerprints": _ORACLE_FINGERPRINT,
         "ann_cosine_topk": _ORACLE_ANN,
         "embedding_neardup": _ORACLE_NEARDUP,

@@ -41,6 +41,32 @@ def ascii_alnum_ratio(text: Column) -> Column:
                   / F.length(text).cast("double")).otherwise(F.lit(0.0))
 
 
+def dup_unigram_ratio(text: Column) -> Column:
+    """Fraction of repeated words — a Gopher-style repetition signal
+    (high ratio = boilerplate/spam). 0.0 for empty text. Pure Column
+    expression: stays in whole-stage codegen, no Python in the path."""
+    w = F.split(text, " ")
+    return F.when(
+        F.size(w) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(w)) / F.size(w).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_bigram_ratio(text: Column) -> Column:
+    """Fraction of repeated word-bigrams (catches phrase-level template
+    repetition that unigram miss). 0.0 for texts under two words."""
+    w = F.split(text, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    return F.when(
+        F.size(w) >= 2,
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)) / F.size(grams).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
 def _occurrences(padded: Column, word: str) -> Column:
     needle = f" {word} "
     return (

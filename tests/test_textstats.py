@@ -81,3 +81,25 @@ def test_ascii_ratio_matches_sql_semantics(spark, tdf):
     want = len(re.findall(r"[0-9A-Za-z]", text)) / len(text)
     assert abs(got.loc[0] - want) < 1e-12
     assert got.loc[5] == 0.0
+
+
+def test_dup_ratios(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d"),            # all unique
+         (1, "a a a a"),            # 3/4 dup words, 2/3 dup bigrams
+         (2, "a b a b a"),          # 3/5 dup words, bigrams: ab ba ab ba
+         (3, "solo"),               # single word: bigram ratio 0
+         (4, "")],                  # empty
+        "id long, text string")
+    got = df.select(
+        "id",
+        TS.dup_unigram_ratio(F.col("text")).alias("du"),
+        TS.dup_bigram_ratio(F.col("text")).alias("db"),
+    ).toPandas().set_index("id")
+    assert got.du.loc[0] == 0.0 and got.db.loc[0] == 0.0
+    assert abs(got.du.loc[1] - 0.75) < 1e-12
+    assert abs(got.db.loc[1] - 2 / 3) < 1e-12
+    assert abs(got.du.loc[2] - 0.6) < 1e-12
+    assert abs(got.db.loc[2] - 0.5) < 1e-12
+    assert got.du.loc[3] == 0.0 and got.db.loc[3] == 0.0
+    assert got.db.loc[4] == 0.0
