@@ -122,3 +122,35 @@ def run_watcher_continuous(
         .trigger(processingTime=f"{poll_secs} seconds")
         .start()
     )
+
+
+def windowed_event_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup for late/out-of-order events.
+
+    The streaming twin of the batch ``hourly_rollup`` query: group by
+    event-time window + event_type with a watermark bounding how late
+    a row may arrive. In append mode a window is emitted exactly once,
+    when the watermark passes its end — rows later than the watermark
+    are dropped, which is the documented trade: bounded state (the
+    10^12-event case can't keep every window open) for a quantified
+    lateness horizon. Works on batch DataFrames too (watermark is a
+    no-op there), so stream==batch comparisons stay one code path.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
