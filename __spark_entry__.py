@@ -904,6 +904,17 @@ def q_winnow_fingerprints(spark, sf_dir):
         F.size(TS.winnow_fingerprint(F.col("text"))).alias("n_grams"))
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF ANN: k-means coarse quantizer, probe nearest cells only.
+    Searching every cell (nprobe == n_cells) is exactly brute force,
+    so the k=10 neighbors here are checked in pytest against the
+    brute-force path; this entry exercises the approximate setting."""
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return SIM.ivf_topk(emb, qv, k=10, n_cells=8, nprobe=8)
+
+
 def q_embedding_neardup_lsh(spark, sf_dir):
     """LSH-bucketed embedding near-dup (the 10^12-row scale path for
     embedding_neardup; hyperplane buckets -> in-bucket cosine).
@@ -990,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no SQL twin)
         "simhash_fingerprints": q_simhash_fingerprints,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "media_metadata": q_media_metadata,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -1027,6 +1039,9 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": _ORACLE_VOCAB,
         "fingerprints": _ORACLE_FINGERPRINT,
         "ann_cosine_topk": _ORACLE_ANN,
+        # nprobe == n_cells makes IVF exactly brute force, so the
+        # brute-force SQL twin verifies the whole IVF plumbing
+        "ivf_ann_topk": _ORACLE_ANN,
         "embedding_neardup": _ORACLE_NEARDUP,
         "chunk_pack_greedy": _ORACLE_CHUNK_GREEDY,
         "salted_domain_stats": _ORACLE_SALTED,

@@ -103,3 +103,58 @@ def lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     candidates = lsh_bucketed(emb, n_bits, seed, id_col, vec_col).filter(
         F.col("bucket").isin(probes))
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def _l2_normalized(vec_col):
+    n = _norm_expr(vec_col)
+    return F.transform(vec_col, lambda x: x.cast("double") / n)
+
+
+def ivf_fit_assign(emb: DataFrame, n_cells: int = 16, seed: int = 7,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   max_iter: int = 20):
+    """IVF coarse quantizer: distributed spherical-ish k-means over
+    L2-normalized vectors (unit sphere makes euclidean order cosine
+    order), each row assigned to its nearest-centroid cell.
+
+    Returns (assigned DataFrame with a ``cell`` column, centroid
+    matrix). The centroid matrix is tiny (n_cells x dim) and lives on
+    the driver — at index-build scale you persist the assigned table
+    partitioned BY cell so a query touches only nprobe partitions;
+    training cost is one MLlib k-means|| fit, fully distributed.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    import numpy as np
+
+    feat = emb.withColumn("_fv", array_to_vector(
+        _l2_normalized(F.col(vec_col))))
+    model = KMeans(featuresCol="_fv", predictionCol="cell", k=n_cells,
+                   seed=seed, maxIter=max_iter).fit(feat)
+    assigned = model.transform(feat).select(
+        id_col, vec_col, F.col("cell").cast("int"))
+    centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    return assigned, centers
+
+
+def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+             n_cells: int = 16, nprobe: int = 2, seed: int = 7,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k via IVF: probe only the nprobe cells whose centroids
+    are closest to the query, exact cosine re-rank within them.
+    nprobe == n_cells degenerates to exact brute force (the recall
+    test exploits that invariant)."""
+    import numpy as np
+
+    if n_cells < 2:  # one cell = every row probed = brute force
+        return brute_force_topk(emb, query_vec, k, id_col, vec_col)
+    assigned, centers = ivf_fit_assign(emb, n_cells, seed, id_col, vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    # nearest centroids on the unit sphere = max dot product
+    order = np.argsort(-(centers @ qn))
+    probes = [int(c) for c in order[:nprobe]]
+    candidates = assigned.filter(F.col("cell").isin(probes))
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)

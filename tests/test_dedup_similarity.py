@@ -154,3 +154,38 @@ def test_lsh_deterministic(spark, emb):
     assert (a.bucket == b.bucket).all()
     # near-identical vectors share a bucket
     assert a.bucket.loc[0] == a.bucket.loc[1]
+
+
+def test_ivf_all_cells_is_exact(spark, emb):
+    from document_extractor_spark.operators.similarity import (
+        brute_force_topk, ivf_topk,
+    )
+
+    qv = [float(x) for x in
+          emb.filter("vec_id = 0").head()["embedding"]]
+    exact = brute_force_topk(emb, qv, k=3).toPandas()
+    full = ivf_topk(emb, qv, k=3, n_cells=2, nprobe=2).toPandas()
+    assert list(full.vec_id) == list(exact.vec_id)
+    assert list(full.cosine) == list(exact.cosine)
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    from document_extractor_spark.operators.similarity import (
+        brute_force_topk, ivf_topk,
+    )
+
+    # 4 well-separated clusters of 25 vectors: the coarse quantizer
+    # must put the query's true neighbors in the probed cell
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 16)) * 10
+    rows = []
+    for i in range(100):
+        c = i % 4
+        rows.append((i, [float(x) for x in
+                         centers[c] + rng.standard_normal(16) * 0.1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = [float(x) for x in centers[0]]
+    exact = set(brute_force_topk(df, qv, k=10).toPandas().vec_id)
+    got = set(ivf_topk(df, qv, k=10, n_cells=4, nprobe=1,
+                       seed=5).toPandas().vec_id)
+    assert len(exact & got) / 10 >= 0.9
