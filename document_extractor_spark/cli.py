@@ -4,10 +4,13 @@
 Cluster launch:
 
     python -m document_extractor_spark.package  # builds dist/des.zip
-    spark-submit --py-files dist/des.zip \\
-        --master <cluster> \\
-        -m document_extractor_spark.cli \\
+    spark-submit --master <cluster> --py-files dist/des.zip \\
+        scripts/submit_main.py \\
         --input  s3://bucket/pages/   --output s3://bucket/extracted/
+
+(spark-submit needs an application FILE, not -m: submit_main.py is a
+3-line shim importing cli.main from the shipped zip — smoke-tested
+end-to-end with a real spark-submit incl. the idempotent-resume noop.)
 
 Local sandbox:
 
