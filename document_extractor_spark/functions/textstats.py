@@ -54,14 +54,23 @@ def dup_unigram_ratio(text: Column) -> Column:
 
 def dup_bigram_ratio(text: Column) -> Column:
     """Fraction of repeated word-bigrams (catches phrase-level template
-    repetition that unigram miss). 0.0 for texts under two words."""
+    repetition that unigrams miss). 0.0 for texts under two words.
+
+    Built as zip_with(w[:-1], w[1:]) rather than
+    transform(sequence(...), i -> element_at(w, i)...): Catalyst
+    inlines `w` into each lambda use, so the element_at form
+    re-evaluates the split PER ELEMENT — O(words^2) per row, measured
+    5.5 s for 5000 short docs. The slice form evaluates the split a
+    constant number of times per row (0.3 s same input)."""
     w = F.split(text, " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    n = F.size(w)
+    grams = F.zip_with(
+        F.slice(w, 1, n - 1),
+        F.slice(w, 2, n - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
     )
     return F.when(
-        F.size(w) >= 2,
+        n >= 2,
         F.lit(1.0)
         - F.size(F.array_distinct(grams)) / F.size(grams).cast("double"),
     ).otherwise(F.lit(0.0))
