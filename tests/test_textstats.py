@@ -103,3 +103,36 @@ def test_dup_ratios(spark):
     assert abs(got.db.loc[2] - 0.5) < 1e-12
     assert got.du.loc[3] == 0.0 and got.db.loc[3] == 0.0
     assert got.db.loc[4] == 0.0
+
+
+def test_dup_ratios_hypothesis_parity(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.sampled_from(["a", "b", "c", "ab", "xyz", ""])
+    texts = st.lists(st.lists(words, min_size=0, max_size=12)
+                     .map(" ".join), min_size=1, max_size=8)
+
+    def py_ratios(t):
+        w = t.split(" ")
+        du = 1 - len(set(w)) / len(w) if len(w) > 0 else 0.0
+        grams = [f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)]
+        db = 1 - len(set(grams)) / len(grams) if len(w) >= 2 else 0.0
+        return du, db
+
+    @settings(max_examples=20, deadline=None)
+    @given(texts)
+    def check(ts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(ts)], "id long, text string")
+        got = df.select(
+            "id",
+            TS.dup_unigram_ratio(F.col("text")).alias("du"),
+            TS.dup_bigram_ratio(F.col("text")).alias("db"),
+        ).toPandas().set_index("id")
+        for i, t in enumerate(ts):
+            du, db = py_ratios(t)
+            assert abs(got.du.loc[i] - du) < 1e-12, (t, du, got.du.loc[i])
+            assert abs(got.db.loc[i] - db) < 1e-12, (t, db, got.db.loc[i])
+
+    check()
