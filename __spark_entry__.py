@@ -407,6 +407,101 @@ SELECT source, doc_id, round(r, 6) AS best_rel FROM (
 """
 
 
+def q_asof_join_purchases(spark, sf_dir):
+    """As-of join: each click event annotated with the user's most
+    recent purchase value at-or-before it (one shuffle on user_id —
+    union + window, never an inequality join). Verified against
+    DuckDB's native ASOF JOIN."""
+    from document_extractor_spark.operators.temporal import asof_join
+
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros(
+            F.col("ts").cast("timestamp_ltz")).alias("us"))
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros(
+            F.col("ts").cast("timestamp_ltz")).alias("us"),
+        F.col("value").alias("last_purchase_value"))
+    joined = asof_join(clicks, purchases, on="us", by="user_id",
+                       value_cols=("last_purchase_value",))
+    return joined.select(
+        "event_id", "user_id",
+        F.round("last_purchase_value", 6).alias("last_purchase_value"))
+
+
+_ORACLE_ASOF = """
+WITH clicks AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'click'),
+purchases AS (
+  SELECT user_id, epoch_us(ts) AS us, value
+  FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id,
+       round(p.value, 6) AS last_purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.us >= p.us
+"""
+
+
+def q_range_join_session_overlap(spark, sf_dir):
+    """Range join via interval binning: per-user 12h-gap activity
+    sessions vs ALL events (any user) falling inside each interval —
+    an equi-join on 6h bins plus an exact containment re-check, never
+    a BroadcastNestedLoopJoin. Verified against DuckDB's BETWEEN join."""
+    from document_extractor_spark.operators.temporal import range_join_bins
+
+    e = _events(spark, sf_dir).withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp_ltz")))
+    w = Window.partitionBy("user_id").orderBy("us")
+    sess = (
+        e.withColumn(
+            "new_s",
+            F.when(F.col("us") - F.lag("us").over(w) >= 43_200_000_000, 1)
+            .otherwise(0)
+            + F.when(F.lag("us").over(w).isNull(), 1).otherwise(0))
+        .withColumn("sid", F.sum("new_s").over(w))
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("start_us"), F.max("us").alias("end_us"))
+    )
+    pts = e.select(F.col("event_id"), F.col("us"))
+    overlap = range_join_bins(pts, sess, point_col="us",
+                              start_col="start_us", end_col="end_us",
+                              bin_width=21_600_000_000)
+    return (
+        overlap.groupBy("user_id", "sid")
+        .agg(F.count("*").alias("n_overlapping"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"),
+             F.sum("n_overlapping").alias("overlapping_events"))
+    )
+
+
+_ORACLE_RANGE = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+m AS (
+  SELECT user_id, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   >= 43200000000 THEN 1 ELSE 0 END
+         + CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                     IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM e),
+s AS (
+  SELECT user_id, sid, min(us) AS start_us, max(us) AS end_us
+  FROM (SELECT user_id, us,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY us) AS sid
+        FROM m)
+  GROUP BY user_id, sid),
+o AS (
+  SELECT s.user_id, s.sid, count(*) AS n_overlapping
+  FROM s JOIN e ON e.us BETWEEN s.start_us AND s.end_us
+  GROUP BY s.user_id, s.sid)
+SELECT user_id, count(*) AS n_sessions,
+       sum(n_overlapping) AS overlapping_events
+FROM o GROUP BY user_id
+"""
+
+
 def q_sessionize_events(spark, sf_dir):
     """Streaming-analog sessionization: 30-min-gap sessions per user."""
     # parquet naive timestamps load as TIMESTAMP_NTZ; with the session
@@ -980,6 +1075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_sentences": q_explode_sentences,
         "best_doc_per_source": q_best_doc_per_source,
         "sessionize_events": q_sessionize_events,
+        "asof_join_purchases": q_asof_join_purchases,
+        "range_join_session_overlap": q_range_join_session_overlap,
         "hourly_rollup": q_hourly_rollup,
         "json_props": q_json_props,
         "dedup_exact": q_dedup_exact,
@@ -1026,6 +1123,8 @@ def oracle_sql() -> dict[str, str]:
         "explode_sentences": _ORACLE_EXPLODE,
         "best_doc_per_source": _ORACLE_BEST_DOC,
         "sessionize_events": _ORACLE_SESSIONS,
+        "asof_join_purchases": _ORACLE_ASOF,
+        "range_join_session_overlap": _ORACLE_RANGE,
         "hourly_rollup": _ORACLE_HOURLY,
         "json_props": _ORACLE_JSON,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
