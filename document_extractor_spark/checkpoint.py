@@ -29,10 +29,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .config import PipelineConfig
+from .io_tables import iceberg_catalog, read_table, write_table
 from .pipeline import ExtractionResult, run_extraction
 
 
 def committed_urls(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    if iceberg_catalog(spark):
+        try:
+            return read_table(spark, "_manifest", out_dir)
+        except Exception:  # table not created yet = nothing committed
+            return None
     manifest = os.path.join(out_dir, "_manifest")
     if not os.path.isdir(manifest) or not os.listdir(manifest):
         return None
@@ -62,17 +68,13 @@ def run_and_commit(
     if not todo.take(1):
         return None
     result = run_extraction(spark, todo, cfg)
-    result.extracted.write.mode("append").parquet(
-        os.path.join(out_dir, "extracted"))
-    result.quarantine.write.mode("append").parquet(
-        os.path.join(out_dir, "quarantine"))
-    result.metrics.write.mode("append").parquet(
-        os.path.join(out_dir, "metrics"))
+    # io_tables routes each write to the configured Iceberg catalog
+    # (atomic snapshot commits) or to parquet dirs under out_dir
+    write_table(result.extracted, "extracted", out_dir)
+    write_table(result.quarantine, "quarantine", out_dir)
+    write_table(result.metrics, "metrics", out_dir)
     # commit point: manifest written last, after all data lands
-    (
-        todo.select("url")
-        .withColumn("run_id", F.lit(cfg.run_id))
-        .write.mode("append")
-        .parquet(os.path.join(out_dir, "_manifest"))
-    )
+    write_table(
+        todo.select("url").withColumn("run_id", F.lit(cfg.run_id)),
+        "_manifest", out_dir)
     return result
