@@ -407,6 +407,40 @@ SELECT source, doc_id, round(r, 6) AS best_rel FROM (
 """
 
 
+def q_percentile_stats(spark, sf_dir):
+    """Exact interpolated percentiles of event value per event_type
+    (Spark `percentile` == DuckDB `quantile_cont`). The approximate
+    sketch twin (approx_percentile / HLL) is checked for error bounds
+    in pytest — sketches can't be value-matched across engines."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"))
+
+
+_ORACLE_PERCENTILE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def q_approx_distinct_stats(spark, sf_dir):
+    """Mergeable-sketch cardinality: HLL++ approx_count_distinct per
+    event_type beside the exact count. At 10^12 rows the exact
+    countDistinct is a full shuffle of the distinct keys; the HLL
+    sketch is constant memory per group and merges map-side. Error
+    bound (<5% at rsd=0.02) asserted in pytest; rows-only for the
+    driver (sketch estimates differ across engines)."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"))
+
+
 def q_asof_join_purchases(spark, sf_dir):
     """As-of join: each click event annotated with the user's most
     recent purchase value at-or-before it (one shuffle on user_id —
@@ -1075,6 +1109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_sentences": q_explode_sentences,
         "best_doc_per_source": q_best_doc_per_source,
         "sessionize_events": q_sessionize_events,
+        "percentile_stats": q_percentile_stats,
+        "approx_distinct_stats": q_approx_distinct_stats,
         "asof_join_purchases": q_asof_join_purchases,
         "range_join_session_overlap": q_range_join_session_overlap,
         "hourly_rollup": q_hourly_rollup,
@@ -1123,6 +1159,7 @@ def oracle_sql() -> dict[str, str]:
         "explode_sentences": _ORACLE_EXPLODE,
         "best_doc_per_source": _ORACLE_BEST_DOC,
         "sessionize_events": _ORACLE_SESSIONS,
+        "percentile_stats": _ORACLE_PERCENTILE,
         "asof_join_purchases": _ORACLE_ASOF,
         "range_join_session_overlap": _ORACLE_RANGE,
         "hourly_rollup": _ORACLE_HOURLY,

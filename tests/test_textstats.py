@@ -136,3 +136,13 @@ def test_dup_ratios_hypothesis_parity(spark):
             assert abs(got.db.loc[i] - db) < 1e-12, (t, db, got.db.loc[i])
 
     check()
+
+
+def test_approx_distinct_error_bound(spark):
+    import __spark_entry__ as E
+
+    got = E.queries()["approx_distinct_stats"](
+        spark, "/root/testdata/sf0.01").toPandas()
+    assert (got.exact_users > 0).all()
+    rel_err = (got.approx_users - got.exact_users).abs() / got.exact_users
+    assert (rel_err < 0.05).all(), rel_err
