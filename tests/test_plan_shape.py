@@ -59,3 +59,20 @@ def test_broadcast_join_stays_broadcast(spark):
     plan = _plan(q)
     assert _nodes(plan).count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_no_query_plans_unexpected_nested_loop(spark):
+    """Every registered driver query must avoid nested-loop joins,
+    except the exact all-pairs baselines listed in plan_inventory."""
+    import __spark_entry__ as E
+    from scripts.plan_inventory import EXPECTED_NESTED_LOOP
+
+    offenders = []
+    for name, fn in E.queries().items():
+        plan = fn(spark, "/root/testdata/sf0.001")._jdf \
+            .queryExecution().executedPlan().toString()
+        nl = ("BroadcastNestedLoopJoin" in plan
+              or "CartesianProduct" in plan)
+        if nl and name not in EXPECTED_NESTED_LOOP:
+            offenders.append(name)
+    assert not offenders, offenders
