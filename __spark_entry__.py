@@ -223,6 +223,7 @@ FROM documents GROUP BY source
 """
 
 
+
 def q_max_score_fallback(spark, sf_dir):
     """A4: doc score fallback = max per-page reliability."""
     return (
@@ -405,6 +406,27 @@ SELECT source, doc_id, round(r, 6) AS best_rel FROM (
                             ORDER BY {_SQL_RATIO} DESC, doc_id) AS rn
   FROM documents) WHERE rn = 1
 """
+
+
+def q_training_filter_pipeline(spark, sf_dir):
+    """The composed training-data gate: language + quality + repetition
+    + length filters in one pass (what the individual signals exist
+    for). One scan, all predicates fused by Catalyst into a single
+    whole-stage filter; per-source pass/fail counts for observability."""
+    d = _docs(spark, sf_dir)
+    passed = (
+        (F.col("lang").isin("en", "de", "fr", "es"))
+        & (TS.quality_score(F.col("text")) >= 0.3)
+        & (TS.dup_unigram_ratio(F.col("text")) <= 0.8)
+        & (F.length("text") >= 80)
+    )
+    return (
+        d.withColumn("pass", passed.cast("int"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("pass").alias("n_pass"),
+             F.round(F.avg("pass"), 6).alias("pass_rate"))
+    )
 
 
 def q_percentile_stats(spark, sf_dir):
@@ -776,6 +798,26 @@ _SQL_QUALITY = (
     f" / 200.0), 4)"
 )
 
+_ORACLE_TRAINING_FILTER = f"""
+WITH f AS (
+  SELECT source,
+         CASE WHEN lang IN ('en','de','fr','es')
+                   AND ({_SQL_QUALITY}) >= 0.3
+                   AND (CASE WHEN len(string_split(text, ' ')) > 0
+                             THEN 1.0 - len(list_distinct(
+                                      string_split(text, ' ')))
+                                  / CAST(len(string_split(text, ' '))
+                                         AS DOUBLE)
+                             ELSE 0.0 END) <= 0.8
+                   AND length(text) >= 80
+              THEN 1 ELSE 0 END AS pass
+  FROM documents)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(pass) AS BIGINT) AS n_pass,
+       round(avg(pass), 6) AS pass_rate
+FROM f GROUP BY source
+"""
+
 _ORACLE_QUALITY = f"""
 SELECT source, round(avg({_SQL_QUALITY}), 6) AS avg_quality,
        min({_SQL_QUALITY}) AS min_quality,
@@ -1109,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_sentences": q_explode_sentences,
         "best_doc_per_source": q_best_doc_per_source,
         "sessionize_events": q_sessionize_events,
+        "training_filter_pipeline": q_training_filter_pipeline,
         "percentile_stats": q_percentile_stats,
         "approx_distinct_stats": q_approx_distinct_stats,
         "asof_join_purchases": q_asof_join_purchases,
@@ -1159,6 +1202,7 @@ def oracle_sql() -> dict[str, str]:
         "explode_sentences": _ORACLE_EXPLODE,
         "best_doc_per_source": _ORACLE_BEST_DOC,
         "sessionize_events": _ORACLE_SESSIONS,
+        "training_filter_pipeline": _ORACLE_TRAINING_FILTER,
         "percentile_stats": _ORACLE_PERCENTILE,
         "asof_join_purchases": _ORACLE_ASOF,
         "range_join_session_overlap": _ORACLE_RANGE,
