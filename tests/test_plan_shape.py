@@ -76,3 +76,23 @@ def test_no_query_plans_unexpected_nested_loop(spark):
         if nl and name not in EXPECTED_NESTED_LOOP:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_partition_pruning_on_partitioned_output(spark, tmp_path):
+    """The at-scale output layout: extracted table partitioned by a
+    low-cardinality column; a filtered read must prune partitions at
+    plan time (PartitionFilters), scanning only matching directories."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "by_lang")
+    docs.write.partitionBy("lang").mode("overwrite").parquet(out)
+    q = spark.read.parquet(out).filter(F.col("lang") == "en") \
+        .select("doc_id")
+    plan = _plan(q)
+    part = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part and "lang" in part[0], plan
+    # pruned read: only the lang=en directory is listed in the scan
+    import os
+    dirs = [d for d in os.listdir(out) if d.startswith("lang=")]
+    assert len(dirs) > 1  # the data has multiple langs to prune away
+    n_en = q.count()
+    assert 0 < n_en < docs.count()
