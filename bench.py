@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "quality_scores",
     "repetition_ratios",
     "embedding_neardup_lsh",
+    "training_filter_pipeline",
+    "asof_join_purchases",
 ]
 
 
