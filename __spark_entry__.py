@@ -253,7 +253,8 @@ def q_coverage_summary(spark, sf_dir):
             F.round(100 * F.avg((F.col("n_chars") >= 300).cast("double")), 4)
             .alias("coverage_pct"),
             F.sum("n_chars").alias("total_chars"),
-            F.median(F.col("n_chars").cast("double")).alias("median_chars"),
+            F.round(F.median(F.col("n_chars").cast("double")), 4)
+            .alias("median_chars"),
             F.round(100 * F.avg((F.col("r") >= _CUTOFF).cast("double")), 4)
             .alias("pct_above_gate"),
         )
@@ -262,10 +263,10 @@ def q_coverage_summary(spark, sf_dir):
 
 _ORACLE_COVERAGE = f"""
 SELECT source, count(*) AS docs,
-       sum(CAST(n_chars >= 300 AS BIGINT)) AS good_docs,
+       CAST(sum(CAST(n_chars >= 300 AS BIGINT)) AS BIGINT) AS good_docs,
        round(100 * avg(CAST(n_chars >= 300 AS DOUBLE)), 4) AS coverage_pct,
-       sum(n_chars) AS total_chars,
-       median(CAST(n_chars AS DOUBLE)) AS median_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(median(CAST(n_chars AS DOUBLE)), 4) AS median_chars,
        round(100 * avg(CAST(({_SQL_RATIO}) >= {_CUTOFF} AS DOUBLE)), 4)
            AS pct_above_gate
 FROM documents GROUP BY source
@@ -312,7 +313,8 @@ WITH c AS (
               ROWS UNBOUNDED PRECEDING) - 1) / 5000) + 1 AS BIGINT)
          AS chunk_id
   FROM documents)
-SELECT source, max(chunk_id) AS n_chunks, sum(n_chars) AS total_chars
+SELECT source, max(chunk_id) AS n_chunks,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM c GROUP BY source
 """
 
@@ -330,7 +332,8 @@ def q_resume_anti_join(spark, sf_dir):
 
 
 _ORACLE_RESUME = """
-SELECT lang, count(*) AS remaining, sum(n_chars) AS remaining_chars
+SELECT lang, count(*) AS remaining,
+       CAST(sum(n_chars) AS BIGINT) AS remaining_chars
 FROM documents d
 WHERE NOT EXISTS (SELECT 1 FROM documents c
                   WHERE c.doc_id % 7 = 0 AND c.doc_id = d.doc_id)
@@ -553,7 +556,7 @@ o AS (
   FROM s JOIN e ON e.us BETWEEN s.start_us AND s.end_us
   GROUP BY s.user_id, s.sid)
 SELECT user_id, count(*) AS n_sessions,
-       sum(n_overlapping) AS overlapping_events
+       CAST(sum(n_overlapping) AS BIGINT) AS overlapping_events
 FROM o GROUP BY user_id
 """
 
@@ -735,8 +738,8 @@ def q_token_stats(spark, sf_dir):
 
 _ORACLE_TOKENS = f"""
 SELECT lang,
-       sum(CAST(len(regexp_extract_all(text, '{TS.TOKEN_PATTERN}'))
-           AS BIGINT)) AS total_tokens,
+       CAST(sum(CAST(len(regexp_extract_all(text, '{TS.TOKEN_PATTERN}'))
+           AS BIGINT)) AS BIGINT) AS total_tokens,
        round(avg(CAST(len(regexp_extract_all(text, '{TS.TOKEN_PATTERN}'))
            AS BIGINT)), 4) AS avg_tokens
 FROM documents GROUP BY lang
@@ -1001,7 +1004,8 @@ def q_salted_domain_stats(spark, sf_dir):
 
 
 _ORACLE_SALTED = """
-SELECT source, count(doc_id) AS docs, sum(n_chars) AS total_chars,
+SELECT source, count(doc_id) AS docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        max(n_chars) AS max_chars
 FROM documents GROUP BY source
 """
@@ -1046,7 +1050,8 @@ def q_customers_left_join(spark, sf_dir):
 _ORACLE_LEFT_JOIN = """
 SELECT c_mktsegment, count(DISTINCT c_custkey) AS customers,
        count(o_orderkey) AS orders,
-       sum(CAST(o_orderkey IS NULL AS BIGINT)) AS customers_without_orders
+       CAST(sum(CAST(o_orderkey IS NULL AS BIGINT)) AS BIGINT)
+           AS customers_without_orders
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_mktsegment
 """
