@@ -80,14 +80,19 @@ def q_extract_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = _wrap_documents_as_pages(_docs(spark, sf_dir))
     res = run_extraction(spark, pages, PipelineConfig())
-    return res.extracted.filter(F.col("status") == "OK").select(
-        "url", F.col("text").alias("extracted_text"), "method")
+    # no status filter: the oracle pins status='OK' and method='html_text'
+    # for EVERY wrapped page, so any document that falls off the strict
+    # path (short block, low reliability, lenient fallback) surfaces as a
+    # localized value mismatch instead of a silently dropped row.
+    return res.extracted.select(
+        "url", F.col("text").alias("extracted_text"), "method", "status")
 
 
 _ORACLE_ROUNDTRIP = """
 SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
        trim(regexp_replace(text, '\\s+', ' ', 'g')) AS extracted_text,
-       'html_text' AS method
+       'html_text' AS method,
+       'OK' AS status
 FROM documents
 """
 
@@ -1077,7 +1082,39 @@ def q_winnow_fingerprints(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
-        F.size(TS.winnow_fingerprint(F.col("text"))).alias("n_grams"))
+        F.size(TS.winnow_fingerprint(F.col("text"))).cast("long")
+        .alias("n_grams"))
+
+
+# DuckDB twin of functions/textstats.py::winnow (k=8, window=4): k-gram
+# md5 top-8-bytes >> 1, min per 4-window, consecutive-dedupe, count.
+_ORACLE_WINNOW = """
+WITH g AS (
+  SELECT doc_id, t.i, substr(text, CAST(t.i AS INT), 8) AS gram
+  FROM documents, LATERAL unnest(range(1, len(text) - 6)) AS t(i)
+  WHERE len(text) >= 8),
+h AS (
+  SELECT doc_id, i,
+         CAST(CAST(concat('0x', substr(md5(gram), 1, 16)) AS UBIGINT) >> 1
+              AS BIGINT) AS h
+  FROM g),
+w AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+         count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM h),
+d AS (
+  SELECT doc_id, m,
+         lag(m) OVER (PARTITION BY doc_id ORDER BY i) AS pm
+  FROM w WHERE i <= greatest(ng - 3, 1)),
+c AS (
+  SELECT doc_id,
+         CAST(count(*) FILTER (pm IS NULL OR m != pm) AS BIGINT) AS n
+  FROM d GROUP BY doc_id)
+SELECT docs.doc_id, coalesce(c.n, 0) AS n_grams
+FROM documents docs LEFT JOIN c ON docs.doc_id = c.doc_id
+"""
 
 
 def q_ivf_ann_topk(spark, sf_dir):
@@ -1124,19 +1161,81 @@ def q_media_metadata(spark, sf_dir):
     return media_meta_table(media)
 
 
-def q_extract_pipeline_full(spark, sf_dir):
-    """Full binary pipeline (pdf/container/noise mix) over the seeded
-    synthetic corpus — the complete engine exercised end to end."""
-    from document_extractor_spark.config import PipelineConfig
+# Versioned so a corpus.py change invalidates the cached parquet; bump
+# when generate_corpus output changes.
+_ENTRY_CORPUS_DIR = "/tmp/des_corpus_entry_600_v2"
+
+
+def _ensure_entry_corpus() -> str:
     from document_extractor_spark.corpus import write_corpus
+
+    if not os.path.exists(f"{_ENTRY_CORPUS_DIR}/pages.parquet"):
+        write_corpus(_ENTRY_CORPUS_DIR, 600, seed=42)
+    return _ENTRY_CORPUS_DIR
+
+
+def _run_entry_extraction(spark):
+    from document_extractor_spark.config import PipelineConfig
     from document_extractor_spark.pipeline import run_extraction
 
-    cdir = "/tmp/des_corpus_entry_600"
-    if not os.path.exists(f"{cdir}/pages.parquet"):
-        write_corpus(cdir, 600, seed=42)
+    cdir = _ensure_entry_corpus()
     pages = spark.read.parquet(f"{cdir}/pages.parquet")
-    res = run_extraction(spark, pages, PipelineConfig(run_id="entry"))
-    return res.extracted.drop("spans")
+    # bigdoc_page_limit=6 < the 8-page pdf_big fixtures, so big PDFs take
+    # the per-page granularity path the golden table encodes (A7).
+    return run_extraction(
+        spark, pages, PipelineConfig(run_id="entry", bigdoc_page_limit=6))
+
+
+def q_extract_pipeline_full(spark, sf_dir):
+    """Full binary pipeline (html/pdf/container/noise mix) over the seeded
+    synthetic corpus, checked against the generator's NON-CIRCULAR golden
+    `expected.parquet` (ground truth fixed at generation time — the
+    north_rule byte-identity invariant, reference process_run.py routing).
+    OK rows only; ERROR rows get their own oracle in extract_error_rows."""
+    res = _run_entry_extraction(spark)
+    return (
+        res.extracted.filter(F.col("status") == "OK")
+        .select(
+            "url",
+            F.col("page").cast("long").alias("page"),
+            F.col("pages").cast("long").alias("pages"),
+            "method", "status", "used_fallback", "reliability",
+            "text",
+        )
+    )
+
+
+_ORACLE_PIPELINE_FULL = f"""
+SELECT url,
+       TRY_CAST(page AS BIGINT) AS page,
+       CAST(pages AS BIGINT) AS pages,
+       method, status, used_fallback, reliability,
+       extracted_text AS text
+FROM '{_ENTRY_CORPUS_DIR}/expected.parquet'
+"""
+
+
+def q_extract_error_rows(spark, sf_dir):
+    """ERROR-status rows of the full pipeline: garbage HTML falls off the
+    cascade with html_raw, scan-only PDFs triage to ERROR with pdf_text
+    (reference common.py:216-244). Deterministic per fixture class, so the
+    oracle derives the expected set from the pages table's url layout."""
+    res = _run_entry_extraction(spark)
+    return (
+        res.extracted.filter(F.col("status") == "ERROR")
+        .select("url", "method", "status")
+    )
+
+
+_ORACLE_ERROR_ROWS = f"""
+SELECT url,
+       CASE split_part(url, '/', 4)
+            WHEN 'html_garbage' THEN 'html_raw'
+            WHEN 'pdf_scanonly' THEN 'pdf_text' END AS method,
+       'ERROR' AS status
+FROM '{_ENTRY_CORPUS_DIR}/pages.parquet'
+WHERE split_part(url, '/', 4) IN ('html_garbage', 'pdf_scanonly')
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1187,12 +1286,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": q_media_metadata,
         "winnow_fingerprints": q_winnow_fingerprints,
         "extract_pipeline_full": q_extract_pipeline_full,
+        "extract_error_rows": q_extract_error_rows,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    # the pipeline oracles read the seeded golden corpus parquet; make
+    # sure it exists even if the driver runs the SQL side first
+    _ensure_entry_corpus()
     return {
         "extract_html_roundtrip": _ORACLE_ROUNDTRIP,
+        "extract_pipeline_full": _ORACLE_PIPELINE_FULL,
+        "extract_error_rows": _ORACLE_ERROR_ROWS,
+        "winnow_fingerprints": _ORACLE_WINNOW,
         "pricing_summary": _ORACLE_PRICING,
         "top_revenue_nations": _ORACLE_TOP_NATIONS,
         "route_dispatch": _ORACLE_ROUTE,
