@@ -8,19 +8,42 @@ combined chunk files. Here they are *tables*, not files:
 - `rendered_docs` adds the byte-parity rendered text block per doc
   (S6: header + `=== [PAGE n] ===` sections, chunker.render_doc_text),
 - `chunked_docs` assigns greedy never-split chunk ids over the
-  rendered blocks (S7/A9) — `partitionBy(chunk_id)` on write yields
-  one file per chunk when actual .txt export is wanted.
+  rendered blocks (S7/A9); `write_chunks` exports real .txt files.
 
-Everything is JVM-or-Arrow batched; the render is a grouped
-reconstruction of page order per url (the reference renders at write
-time per doc, output_writer.py:168-193).
+The render is pure JVM Column work (concat/array_join over the page
+array) except one Arrow-batched pandas UDF producing Python float
+repr for the `# score:` header line — Java's Double.toString diverges
+from repr(float) below 1e-3 ("1.0E-4" vs "0.0001"), so that one token
+stays Python-side to keep byte parity with render_doc_text.
 """
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
-from .operators.chunker import DOCUMENT_BREAK, assign_chunks, render_doc_text
+from .operators.chunker import DOCUMENT_BREAK, assign_chunks
+
+
+@pandas_udf("string")
+def _py_float_repr(s: pd.Series) -> pd.Series:
+    """repr(float) exactly as the reference f-strings its score
+    (output_writer.py:147 area); None renders as 'None'."""
+    return pd.Series(
+        ["None" if pd.isna(v) else str(float(v)) for v in s],
+        index=s.index, dtype="object")
+
+
+def _page_block(pg) -> F.Column:
+    """One page section, byte-identical to render_doc_text's
+    '\\n'.join(["=== [PAGE n] ===", "", text-if-nonempty, ""])."""
+    head = F.concat(
+        F.lit("=== [PAGE "), pg["page"].cast("string"), F.lit("] ===\n\n"))
+    body = F.when(
+        pg["text"].isNotNull() & (pg["text"] != ""),
+        F.concat(pg["text"], F.lit("\n"))).otherwise(F.lit(""))
+    return F.concat(head, body)
 
 
 def rendered_docs(extracted: DataFrame,
@@ -32,6 +55,10 @@ def rendered_docs(extracted: DataFrame,
     pass_pdf.py:122-129). `processed_at` is injected (deterministic
     runs; the reference stamps wall-clock, output_writer.py:147 — a
     documented non-determinism exclusion, SURVEY.md §7.3).
+
+    A whole-document row is unavoidable output here (the rendered
+    block IS the doc), so the per-url collect_list is inherent; the
+    render itself is JVM Column work, not a Python row UDF.
     """
     ok = extracted.filter(
         (F.col("status") == "OK") & F.col("text").isNotNull())
@@ -47,34 +74,77 @@ def rendered_docs(extracted: DataFrame,
         F.array_sort(F.collect_list("pg")).alias("pages"),
     )
 
-    @F.udf("string")
-    def _render(url, method, score, status, pages):
-        return render_doc_text(
-            url=url,
-            relative_path=url.split("://", 1)[-1],
-            pages=[(p["page"], p["text"]) for p in pages],
-            pass_used=method,
-            score=score,
-            status=status,
-            processed_at=processed_at,
-        )
+    url = F.col("url")
+    header = F.concat_ws(
+        "\n",
+        F.concat(F.lit("# original_file: "), url),
+        F.concat(F.lit("# original_name: "),
+                 F.element_at(F.split(url, "/"), -1)),
+        # url.split("://", 1)[-1]: strip everything up to the FIRST ://
+        F.concat(F.lit("# relative_path: "),
+                 F.regexp_replace(url, "^.*?://", "")),
+        F.concat(F.lit("# pages: "), F.size("pages").cast("string")),
+        F.lit(f"# processed_at: {processed_at}"),
+        F.concat(F.lit("# pass_used: "), F.col("method")),
+        F.concat(F.lit("# score: "), _py_float_repr(F.col("reliability"))),
+        F.concat(F.lit("# status: "), F.col("status")),
+    )
+    pages_join = F.array_join(F.transform(F.col("pages"), _page_block), "\n")
+    rendered = F.when(
+        F.size("pages") == 0, F.concat(header, F.lit("\n\n")),
+    ).otherwise(
+        F.concat(header, F.lit("\n\n"), pages_join, F.lit("\n")))
 
     return grouped.select(
         "url", "run_id", "method", "status", "reliability",
-        _render("url", "method", "reliability", "status", "pages")
-        .alias("rendered_text"),
+        rendered.alias("rendered_text"),
     )
 
 
 def chunked_docs(rendered: DataFrame,
                  max_bytes: int = 3_000_000) -> DataFrame:
-    """Greedy never-split chunk assignment over rendered blocks
-    (+ the document break the reference appends between docs,
-    output_writer.py:217-219)."""
+    """Greedy never-split chunk assignment over rendered blocks.
+
+    Matches the reference's accounting exactly (output_writer.py:
+    95-101, 217-219): the fit test is `on_disk + doc_bytes <=
+    max_bytes` with the incoming doc's DOCUMENT BREAK excluded, while
+    on-disk size grows by doc_bytes + break after each placement — so
+    `doc_bytes` here is the bare rendered block and the break is
+    threaded through `break_bytes`.
+    """
     sized = rendered.withColumn(
-        "doc_bytes",
-        F.octet_length("rendered_text")
-        + F.lit(len(DOCUMENT_BREAK.encode("utf-8"))))
+        "doc_bytes", F.octet_length("rendered_text"))
     return assign_chunks(sized, max_bytes=max_bytes,
                          run_col="run_id", order_col="url",
-                         size_col="doc_bytes")
+                         size_col="doc_bytes",
+                         break_bytes=len(DOCUMENT_BREAK.encode("utf-8")))
+
+
+def write_chunks(chunked: DataFrame, out_dir: str) -> None:
+    """S7 tail: export real combined chunk files, one text file per
+    (run_id, chunk_id), docs separated by the reference's DOCUMENT
+    BREAK (output_writer.py:217-219). `partitionBy` keeps the write
+    fully distributed; each chunk is ≤ max_bytes + one trailing break
+    unless it holds a single oversized doc (output_writer.py:99-101).
+    """
+    blocks = chunked.select(
+        "run_id", "chunk_id",
+        F.struct(F.col("url"),
+                 F.concat(F.col("rendered_text"), F.lit(DOCUMENT_BREAK))
+                 .alias("blk")).alias("s"))
+    per_chunk = (
+        blocks.groupBy("run_id", "chunk_id")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list("s")), lambda s: s["blk"]),
+            "").alias("value"))
+        # the text sink appends one '\n' per row; drop the chunk's final
+        # '\n' so the written file is byte-identical to the reference's
+        # append loop (every block already ends with the break's '\n\n')
+        .withColumn("value", F.expr(
+            "substring(value, 1, length(value) - 1)"))
+    )
+    (per_chunk
+     .repartition("run_id", "chunk_id")
+     .write.mode("overwrite")
+     .partitionBy("run_id", "chunk_id")
+     .text(out_dir))

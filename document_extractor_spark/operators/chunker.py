@@ -70,11 +70,16 @@ def assign_chunks(
     run_col: str = "run_id",
     order_col: str = "url",
     size_col: str = "doc_bytes",
+    break_bytes: int = 0,
 ) -> DataFrame:
     """Exact greedy never-split chunk ids per run (reference semantics).
 
     Input needs (run_col, order_col, size_col); output adds `chunk_id`
-    (1-based, matching the _001 numbering).
+    (1-based, matching the _001 numbering). `break_bytes` models the
+    reference's DOCUMENT BREAK accounting (output_writer.py:95-101,
+    217-219): the fit test `on_disk + doc_bytes <= max_bytes` excludes
+    the incoming doc's break, but every placed doc grows the file by
+    doc_bytes + break_bytes.
     """
     # copy — StructType.add mutates, and docs.schema is a cached object
     schema = StructType(
@@ -91,7 +96,7 @@ def assign_chunks(
                 used = 0
             # an oversized doc lands alone in its fresh chunk
             # (output_writer.py:99-101)
-            used += size
+            used += size + break_bytes
             ids.append(chunk)
         pdf["chunk_id"] = pd.Series(ids, dtype="int32")
         return pdf

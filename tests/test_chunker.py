@@ -101,3 +101,95 @@ def test_artifacts_render_and_chunk(spark, pages_df, cfg):
     assert (chunks.chunk_id >= 1).all()
     grp = chunks.groupby("chunk_id").doc_bytes.agg(["sum", "count"])
     assert ((grp["sum"] <= 4000) | (grp["count"] == 1)).all()
+
+
+def _pack_ref(sizes, max_bytes, brk):
+    """Byte-faithful simulation of the reference's append loop:
+    fit test excludes the incoming break; on-disk grows by size+brk."""
+    chunk, used, out = 1, 0, []
+    for s in sizes:
+        if used > 0 and used + s > max_bytes:
+            chunk, used = chunk + 1, 0
+        used += s + brk
+        out.append(chunk)
+    return out
+
+
+def test_assign_chunks_break_accounting(spark):
+    """ADVICE parity fix: with break_bytes the packer must place a doc
+    that fits WITHOUT its own break but not WITH it (the reference
+    accepts it — output_writer.py:100 excludes the incoming break)."""
+    brk = len(DOCUMENT_BREAK.encode("utf-8"))
+    # doc2 fits only when its own break is excluded from the fit test
+    sizes = [500, 1000 - 500 - brk, 400]
+    rows = [("r1", f"u{i}", s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "run_id string, url string, doc_bytes long")
+    got = (assign_chunks(df, max_bytes=1000, break_bytes=brk)
+           .toPandas().sort_values("url").chunk_id.tolist())
+    want = _pack_ref(sizes, 1000, brk)
+    assert got == want
+    assert got[:2] == [1, 1]  # doc2 shares chunk 1 (break excluded)
+    # the OLD accounting (break folded into every size) would have split
+    old = _pack_local([s + brk for s in sizes], 1000)
+    assert old[:2] == [1, 2]
+
+
+def test_rendered_docs_jvm_matches_python_template(spark, pages_df, cfg):
+    """S6 byte parity: the JVM Column render must equal the Python
+    render_doc_text golden for every document, incl. per-page docs."""
+    from document_extractor_spark.artifacts import rendered_docs
+    from document_extractor_spark.pipeline import run_extraction
+
+    res = run_extraction(spark, pages_df, cfg, persist=False)
+    got = rendered_docs(res.extracted).toPandas().set_index("url")
+    ext = res.extracted.drop("spans").toPandas()
+    src = ext[ext.status.eq("OK") & ext.text.notna()]
+    assert len(got) == src.url.nunique()
+    for url, grp in src.groupby("url"):
+        pages = sorted(
+            (int(p) if p == p else 1, t)
+            for p, t in zip(grp.page, grp.text))
+        want = render_doc_text(
+            url=url,
+            relative_path=url.split("://", 1)[-1],
+            pages=pages,
+            pass_used=grp.method.iloc[0],
+            score=grp.reliability.max(),
+            status="OK",
+            processed_at="1970-01-01T00:00:00Z",
+        )
+        assert got.loc[url, "rendered_text"] == want, url
+
+
+def test_write_chunks_files_byte_parity(spark, pages_df, cfg, tmp_path):
+    """S7 tail: exported chunk files are byte-identical to the
+    reference's append loop (block + DOCUMENT BREAK per doc, in url
+    order) and respect the size bound."""
+    import glob
+    import os
+
+    from document_extractor_spark.artifacts import (
+        chunked_docs, rendered_docs, write_chunks)
+    from document_extractor_spark.pipeline import run_extraction
+
+    res = run_extraction(spark, pages_df.limit(80), cfg, persist=False)
+    rendered = rendered_docs(res.extracted).cache()
+    chunked = chunked_docs(rendered, max_bytes=4000).cache()
+    out = str(tmp_path / "chunks")
+    write_chunks(chunked, out)
+
+    pdf = chunked.toPandas().sort_values("url")
+    brk = DOCUMENT_BREAK.encode("utf-8")
+    for (run_id, cid), grp in pdf.groupby(["run_id", "chunk_id"]):
+        files = glob.glob(
+            f"{out}/run_id={run_id}/chunk_id={cid}/part-*.txt")
+        assert len(files) == 1, (run_id, cid, files)
+        data = open(files[0], "rb").read()
+        want = b"".join(
+            t.encode("utf-8") + brk for t in grp.rendered_text)
+        assert data == want, (run_id, cid)
+        # size bound: <= max_bytes + trailing break, or a lone oversized doc
+        assert len(data) <= 4000 + len(brk) or len(grp) == 1
+    # every chunk dir accounted for
+    ndirs = len(glob.glob(f"{out}/run_id=*/chunk_id=*"))
+    assert ndirs == pdf.groupby(["run_id", "chunk_id"]).ngroups
