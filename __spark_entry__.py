@@ -654,9 +654,11 @@ FROM documents GROUP BY 1
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Word-3-gram shingle Jaccard near-dup pairs."""
+    """Word-3-gram shingle Jaccard near-dup pairs, hot-shingle capped
+    (df <= 500) so no single boilerplate phrase can make a join bucket
+    quadratic at scale; the oracle applies the same cap."""
     return DD.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), n=3, threshold=0.03)
+        _docs(spark, sf_dir), n=3, threshold=0.03, max_shingle_df=500)
 
 
 _ORACLE_JACCARD = """
@@ -665,11 +667,15 @@ WITH toks AS (
          list_filter(string_split_regex(lower(text), '\\s+'),
                      t -> t <> '') AS t
   FROM documents),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id,
          unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                  for i in range(1, len(t) - 1)]) AS shingle
   FROM toks WHERE len(t) >= 3),
+sh AS (
+  SELECT doc_id, shingle FROM sh0
+  WHERE shingle IN (SELECT shingle FROM sh0
+                    GROUP BY shingle HAVING count(*) <= 500)),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i

@@ -92,9 +92,29 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
-                        threshold: float = 0.2) -> DataFrame:
-    """Pairs (a < b) with shingle-set Jaccard >= threshold."""
+                        threshold: float = 0.2,
+                        max_shingle_df: int | None = 1000) -> DataFrame:
+    """Pairs (a < b) with shingle-set Jaccard >= threshold.
+
+    `max_shingle_df` caps shingle document frequency BEFORE the
+    self-join: a corpus-hot shingle (boilerplate phrase) otherwise
+    makes one join bucket quadratic — at 10^12 docs that bucket is a
+    straggler that never finishes. Shingles with df > cap are removed
+    from the universe consistently (both intersection counts and
+    per-doc set sizes), so Jaccard stays well-defined over the capped
+    universe; true near-dup pairs keep >= threshold because near-dups
+    share mostly *rare* shingles (pytest proves recall is unchanged on
+    the synthetic corpus). Pass None to disable (exact baseline).
+    """
     sh = doc_shingles(docs, id_col, text_col, n)
+    if max_shingle_df is not None:
+        # df filter shuffles on `shingle` — the same key as the
+        # self-join below, so AQE/exchange-reuse co-locates them
+        rare = (sh.groupBy("shingle")
+                .agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= max_shingle_df)
+                .select("shingle"))
+        sh = sh.join(rare, "shingle")
     # per-doc set sizes: one row per doc -> broadcast, so attaching
     # them to the (potentially huge) pair stream never shuffles it
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))

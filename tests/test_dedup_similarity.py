@@ -189,3 +189,54 @@ def test_ivf_recall_on_clustered_data(spark):
     got = set(ivf_topk(df, qv, k=10, n_cells=4, nprobe=1,
                        seed=5).toPandas().vec_id)
     assert len(exact & got) / 10 >= 0.9
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """The df cap removes boilerplate-driven pairs but keeps true
+    near-dups (which share mostly rare shingles)."""
+    from document_extractor_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved contact us for details"
+    rows = []
+    # 30 unrelated docs sharing ONLY the boilerplate phrase
+    for i in range(30):
+        rows.append((i, f"{boiler} unique body {i} alpha{i} beta{i} "
+                        f"gamma{i} delta{i} epsilon{i} zeta{i}"))
+    # one true near-dup pair sharing most of their rare shingles
+    rows.append((100, "solar panel efficiency rose sharply across the "
+                      "northern region during the second quarter"))
+    rows.append((101, "solar panel efficiency rose sharply across the "
+                      "northern region during the third quarter"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = ngram_jaccard_pairs(
+        docs, threshold=0.03, max_shingle_df=None).toPandas()
+    capped = ngram_jaccard_pairs(
+        docs, threshold=0.03, max_shingle_df=10).toPandas()
+
+    # cap=10 kills the df=30 boilerplate shingles: the quadratic
+    # 30-doc clique disappears, the true pair survives
+    assert len(uncapped) > len(capped)
+    got_pairs = set(map(tuple, capped[["id_a", "id_b"]].values.tolist()))
+    assert (100, 101) in got_pairs
+    boiler_ids = set(range(30))
+    assert all(not ({a, b} <= boiler_ids) for a, b in got_pairs)
+    # true-pair jaccard unchanged by the cap (its shingles are all rare)
+    j_un = uncapped.set_index(["id_a", "id_b"]).jaccard.get((100, 101))
+    j_cap = capped.set_index(["id_a", "id_b"]).jaccard.get((100, 101))
+    assert j_un == j_cap
+
+
+def test_ngram_jaccard_cap_noop_on_corpus(spark):
+    """On the synthetic documents table (max shingle df = 9) the query
+    cap (500) provably changes nothing — recall is intact."""
+    from document_extractor_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = ngram_jaccard_pairs(
+        docs, threshold=0.03, max_shingle_df=None).toPandas()
+    capped = ngram_jaccard_pairs(
+        docs, threshold=0.03, max_shingle_df=500).toPandas()
+    key = ["id_a", "id_b"]
+    assert (set(map(tuple, base[key].values.tolist()))
+            == set(map(tuple, capped[key].values.tolist())))
