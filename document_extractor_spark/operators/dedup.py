@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -186,29 +187,57 @@ def minhash_band_buckets(docs: DataFrame, id_col: str = "doc_id",
 
 
 # --------------------------------------------------------------------------
+def simhash63_scalar(t: object) -> int:
+    """Reference scalar SimHash (spec + pytest golden for the
+    vectorized UDF below): bit b is 1 iff more tokens have bit b set
+    than unset. 63 bits keeps the value positive in int64."""
+    if not isinstance(t, str) or not t:
+        return 0
+    counts = [0] * 63
+    for tok in set(t.lower().split()):
+        h = int.from_bytes(
+            hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+        for b in range(63):
+            counts[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(63):
+        if counts[b] > 0:
+            out |= 1 << b
+    return out
+
+
 @pandas_udf(LongType())
 def simhash63(texts: pd.Series) -> pd.Series:
-    """63-bit SimHash over whitespace tokens (md5-derived bit vectors).
+    """63-bit SimHash over whitespace tokens (md5-derived bit vectors),
+    numpy-vectorized: one (tokens x 63) bit matrix per doc replaces the
+    per-token per-bit Python loop; md5 is memoized per unique token
+    within the Arrow batch. Matches simhash63_scalar bit-for-bit
+    (pytest equality)."""
+    bit_idx = np.arange(63, dtype=np.uint64)
+    cache: dict[str, int] = {}
 
-    Sign-aggregate: bit b of the fingerprint is 1 iff more tokens have
-    bit b set than unset. 63 bits keeps the value positive in int64.
-    """
-    def one(t: object) -> int:
-        if not isinstance(t, str) or not t:
-            return 0
-        counts = [0] * 63
-        for tok in set(t.lower().split()):
+    def tok_hash(tok: str) -> int:
+        h = cache.get(tok)
+        if h is None:
             h = int.from_bytes(
                 hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
-            for b in range(63):
-                counts[b] += 1 if (h >> b) & 1 else -1
-        out = 0
-        for b in range(63):
-            if counts[b] > 0:
-                out |= 1 << b
-        return out
+            cache[tok] = h
+        return h
 
-    return texts.map(one).astype("int64")
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not isinstance(t, str) or not t:
+            continue
+        toks = set(t.lower().split())
+        if not toks:
+            continue
+        h = np.fromiter((tok_hash(tok) for tok in toks),
+                        dtype=np.uint64, count=len(toks))
+        set_bits = ((h[:, None] >> bit_idx) & np.uint64(1)).sum(axis=0)
+        # counts[b] > 0  <=>  2 * set_bits > n_tokens
+        fp_bits = (2 * set_bits > len(toks)).astype(np.uint64)
+        out[i] = np.int64((fp_bits << bit_idx).sum(dtype=np.uint64))
+    return pd.Series(out, index=texts.index)
 
 
 def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",

@@ -14,6 +14,7 @@ O(n) scan per query with O(n / 2^bits) expected work.
 """
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Iterator
 
 import numpy as np
@@ -138,23 +139,58 @@ def ivf_fit_assign(emb: DataFrame, n_cells: int = 16, seed: int = 7,
     return assigned, centers
 
 
+@dataclass
+class IvfIndex:
+    """Built IVF index: the cell-assigned table (persist it — queries
+    only filter + re-rank) plus the tiny driver-side centroid matrix.
+    At 100 TB the assigned table is written `partitionBy("cell")` so a
+    query's cell filter becomes partition pruning at the scan."""
+
+    assigned: DataFrame
+    centers: np.ndarray  # (n_cells x dim)
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+
+
+def ivf_build(emb: DataFrame, n_cells: int = 16, seed: int = 7,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              max_iter: int = 20, persist: bool = True) -> IvfIndex:
+    """One k-means|| fit, one assigned table — build ONCE, query many.
+    (The per-query-refit anti-pattern this replaces paid a full MLlib
+    fit per lookup.)"""
+    assigned, centers = ivf_fit_assign(
+        emb, n_cells, seed, id_col, vec_col, max_iter)
+    if persist:
+        assigned = assigned.persist()
+    return IvfIndex(assigned, centers, id_col, vec_col)
+
+
+def ivf_query(index: IvfIndex, query_vec: list[float], k: int = 10,
+              nprobe: int = 2) -> DataFrame:
+    """ANN top-k against a prebuilt IvfIndex: rank centroids on the
+    driver (tiny matrix), probe only the nprobe nearest cells, exact
+    cosine re-rank within them. No fitting happens here."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    # nearest centroids on the unit sphere = max dot product
+    order = np.argsort(-(index.centers @ qn))
+    probes = [int(c) for c in order[:nprobe]]
+    candidates = index.assigned.filter(F.col("cell").isin(probes))
+    return brute_force_topk(candidates, query_vec, k,
+                            index.id_col, index.vec_col)
+
+
 def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
              n_cells: int = 16, nprobe: int = 2, seed: int = 7,
              id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
-    """ANN top-k via IVF: probe only the nprobe cells whose centroids
-    are closest to the query, exact cosine re-rank within them.
+    """One-shot convenience: build + single query. For repeated
+    lookups use ivf_build once and ivf_query per query.
     nprobe == n_cells degenerates to exact brute force (the recall
     test exploits that invariant)."""
-    import numpy as np
-
     if n_cells < 2:  # one cell = every row probed = brute force
         return brute_force_topk(emb, query_vec, k, id_col, vec_col)
-    assigned, centers = ivf_fit_assign(emb, n_cells, seed, id_col, vec_col)
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = q / np.linalg.norm(q)
-    # nearest centroids on the unit sphere = max dot product
-    order = np.argsort(-(centers @ qn))
-    probes = [int(c) for c in order[:nprobe]]
-    candidates = assigned.filter(F.col("cell").isin(probes))
-    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+    index = ivf_build(emb, n_cells, seed, id_col, vec_col, persist=False)
+    return ivf_query(index, query_vec, k, nprobe)

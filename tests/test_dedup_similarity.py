@@ -240,3 +240,52 @@ def test_ngram_jaccard_cap_noop_on_corpus(spark):
     key = ["id_a", "id_b"]
     assert (set(map(tuple, base[key].values.tolist()))
             == set(map(tuple, capped[key].values.tolist())))
+
+
+def test_ivf_build_once_query_many(spark, emb, monkeypatch):
+    """The build/query split must fit k-means exactly once for any
+    number of queries (the per-query-refit anti-pattern is gone)."""
+    from pyspark.ml.clustering import KMeans
+
+    from document_extractor_spark.operators.similarity import (
+        brute_force_topk, ivf_build, ivf_query)
+
+    fits = {"n": 0}
+    orig_fit = KMeans.fit
+
+    def counting_fit(self, dataset, *a, **kw):
+        fits["n"] += 1
+        return orig_fit(self, dataset, *a, **kw)
+
+    monkeypatch.setattr(KMeans, "fit", counting_fit)
+
+    index = ivf_build(emb, n_cells=2, seed=7)
+    q0 = emb.filter(F.col("vec_id") == 0).head().embedding
+    q3 = emb.filter(F.col("vec_id") == 3).head().embedding
+    r0 = ivf_query(index, list(q0), k=3, nprobe=2).toPandas()
+    r3 = ivf_query(index, list(q3), k=3, nprobe=2).toPandas()
+    assert fits["n"] == 1  # one build, zero refits across queries
+    # nprobe == n_cells == 2 probes everything -> equals brute force
+    b0 = brute_force_topk(emb, list(q0), k=3).toPandas()
+    assert r0.vec_id.tolist() == b0.vec_id.tolist()
+    assert len(r3) == 3
+    index.assigned.unpersist()
+
+
+def test_simhash_vectorized_matches_scalar(spark):
+    """Bit-for-bit parity of the numpy-vectorized UDF vs the scalar
+    spec, incl. empty/null/whitespace edge cases, plus throughput
+    sanity on the synthetic corpus."""
+    from document_extractor_spark.operators.dedup import (
+        simhash63_scalar, simhash_fingerprints)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    edge = spark.createDataFrame(
+        [(9001, ""), (9002, None), (9003, "   "), (9004, "one"),
+         (9005, "a b c d e f g h i j")],
+        "doc_id long, text string")
+    allr = docs.select("doc_id", "text").unionByName(edge)
+    got = simhash_fingerprints(allr).toPandas().set_index("doc_id").simhash
+    src = allr.toPandas().set_index("doc_id").text
+    for doc_id, text in src.items():
+        assert got[doc_id] == simhash63_scalar(text), doc_id
