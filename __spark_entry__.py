@@ -1011,6 +1011,7 @@ def q_salted_domain_stats(spark, sf_dir):
          "total_chars": ("sum", "n_chars"),
          "max_chars": ("max", "n_chars")},
         salt_factor=8,
+        unique_key="doc_id",
     )
 
 

@@ -29,15 +29,25 @@ def salted_agg(
     key: str,
     aggs: dict[str, tuple[str, str]],
     salt_factor: int = 16,
+    unique_key: str | None = None,
 ) -> DataFrame:
     """Two-phase salted aggregation.
 
     aggs: out_name -> (fn, col) with fn in {count, sum, min, max}.
     count/sum re-aggregate with sum; min/max with themselves.
     (avg is expressible as sum+count at the call site.)
+
+    The salt MUST be deterministic per row: hashing
+    monotonically_increasing_id() would re-salt rows differently when
+    a map task is recomputed after a shuffle fetch failure
+    (SPARK-23207-class double/under-count at exactly the 10^12-row
+    scale this targets). `unique_key` names a stable row-identity
+    column (url, doc_id); when omitted, the salt hashes ALL input
+    columns — deterministic, marginally more hashing work.
     """
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()),
-                  F.lit(salt_factor)).alias("_salt")
+    salt_src = (F.xxhash64(F.col(unique_key)) if unique_key
+                else F.xxhash64(*[F.col(c) for c in df.columns]))
+    salt = F.pmod(salt_src, F.lit(salt_factor)).alias("_salt")
     phase1_aggs, phase2_aggs = [], []
     for out, (fn, col) in aggs.items():
         if fn == "count":
@@ -73,4 +83,5 @@ def domain_stats_salted(extracted: DataFrame,
             "max_reliability": ("max", "reliability"),
         },
         salt_factor=salt_factor,
+        unique_key="url",
     )

@@ -69,8 +69,21 @@ def sessionize_with_state(
         elif us - last >= GAP_US:
             out.append((user_id, s0, last, n, tot))  # close previous
             s0, last, n, tot = us, us, 1, float(value)
+        elif s0 - us >= GAP_US:
+            # watermark-allowed (1h) but more than a gap (30min) before
+            # the open session's start: a separate, already-closed
+            # earlier session. Emit it alone — the batch twin would do
+            # the same unless another straggler lands within ITS gap in
+            # a later micro-batch (accepted approximation; the 1h
+            # watermark bounds how far back this can occur).
+            out.append((user_id, us, us, 1, float(value)))
         else:
-            last, n, tot = us, n + 1, tot + float(value)
+            # a late out-of-order event (allowed by the watermark, within
+            # the gap) must NOT rewind `last` — the next gap is measured
+            # from the latest event seen; it may extend the session start
+            # backwards (batch twin sorts globally by time)
+            s0, last = min(s0, us), max(last, us)
+            n, tot = n + 1, tot + float(value)
 
     state.update((s0, last, n, tot))
     # close the open session if no event arrives within the gap

@@ -90,3 +90,62 @@ def test_stateful_sessions_match_batch(spark, events_dir):
     joined = pd.concat([got_n, want_n], axis=1).fillna(0)
     joined.columns = ["got", "want"]
     assert ((joined["want"] - joined["got"]).isin([0, 1])).all()
+
+
+def test_late_in_gap_event_does_not_rewind_session(spark, tmp_path):
+    """A watermark-allowed late event arriving in a LATER micro-batch,
+    inside the open session's gap, must merge without rewinding
+    `last`: the next event's gap is measured from the latest event
+    seen, so the session is not wrongly split (ADVICE r1 regression)."""
+    import time
+
+    from document_extractor_spark.streaming_state import stateful_sessions
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    t0 = 1_700_000_000_000_000  # us
+    mins = 60_000_000
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "us", "value"])
+        pdf["ts"] = pd.to_datetime(pdf.us, unit="us", utc=True)
+        sdf = spark.createDataFrame(pdf[["user_id", "ts", "value"]])
+        sdf.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(in_dir, name))
+        time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+
+    # batch 1: session opens, last = t0 + 10min
+    write_file("a", [(1, t0, 1.0), (1, t0 + 10 * mins, 1.0)])
+    # batch 2: late in-gap event (t0+5min) + follow-up at t0+38min whose
+    # gap vs the TRUE last (10min) is 28min < 30 -> must merge; vs a
+    # rewound last (5min) it would be 33min -> wrong split
+    write_file("b", [(1, t0 + 5 * mins, 1.0), (1, t0 + 38 * mins, 1.0)])
+    # batch 3: far-future event closes the session
+    write_file("c", [(1, t0 + 300 * mins, 1.0)])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir + "/*")
+    )
+    q = (
+        stateful_sessions(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir).toPandas()
+    closed = got[got.user_id == 1].sort_values("session_start_us")
+    assert len(closed) == 1, closed.to_string()
+    s = closed.iloc[0]
+    assert s.session_start_us == t0
+    assert s.session_end_us == t0 + 38 * mins  # not rewound, not split
+    assert s.n_events == 4
