@@ -1170,7 +1170,7 @@ def q_media_metadata(spark, sf_dir):
 
 # Versioned so a corpus.py change invalidates the cached parquet; bump
 # when generate_corpus output changes.
-_ENTRY_CORPUS_DIR = "/tmp/des_corpus_entry_600_v2"
+_ENTRY_CORPUS_DIR = "/tmp/des_corpus_entry_600_v3"
 
 
 def _ensure_entry_corpus() -> str:

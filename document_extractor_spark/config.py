@@ -40,6 +40,10 @@ class PipelineConfig:
     html_raw_cutoff: float = field(
         default_factory=lambda: _env_float("PASS_HTML_RAW_CUTOFF", 0.30))
     txt_cutoff: float = 0.0  # reference pass_txt.py always accepts (rc=0)
+    # reference pass_doc.py:203 PASS_DOCX_CUTOFF (docx is slightly more
+    # lenient than .doc by default)
+    docx_cutoff: float = field(
+        default_factory=lambda: _env_float("PASS_DOCX_CUTOFF", 0.70))
 
     # --- scan-only triage (reference: common.py:216-244, 352-371)
     triage_sample_pages: int = 6

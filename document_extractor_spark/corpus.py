@@ -22,6 +22,7 @@ from datetime import datetime, timedelta, timezone
 
 import pandas as pd
 
+from .functions.docx_mini import build_docx
 from .functions.scoring import exact_median, score_reliability
 from .pdf_gen import build_pdf
 
@@ -55,17 +56,18 @@ _HOT_DOMAINS = [
 
 # fixture class -> cumulative weight (FIXTURES.md §2 mix)
 _MIX = [
-    ("html_clean", 0.38),
-    ("html_noisy", 0.50),
-    ("html_garbage", 0.54),
-    ("pdf_text", 0.68),
-    ("pdf_big", 0.71),
-    ("pdf_scanonly", 0.73),
-    ("plaintext", 0.84),
-    ("pretext", 0.86),
-    ("container", 0.90),
-    ("noise", 0.93),
-    ("unsupported", 0.96),
+    ("html_clean", 0.36),
+    ("html_noisy", 0.48),
+    ("html_garbage", 0.52),
+    ("pdf_text", 0.66),
+    ("pdf_big", 0.69),
+    ("pdf_scanonly", 0.71),
+    ("plaintext", 0.82),
+    ("pretext", 0.84),
+    ("container", 0.88),
+    ("docx", 0.93),
+    ("noise", 0.95),
+    ("unsupported", 0.97),
     ("dup", 1.00),
 ]
 
@@ -283,6 +285,21 @@ def generate_corpus(
             row["html"] = build_pdf(
                 [["Container manifest page."]], attachments=children)
             expected.extend(child_expected)
+
+        elif cls == "docx":
+            paras = [_paragraph(rng, lang, 1, 3)
+                     for _ in range(rng.randint(2, 4))]
+            table = None
+            if rng.random() < 0.5:
+                table = [[_sentence(rng, lang, 3, 6)
+                          for _ in range(2)] for _ in range(2)]
+            row["html"] = build_docx(paras, table)
+            # reference walk order: all paragraphs, then table cells
+            # (pass_doc.py:63-76), joined "\n"
+            truth = "\n".join(
+                paras + ([c for r_ in table for c in r_] if table else []))
+            expected.append(_exp(
+                truth, "docx_text", False, score_reliability(truth)))
 
         elif cls == "noise":
             row["html"] = b"RIFF\x24\x00\x00\x00WAVEfmt " + bytes(32)

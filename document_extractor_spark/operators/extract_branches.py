@@ -26,6 +26,7 @@ from ..functions.scoring import (
     sample_page_indices,
     score_reliability,
 )
+from ..functions.docx_mini import DOCX_MARKER, docx_text
 from ..functions.textnorm import decode_detect, decode_reference
 from .html_extract import StrictParseError, extract_html, extract_raw
 
@@ -112,6 +113,28 @@ def _pdf_core(url, warc_ts, lang, payload, cfg: PipelineConfig) -> dict:
                 False, per_page, n, pages, spans, med)
 
 
+def _docx_core(url, warc_ts, lang, payload, cfg: PipelineConfig) -> dict:
+    """DOCX native text (reference pass_doc.py:185-258): paragraph +
+    table-cell walk, reliability gate at PASS_DOCX_CUTOFF, single-page
+    doc on accept; open/parse failure records method doc_extract_error
+    (pass_doc.py:216-230). The reference's DOC->PDF second chance
+    (doc_to_pdf.py) shells out to an office converter, so below-cutoff
+    rows go straight to ERROR here (documented drop, COVERAGE.md)."""
+    try:
+        t = docx_text(payload)
+    except Exception as exc:
+        return _row(url, warc_ts, lang, "docx", "doc_extract_error",
+                    "ERROR", False, False, 0, [], [], 0.0,
+                    f"docx_open_failed: {exc}")
+    rel = score_reliability(t)
+    if t.strip() and rel >= cfg.docx_cutoff:
+        return _row(url, warc_ts, lang, "docx", "docx_text", "OK",
+                    False, False, 1, [(1, t, rel)], [(0, len(t))], rel)
+    return _row(url, warc_ts, lang, "docx", "docx_text", "ERROR",
+                False, False, 0, [], [], rel,
+                f"docx_below_cutoff: rel={rel:.4f}")
+
+
 _HTML_CASCADE = (
     ("strict", "html_text", False),
     ("lenient", "html_lenient", True),
@@ -173,6 +196,20 @@ def make_txt_branch(cfg: PipelineConfig):
 # pdf branch (reference pass_pdf.py + pass_pdf_txt.py): native text layer,
 # scan-only triage, exact-median gating, per-doc/per-page granularity.
 # --------------------------------------------------------------------------
+def make_docx_branch(cfg: PipelineConfig):
+    """Staged-path DOCX branch (reference pass_doc.py dispatch,
+    process_run.py:103)."""
+    def docx_branch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            out = [
+                _docx_core(r.url, r.warc_ts, r.lang, r.html, cfg)
+                for r in pdf_batch.itertuples(index=False)
+            ]
+            yield pd.DataFrame(out, columns=_BRANCH_COLS) if out else _empty()
+
+    return docx_branch
+
+
 def make_pdf_branch(cfg: PipelineConfig):
     def pdf_branch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_batch in batches:
@@ -274,6 +311,8 @@ def sniff_bytes(html: bytes | None, text: str | None) -> str:
     prefix = html[:512]
     if prefix.startswith(b"RIFF") and prefix[8:12] == b"WAVE":
         return "noise"
+    if prefix.startswith(b"PK\x03\x04"):
+        return "docx" if DOCX_MARKER in prefix else "unsupported"
     if prefix.startswith(b"PK"):
         return "unsupported"
     if prefix.startswith(b"%PDF-"):
@@ -303,6 +342,9 @@ def make_extract_any(cfg: PipelineConfig):
             return
         if fmt == "html":
             out.append(_html_core(url, warc_ts, lang, html, cfg))
+            return
+        if fmt == "docx":
+            out.append(_docx_core(url, warc_ts, lang, html, cfg))
             return
         # pdf: container probe first (portfolio_unpack.py semantics)
         if allow_container and html is not None \

@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from .config import PipelineConfig
 from .functions.sniff import (
+    FMT_DOCX,
     FMT_HTML,
     FMT_PDF,
     FMT_PRETEXT,
@@ -58,6 +59,7 @@ from .operators.container import explode_containers
 from .operators.extract_branches import (
     BRANCH_SCHEMA,
     CASCADE_SCHEMA,
+    make_docx_branch,
     make_extract_any,
     make_html_stage,
     make_pdf_branch,
@@ -127,11 +129,14 @@ def _staged_branches(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
     dispatched = sniffed.filter(F.col("fmt") != FMT_PDF).unionByName(pdf_stream)
 
     txt_rows = dispatched.filter(F.col("fmt").isin(FMT_TXT, FMT_PRETEXT))
+    docx_rows = dispatched.filter(F.col("fmt") == FMT_DOCX)
     pdf_rows = dispatched.filter(F.col("fmt") == FMT_PDF)
     html_rows = dispatched.filter(F.col("fmt") == FMT_HTML)
     unsupported = dispatched.filter(F.col("fmt") == FMT_UNSUPPORTED)
 
     txt_out = txt_rows.mapInPandas(make_txt_branch(cfg), schema=BRANCH_SCHEMA)
+    docx_out = docx_rows.mapInPandas(
+        make_docx_branch(cfg), schema=BRANCH_SCHEMA)
     pdf_out = pdf_rows.mapInPandas(make_pdf_branch(cfg), schema=BRANCH_SCHEMA)
 
     s1 = html_rows.mapInPandas(
@@ -169,8 +174,8 @@ def _staged_branches(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
         F.lit(0.0).alias("reliability"),
         F.lit("unsupported").alias("error"),
     )
-    return (txt_out.unionByName(pdf_out).unionByName(html_out)
-            .unionByName(unsupported_out))
+    return (txt_out.unionByName(docx_out).unionByName(pdf_out)
+            .unionByName(html_out).unionByName(unsupported_out))
 
 
 def run_extraction(

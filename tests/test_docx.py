@@ -1,0 +1,99 @@
+"""DOCX branch tests (E8): from-scratch zipfile+XML walk vs the
+reference's python-docx semantics (pass_doc.py:51-78, 185-258)."""
+import pytest
+
+from document_extractor_spark.config import PipelineConfig
+from document_extractor_spark.functions.docx_mini import build_docx, docx_text
+from document_extractor_spark.operators.extract_branches import (
+    _docx_core,
+    sniff_bytes,
+)
+
+
+def test_roundtrip_paragraphs_then_tables():
+    """Reference walk order: ALL paragraphs first, then ALL table
+    cells — not document order (pass_doc.py:63-76)."""
+    paras = ["First paragraph.", "Second paragraph."]
+    table = [["r1c1", "r1c2"], ["r2c1", "r2c2"]]
+    got = docx_text(build_docx(paras, table))
+    assert got == "First paragraph.\nSecond paragraph.\nr1c1\nr1c2\nr2c1\nr2c2"
+
+
+def test_empty_paragraphs_skipped():
+    got = docx_text(build_docx(["alpha", "", "beta"]))
+    assert got == "alpha\nbeta"
+
+
+def test_tab_and_break_runs():
+    """w:tab -> \\t and w:br -> \\n inside runs (python-docx
+    Run.text mapping)."""
+    import io
+    import zipfile
+
+    base = build_docx(["placeholder"])
+    with zipfile.ZipFile(io.BytesIO(base)) as zf:
+        doc = zf.read("word/document.xml").decode()
+        ct = zf.read("[Content_Types].xml").decode()
+    doc = doc.replace(
+        "<w:t xml:space=\"preserve\">placeholder</w:t>",
+        "<w:t xml:space=\"preserve\">a</w:t><w:tab/>"
+        "<w:t xml:space=\"preserve\">b</w:t><w:br/>"
+        "<w:t xml:space=\"preserve\">c</w:t>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", doc)
+        zf.writestr("[Content_Types].xml", ct)
+    assert docx_text(buf.getvalue()) == "a\tb\nc"
+
+
+def test_docx_core_accept_and_reject():
+    cfg = PipelineConfig()
+    good = build_docx([
+        "The quarterly market report shows strong revenue growth.",
+        "Supply chain policy remained stable across the region."])
+    row = _docx_core("u", None, "en", good, cfg)
+    assert (row["method"], row["status"]) == ("docx_text", "OK")
+    assert row["pages"][0][1].startswith("The quarterly")
+
+    # punctuation soup scores below the 0.70 cutoff -> ERROR (the
+    # reference would try DOC->PDF; documented drop here)
+    bad = build_docx(["#$%^&* ()!@~ ;;;; :::: ,,,, ....", "|<>? +=-"])
+    row = _docx_core("u", None, "en", bad, cfg)
+    assert (row["method"], row["status"]) == ("docx_text", "ERROR")
+    assert "docx_below_cutoff" in row["error"]
+
+
+def test_docx_core_open_failure():
+    """Corrupt zip records doc_extract_error (pass_doc.py:216-230)."""
+    row = _docx_core("u", None, "en", b"PK\x03\x04word/document.xml junk",
+                     PipelineConfig())
+    assert (row["method"], row["status"]) == ("doc_extract_error", "ERROR")
+    assert "docx_open_failed" in row["error"]
+
+
+def test_sniff_routes_docx_vs_plain_zip():
+    docx = build_docx(["hello world document"])
+    assert sniff_bytes(docx, None) == "docx"
+    assert sniff_bytes(b"PK\x03\x04" + bytes(60), None) == "unsupported"
+    # marker beyond the 512-byte sniff window stays unsupported
+    assert sniff_bytes(b"PK\x03\x04" + bytes(600) + b"word/document.xml",
+                       None) == "unsupported"
+
+
+def test_column_sniff_matches_python_twin(spark):
+    """Route parity: the JVM Column sniff and the Python twin must
+    agree on docx payloads."""
+    from pyspark.sql import functions as F
+
+    from document_extractor_spark.functions.sniff import sniff_format
+
+    payloads = [
+        (1, build_docx(["text body here"])),
+        (2, b"PK\x03\x04" + bytes(60)),
+        (3, b"%PDF-1.4 fake"),
+    ]
+    df = spark.createDataFrame(payloads, "id long, html binary")
+    got = (df.withColumn("fmt", sniff_format(F.col("html"), F.lit(None)))
+           .orderBy("id").select("fmt").toPandas().fmt.tolist())
+    want = [sniff_bytes(p, None) for _, p in payloads]
+    assert got == want == ["docx", "unsupported", "pdf"]
