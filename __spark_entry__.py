@@ -812,6 +812,50 @@ _SQL_QUALITY = (
     f" / 200.0), 4)"
 )
 
+
+def q_legacy_reliability(spark, sf_dir):
+    """A2: the reference's legacy rich scorer (common_pdf.sh:85-156) —
+    density/stopword/repetition blend at weights .5/.3/.2 — as pure
+    Column math, per document."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", TS.legacy_reliability(F.col("text")).alias("legacy_rel"))
+
+
+_SW_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in TS.LEGACY_STOPWORDS) + "]"
+
+_ORACLE_LEGACY = f"""
+WITH b AS (
+  SELECT doc_id,
+    regexp_replace(coalesce(text, ''), '[ \\t\\n\\x0B\\f\\r]', '', 'g')
+        AS nonws,
+    list_filter(string_split_regex(
+        regexp_replace(lower(coalesce(text, '')), '[^a-z]+', ' ', 'g'),
+        ' '), x -> x <> '') AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id,
+    least(1.0, len(nonws) / 400.0) AS d,
+    CASE WHEN len(toks) > 0
+         THEN len(list_filter(toks, x -> list_contains({_SW_LIST_SQL}, x)))
+              / CAST(len(toks) AS DOUBLE)
+         ELSE 0.0 END AS w,
+    CASE WHEN len(nonws) > 0
+         THEN 1.0 - list_max(list_transform(
+                list_distinct(list_transform(range(1, len(nonws) + 1),
+                                             i -> nonws[CAST(i AS INT)])),
+                ch -> len(list_filter(
+                    list_transform(range(1, len(nonws) + 1),
+                                   i -> nonws[CAST(i AS INT)]),
+                    x -> x = ch)))) / CAST(len(nonws) AS DOUBLE)
+         ELSE 0.0 END AS r
+  FROM b)
+SELECT doc_id,
+       round(greatest(0.0, least(1.0, 0.5*d + 0.3*w + 0.2*r)), 4)
+           AS legacy_rel
+FROM c
+"""
+
 _ORACLE_TRAINING_FILTER = f"""
 WITH f AS (
   SELECT source,
@@ -1276,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "langid": q_langid,
         "quality_scores": q_quality_scores,
+        "legacy_reliability": q_legacy_reliability,
         "repetition_ratios": q_repetition_ratios,
         "vocab_topk": q_vocab_topk,
         "fingerprints": q_fingerprints,
@@ -1333,6 +1378,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": _ORACLE_TOKENS,
         "langid": _ORACLE_LANGID,
         "quality_scores": _ORACLE_QUALITY,
+        "legacy_reliability": _ORACLE_LEGACY,
         "repetition_ratios": _ORACLE_REPETITION,
         "vocab_topk": _ORACLE_VOCAB,
         "fingerprints": _ORACLE_FINGERPRINT,

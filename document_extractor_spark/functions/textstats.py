@@ -115,6 +115,97 @@ def quality_score(text: Column) -> Column:
     return F.round(F.lit(0.6) * density + F.lit(0.4) * length_factor, 4)
 
 
+# --------------------------------------------------------------------------
+# Legacy rich reliability scorer (A2): exact behavioral twin of the
+# reference's awk scorer (common_pdf.sh:85-156), weights .5/.3/.2 over
+# density / stopword-ratio / repetition. Pure Column math, SQL twin in
+# __spark_entry__._ORACLE_LEGACY.
+# --------------------------------------------------------------------------
+# the embedded list verbatim (common_pdf.sh:87-96). Entries containing
+# a Unicode apostrophe ("there's"-style) can never match: the awk
+# tokenizer maps every non-[a-z] char to space first, so only the
+# pure-ascii-alpha entries are effective — we keep exactly those.
+_LEGACY_SW_RAW = """a an and are as at be but by for from has have if in into
+  is it its of on or that the their there these they this to was were what
+  when where which who will with without within would about above after again
+  against all also any because been before being below between both did do
+  does doing down during each few further he her here hers herself him
+  himself his how i into itself just me more most my myself no nor not now
+  off once only other our ours ourselves out over own same she should so some
+  such than then those through too under until up very we you your yours
+  yourself yourselves""".split()
+LEGACY_STOPWORDS = sorted(set(_LEGACY_SW_RAW))
+
+
+def legacy_reliability(text: Column, d_norm: float = 400.0) -> Column:
+    """clamp(0.5*D + 0.3*W + 0.2*R, 0, 1) rounded to 4 decimals.
+
+    D = non-whitespace chars / d_norm, capped at 1 (RELIABILITY_D_NORM
+        defaults to 400, common_pdf.sh:35);
+    W = stopword hits / tokens, tokens = lowercase text with every
+        non-[a-z] run collapsed to a space;
+    R = 1 - max character frequency ratio over non-whitespace chars
+        (the awk repetition penalty).
+    """
+    t = F.coalesce(text, F.lit(""))
+    # the exact awk [[:space:]] class (C locale): NOT \s — Python's \s
+    # also eats \xa0 (nbsp) and Java/RE2 disagree on \x0B, so all three
+    # engines pin the literal six-char class
+    nonws = F.regexp_replace(t, "[ \\t\\n\\x0B\\f\\r]", "")
+    n = F.length(nonws).cast("double")
+    d = F.least(F.lit(1.0), n / F.lit(float(d_norm)))
+
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(t), "[^a-z]+", " "), " "),
+        lambda x: x != "")
+    sw = F.array(*[F.lit(w) for w in LEGACY_STOPWORDS])
+    hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    w_ratio = F.when(
+        F.size(toks) > 0,
+        hits.cast("double") / F.size(toks).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    chars = F.split(nonws, "")
+    # max char frequency via distinct-chars x occurrence-count; the
+    # distinct set is alphabet-bounded so this stays cheap per row
+    freqs = F.transform(
+        F.array_distinct(chars),
+        lambda c: F.size(F.filter(chars, lambda x: x == c)))
+    r = F.when(
+        n > 0,
+        F.lit(1.0) - F.array_max(freqs).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+
+    score = F.lit(0.5) * d + F.lit(0.3) * w_ratio + F.lit(0.2) * r
+    return F.round(F.greatest(F.lit(0.0), F.least(F.lit(1.0), score)), 4)
+
+
+def legacy_reliability_py(text: str | None, d_norm: float = 400.0) -> float:
+    """Python twin of legacy_reliability (hypothesis parity tests)."""
+    import re
+
+    t = text or ""
+    nonws = re.sub("[ \t\n\x0b\f\r]", "", t)
+    d = min(1.0, len(nonws) / d_norm)
+    toks = [x for x in re.sub("[^a-z]+", " ", t.lower()).split(" ") if x]
+    sw = set(LEGACY_STOPWORDS)
+    w = (sum(1 for x in toks if x in sw) / len(toks)) if toks else 0.0
+    if nonws:
+        freq: dict[str, int] = {}
+        for ch in nonws:
+            freq[ch] = freq.get(ch, 0) + 1
+        r = 1.0 - max(freq.values()) / len(nonws)
+    else:
+        r = 0.0
+    # Spark's round() is HALF_UP on the decimal repr, not Python's
+    # banker's rounding — match it exactly
+    from decimal import ROUND_HALF_UP, Decimal
+
+    v = max(0.0, min(1.0, 0.5 * d + 0.3 * w + 0.2 * r))
+    return float(Decimal(repr(v)).quantize(
+        Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+
 def fingerprint(text: Column) -> Column:
     """Normalized content fingerprint: md5 of lower + ws-collapsed.
     Collapse BEFORE trim: trim() strips only spaces, so stray

@@ -257,16 +257,55 @@ def parse_blocks(html_str: str, strict: bool = False) -> list[Block]:
     return parser.finish()
 
 
+# multilingual function-word set for the optional stopword gate: the
+# reference's English list (common_pdf.sh:87-96, via textstats) plus
+# high-frequency German/French/Spanish function words — an English-only
+# list would misclassify every non-English content block.
+def _stopword_union() -> frozenset:
+    from ..functions.textstats import LEGACY_STOPWORDS
+
+    extra = (
+        "der die das und ist im den dem des ein eine einer zu mit von für "
+        "auf als auch nicht sich es er sie wir ihr "
+        "le la les un une des du de et est dans pour par sur avec ne pas "
+        "qui que au aux ce cette ses son sa il elle nous vous ils elles "
+        "el los las uno una unos unas y es en por para con no se lo al"
+    ).split()
+    return frozenset(LEGACY_STOPWORDS) | frozenset(extra)
+
+
+_SW_UNION = _stopword_union()
+_SW_TOKEN_RE = re.compile("[^a-z]+")
+
+
+def stopword_ratio(text: str) -> float:
+    """Stopword density with the legacy tokenizer (lowercase, non-[a-z]
+    runs -> space) over the multilingual union set."""
+    toks = [t for t in _SW_TOKEN_RE.sub(" ", text.lower()).split(" ") if t]
+    if not toks:
+        return 0.0
+    return sum(1 for t in toks if t in _SW_UNION) / len(toks)
+
+
 def classify_blocks(
     blocks: list[Block],
     min_block_chars: int = 25,
     max_link_density: float = 0.35,
+    min_stopword_ratio: float = 0.0,
+    stopword_min_tokens: int = 10,
 ) -> list[Block]:
     """content-vs-boilerplate classification (north_star block model).
 
     Deterministic rules: structural boilerplate is dropped outright;
     headings survive regardless of length when not link-heavy; other
     blocks need both enough text mass and low link density.
+
+    `min_stopword_ratio` > 0 adds the reference's strongest boilerplate
+    signal (common_pdf.sh stopword density): long link-light blocks
+    with almost no function words (SEO keyword stuffing, tag clouds)
+    are dropped. OFF by default — the golden corpus's ground truth is
+    pinned to the length+link-density model; enabling it is a per-job
+    config choice (tested in test_html_extract.py).
     """
     kept: list[Block] = []
     for b in blocks:
@@ -274,8 +313,15 @@ def classify_blocks(
             continue
         if b.link_density > max_link_density:
             continue
-        if b.heading or b.n_chars >= min_block_chars:
-            kept.append(b)
+        if not (b.heading or b.n_chars >= min_block_chars):
+            continue
+        if (min_stopword_ratio > 0.0 and not b.heading):
+            toks = [t for t in
+                    _SW_TOKEN_RE.sub(" ", b.text.lower()).split(" ") if t]
+            if (len(toks) >= stopword_min_tokens
+                    and stopword_ratio(b.text) < min_stopword_ratio):
+                continue
+        kept.append(b)
     return kept
 
 

@@ -89,3 +89,67 @@ def test_heading_kept_regardless_of_length():
         "Real content sentence that is long enough to keep easily.")
     text, _ = extract_html(html)
     assert text.startswith("Tiny\n")
+
+
+def test_stopword_gate_drops_keyword_stuffing():
+    """A2's strongest boilerplate signal (common_pdf.sh stopword
+    density): enabled, it drops long link-light keyword-stuff blocks
+    while keeping real content in en/de/fr (multilingual union set)."""
+    from document_extractor_spark.operators.html_extract import (
+        classify_blocks,
+        parse_blocks,
+        stopword_ratio,
+    )
+
+    spam = ("cheap widgets best widgets buy widgets discount widgets "
+            "premium widgets widgets sale widgets deal widgets shop")
+    content_en = ("The council published its annual budget report and "
+                  "the committee will review it in the autumn session.")
+    content_de = ("Der Rat hat den Haushalt für das kommende Jahr "
+                  "beschlossen und die Prüfung ist im Herbst geplant.")
+    content_fr = ("Le conseil a publié le rapport annuel sur le budget "
+                  "et la commission va l'examiner pendant la session.")
+    html = ("<html><body>"
+            f"<p>{content_en}</p><p>{spam}</p>"
+            f"<p>{content_de}</p><p>{content_fr}</p>"
+            "</body></html>")
+    blocks = parse_blocks(html)
+
+    default = classify_blocks(blocks)
+    gated = classify_blocks(blocks, min_stopword_ratio=0.08)
+
+    texts_default = [b.text for b in default]
+    texts_gated = [b.text for b in gated]
+    assert spam in " ".join(texts_default)       # default keeps it (off)
+    assert spam not in " ".join(texts_gated)     # gate drops it
+    for content in (content_en, content_de, content_fr):
+        assert any(content in t for t in texts_gated), content
+    assert stopword_ratio(spam) < 0.08 < stopword_ratio(content_en)
+
+
+def test_legacy_reliability_hypothesis_parity(spark):
+    """Column legacy scorer == Python twin on arbitrary text."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    from document_extractor_spark.functions.textstats import (
+        legacy_reliability,
+        legacy_reliability_py,
+    )
+
+    texts = []
+
+    @given(st.text(max_size=300))
+    @settings(max_examples=60, deadline=None)
+    def collect(t):
+        texts.append(t)
+
+    collect()
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = (df.select("id", legacy_reliability(F.col("text")).alias("r"))
+           .toPandas().set_index("id").r)
+    for i, t in rows:
+        assert abs(got[i] - legacy_reliability_py(t)) < 1e-12, repr(t)
