@@ -669,14 +669,17 @@ WITH toks AS (
   FROM documents),
 sh0 AS (
   SELECT DISTINCT doc_id,
-         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                 for i in range(1, len(t) - 1)]) AS shingle
+         CAST(('0x' || substring(md5(unnest(
+             [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+              for i in range(1, len(t) - 1)])), 1, 15)) AS BIGINT)
+         AS shingle
   FROM toks WHERE len(t) >= 3),
 sh AS (
   SELECT doc_id, shingle FROM sh0
   WHERE shingle IN (SELECT shingle FROM sh0
                     GROUP BY shingle HAVING count(*) <= 500)),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+-- set sizes over the FULL universe; only intersections are df-capped
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh0 GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

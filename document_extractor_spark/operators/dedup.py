@@ -4,10 +4,11 @@ The reference only *plans* dedup ("Checksum cache to skip reprocessing
 duplicates", TODO.md:20). Here it is first-class, at five levels:
 
 - exact: content-hash groupBy (md5) — one shuffle, scales linearly.
-- n-gram Jaccard: word-shingle set overlap via explode + co-shingle
-  join. Shingles (not unigrams) keep the join selective: only docs
-  sharing a full n-gram pair up, so the candidate set stays near-
-  linear for natural text instead of O(n^2).
+- n-gram Jaccard: word-shingle set overlap via df-capped posting
+  lists (explode -> groupBy(shingle) -> in-row pair expansion), two
+  shuffles total. Shingles (not unigrams) keep candidates selective:
+  only docs sharing a full n-gram pair up, so the pair set stays
+  near-linear for natural text instead of O(n^2).
 - MinHash: k deterministic md5-derived hash functions, signature =
   per-doc min per seed — one explode + one groupBy with k min() aggs.
 - MinHash-LSH banding: signatures split into b bands; docs sharing a
@@ -70,6 +71,20 @@ def seed_hash(col, seed: int):
     ).cast("long")
 
 
+def widen_narrow_input(df: DataFrame) -> DataFrame:
+    """Round-robin a narrow scan up to cluster parallelism.
+
+    A small parquet file is one row group = ONE Spark split, so the
+    compute-heavy first stage (tokenize + shingle + hash) would run on
+    a single core regardless of cluster size. At real scale the scan
+    has plenty of splits and this is a no-op (the predicate guards the
+    extra shuffle)."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 # --------------------------------------------------------------------------
 def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
@@ -97,45 +112,66 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         max_shingle_df: int | None = 1000) -> DataFrame:
     """Pairs (a < b) with shingle-set Jaccard >= threshold.
 
-    `max_shingle_df` caps shingle document frequency BEFORE the
-    self-join: a corpus-hot shingle (boilerplate phrase) otherwise
-    makes one join bucket quadratic — at 10^12 docs that bucket is a
-    straggler that never finishes. Shingles with df > cap are removed
-    from the universe consistently (both intersection counts and
-    per-doc set sizes), so Jaccard stays well-defined over the capped
-    universe; true near-dup pairs keep >= threshold because near-dups
-    share mostly *rare* shingles (pytest proves recall is unchanged on
-    the synthetic corpus). Pass None to disable (exact baseline).
+    TWO shuffles total: explode -> groupBy(shingle) collects each
+    shingle's (distinct, sorted) doc-id posting list, JVM array math
+    expands it to ordered pairs, groupBy(id_a, id_b) counts the
+    intersection. Per-doc set sizes are computed from the pre-explode
+    array (narrow) and carried through the posting list, so the pair
+    stream needs no size lookup at all.
+
+    `max_shingle_df` caps shingle document frequency: a corpus-hot
+    shingle (boilerplate phrase) otherwise contributes O(df^2) pairs —
+    at 10^12 docs that posting list is a straggler that never
+    finishes, and it also bounds the collected list's memory (<= cap
+    ids per group). Set sizes stay over the FULL shingle universe
+    while intersections count only capped shingles, so a
+    boilerplate-only pair's Jaccard can only shrink; true near-dup
+    pairs share mostly *rare* shingles and keep their score (pytest
+    proves recall unchanged on the synthetic corpus). Pass None to
+    disable (exact baseline, unbounded lists — test scale only).
     """
-    sh = doc_shingles(docs, id_col, text_col, n)
+    arrs = widen_narrow_input(docs).select(
+        F.col(id_col),
+        F.array_distinct(shingles_col(tokens_col(text_col), n)).alias("sh"))
+    # n_sh rides WITH the id through the posting list, so the pair
+    # stream needs no size join at all (a broadcast-join formulation
+    # re-executed the tokenization subplan once per broadcast build).
+    # Shingles shuffle as 60-bit md5-derived hashes, not strings: an
+    # 8-byte key vs a ~25-byte n-gram shrinks the exchange and speeds
+    # the group compare (SQL-reproducible, see module doc; collisions
+    # at 2^60 are negligible for intersection counting).
+    exploded = arrs.select(
+        F.col(id_col).alias("id"), F.size("sh").alias("n_sh"),
+        F.explode(F.transform(
+            "sh",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+            .cast("long"))).alias("shingle"))
+    posting = (
+        exploded.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "n_sh")))
+             .alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     if max_shingle_df is not None:
-        # df filter shuffles on `shingle` — the same key as the
-        # self-join below, so AQE/exchange-reuse co-locates them
-        rare = (sh.groupBy("shingle")
-                .agg(F.count("*").alias("df"))
-                .filter(F.col("df") <= max_shingle_df)
-                .select("shingle"))
-        sh = sh.join(rare, "shingle")
-    # per-doc set sizes: one row per doc -> broadcast, so attaching
-    # them to the (potentially huge) pair stream never shuffles it
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    # the two join sides shuffle identically on `shingle`, so Spark
-    # reuses one exchange (ReusedExchange) — tokenization runs once
+        posting = posting.filter(F.size("ids") <= max_shingle_df)
+    # ordered pairs from the id-sorted posting list, all JVM array math
+    ids = F.col("ids")
+    pairs = F.flatten(F.transform(
+        ids, lambda x, i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda y: F.struct(
+                x["id"].alias("id_a"), x["n_sh"].alias("sh_a"),
+                y["id"].alias("id_b"), y["n_sh"].alias("sh_b")))))
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
-                 F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+        posting.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"),
+                 F.col("p.id_b").alias("id_b"))
+        .agg(F.count("*").alias("inter"),
+             F.first("p.sh_a").alias("sh_a"),
+             F.first("p.sh_b").alias("sh_b"))
     )
     return (
         inter
-        .join(F.broadcast(sizes.withColumnRenamed(id_col, "id_a")
-                          .withColumnRenamed("n_sh", "sh_a")), "id_a")
-        .join(F.broadcast(sizes.withColumnRenamed(id_col, "id_b")
-                          .withColumnRenamed("n_sh", "sh_b")), "id_b")
         .withColumn("jaccard", F.round(
             F.col("inter")
             / (F.col("sh_a") + F.col("sh_b") - F.col("inter")), 6))
@@ -146,12 +182,13 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 8) -> DataFrame:
-    """One row per doc with columns mh_0..mh_{k-1} (min over tokens)."""
-    toks = (
-        docs.select(F.col(id_col), F.explode(tokens_col(text_col))
-                    .alias("tok"))
-        .distinct()
-    )
+    """One row per doc with columns mh_0..mh_{k-1} (min over tokens).
+
+    ONE shuffle: no pre-explode distinct — min() is idempotent over
+    duplicate tokens, so deduplicating first would only add a shuffle
+    for an identical result."""
+    toks = widen_narrow_input(docs).select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
     aggs = [F.min(seed_hash(F.col("tok"), s)).alias(f"mh_{s}")
             for s in range(k)]
     return toks.groupBy(id_col).agg(*aggs)
@@ -165,20 +202,17 @@ def minhash_band_buckets(docs: DataFrame, id_col: str = "doc_id",
     assert k % bands == 0
     r = k // bands
     sigs = minhash_signatures(docs, id_col, text_col, k)
-    per_band = []
-    for bidx in range(bands):
-        cols = [F.col(f"mh_{bidx * r + j}") for j in range(r)]
-        per_band.append(
-            sigs.select(
-                F.col(id_col),
-                F.lit(bidx).alias("band"),
-                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
-                .alias("band_sig"),
-            )
-        )
-    stacked = per_band[0]
-    for p in per_band[1:]:
-        stacked = stacked.unionByName(p)
+    # one posexplode over an in-row band array instead of a `bands`-way
+    # union: the union form re-shuffled the signature table once per
+    # band (5 exchanges at bands=4); this is 2 total (sigs + bucket)
+    band_sigs = F.array(*[
+        F.md5(F.concat_ws(",", *[
+            F.col(f"mh_{bidx * r + j}").cast("string") for j in range(r)]))
+        for bidx in range(bands)
+    ])
+    stacked = sigs.select(
+        F.col(id_col),
+        F.posexplode(band_sigs).alias("band", "band_sig"))
     return (
         stacked.groupBy("band", "band_sig")
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("min_id"))

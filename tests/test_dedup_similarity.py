@@ -289,3 +289,17 @@ def test_simhash_vectorized_matches_scalar(spark):
     src = allr.toPandas().set_index("doc_id").text
     for doc_id, text in src.items():
         assert got[doc_id] == simhash63_scalar(text), doc_id
+
+
+def test_lsh_jvm_signer_matches_arrow_signer(spark):
+    """The pure-JVM hyperplane signer must produce the same buckets as
+    the Arrow mapInPandas signer on the real embeddings table."""
+    from document_extractor_spark.operators.similarity import (
+        lsh_bucketed, lsh_bucketed_jvm)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = (lsh_bucketed(emb, n_bits=8, seed=7).select("vec_id", "bucket")
+         .toPandas().set_index("vec_id").bucket)
+    b = (lsh_bucketed_jvm(emb, n_bits=8, seed=7).select("vec_id", "bucket")
+         .toPandas().set_index("vec_id").bucket)
+    assert (a.sort_index() == b.sort_index()).all()
