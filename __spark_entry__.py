@@ -1269,6 +1269,122 @@ FROM '{_ENTRY_CORPUS_DIR}/expected.parquet'
 """
 
 
+def q_url_canonical_dedup(spark, sf_dir):
+    """Canonical-url dedup (Common-Crawl first dedup level): messy url
+    variants (case, www., default ports, utm/fbclid params, fragments,
+    trailing slashes) are synthesized deterministically from doc_id,
+    canonicalized JVM-side, and grouped. The oracle applies the same
+    construction + regex rules in DuckDB."""
+    from document_extractor_spark.functions.urlnorm import canonical_url
+
+    d = _docs(spark, sf_dir)
+    messy = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://www."))
+        .otherwise(F.lit("https://")),
+        F.lit("site"), (F.col("doc_id") % 40).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"), (F.col("doc_id") % 100).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("?utm_source=feed&utm_medium=rss")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#section-2"))
+        .otherwise(F.lit("")),
+    )
+    return (
+        d.select(F.col("doc_id"), canonical_url(messy).alias("curl"))
+        .groupBy("curl")
+        .agg(F.count("*").alias("variants"),
+             F.min("doc_id").alias("keeper_id"))
+    )
+
+
+_ORACLE_URL_DEDUP = """
+WITH m AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://www.' ELSE 'https://' END
+     || 'site' || CAST(doc_id % 40 AS VARCHAR) || '.Example.COM'
+     || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+     || '/p/' || CAST(doc_id % 100 AS VARCHAR)
+     || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+     || (CASE WHEN doc_id % 5 = 0
+              THEN '?utm_source=feed&utm_medium=rss' ELSE '' END)
+     || (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)) AS url
+  FROM documents),
+c AS (
+  SELECT doc_id,
+    regexp_replace(url, '#.*$', '', 'g') AS u
+  FROM m),
+p AS (
+  SELECT doc_id,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+        AS hostport,
+    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
+  FROM c),
+n AS (
+  SELECT doc_id, scheme,
+    CASE WHEN scheme = 'http'
+         THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''),
+                             ':80$', '')
+         WHEN scheme = 'https'
+         THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''),
+                             ':443$', '')
+         ELSE regexp_replace(hostport, '^www\\.', '') END AS host,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(rest,
+              '(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '', 'g'),
+            '&&+', '&', 'g'),
+          '\\?&+', '?', 'g'),
+        '[?&]+$', '', 'g'),
+      '(.)/(\\?|$)', '\\1\\2', 'g') AS rest
+  FROM p)
+SELECT scheme || '://' || host || rest AS curl,
+       count(*) AS variants,
+       min(doc_id) AS keeper_id
+FROM n GROUP BY 1
+"""
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style corpus-wide paragraph dedup over the full extraction
+    output: every repeated paragraph is marked, first occurrence (in
+    url/page/idx order) kept. Oracle runs the same logic over the
+    golden expected table (byte-identical text per extract_pipeline_full)."""
+    from document_extractor_spark.operators.dedup import (
+        paragraph_dedup_marks,
+    )
+
+    res = _run_entry_extraction(spark)
+    ok = res.extracted.filter(F.col("status") == "OK").select(
+        "url", F.coalesce(F.col("page"), F.lit(0)).cast("long").alias("pg"),
+        "text")
+    marks = paragraph_dedup_marks(ok, order_cols=["url", "pg"])
+    return marks.select(
+        "url", "pg", F.col("para_idx").cast("long").alias("para_idx"),
+        "para_hash", "is_first")
+
+
+_ORACLE_PARA_DEDUP = f"""
+WITH src AS (
+  SELECT url, CAST(coalesce(page, 0) AS BIGINT) AS pg, extracted_text
+  FROM '{_ENTRY_CORPUS_DIR}/expected.parquet'),
+paras AS (
+  SELECT url, pg, CAST(t.i - 1 AS BIGINT) AS para_idx,
+         string_split(extracted_text, chr(10))[CAST(t.i AS INT)] AS para
+  FROM src, LATERAL unnest(
+      range(1, len(string_split(extracted_text, chr(10))) + 1)) AS t(i)
+  WHERE trim(string_split(extracted_text, chr(10))[CAST(t.i AS INT)]) <> '')
+SELECT url, pg, para_idx, md5(para) AS para_hash,
+       (row_number() OVER (PARTITION BY md5(para)
+                           ORDER BY url, pg, para_idx) = 1) AS is_first
+FROM paras
+"""
+
+
 def q_extract_error_rows(spark, sf_dir):
     """ERROR-status rows of the full pipeline: garbage HTML falls off the
     cascade with html_raw, scan-only PDFs triage to ERROR with pdf_text
@@ -1342,6 +1458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "extract_pipeline_full": q_extract_pipeline_full,
         "extract_error_rows": q_extract_error_rows,
+        "url_canonical_dedup": q_url_canonical_dedup,
+        "paragraph_dedup": q_paragraph_dedup,
     }
 
 
@@ -1354,6 +1472,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_pipeline_full": _ORACLE_PIPELINE_FULL,
         "extract_error_rows": _ORACLE_ERROR_ROWS,
         "winnow_fingerprints": _ORACLE_WINNOW,
+        "url_canonical_dedup": _ORACLE_URL_DEDUP,
+        "paragraph_dedup": _ORACLE_PARA_DEDUP,
         "pricing_summary": _ORACLE_PRICING,
         "top_revenue_nations": _ORACLE_TOP_NATIONS,
         "route_dispatch": _ORACLE_ROUTE,

@@ -362,3 +362,35 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
             .alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def paragraph_dedup_marks(docs: DataFrame, order_cols: list[str],
+                          text_col: str = "text") -> DataFrame:
+    """Corpus-wide paragraph-level dedup marks (CCNet-style: drop
+    repeated paragraphs, keep the first occurrence in corpus order).
+
+    Splits each document on newline, hashes each non-blank paragraph,
+    and marks the first occurrence per hash via one row_number window
+    — a single shuffle on the paragraph hash. Returns
+    (*order_cols, para_idx, para_hash, is_first); callers keep
+    is_first rows to rebuild deduplicated documents.
+
+    At 10^12 docs the window partitions by a 128-bit content hash, so
+    the shuffle is uniform regardless of how hot a boilerplate
+    paragraph is (a hot hash still lands in ONE partition, but
+    row_number over it is linear, not quadratic — and cheap)."""
+    from pyspark.sql import Window
+
+    paras = (
+        docs.select(
+            *order_cols,
+            F.posexplode(F.split(F.col(text_col), "\n"))
+            .alias("para_idx", "para"))
+        .filter(F.trim(F.col("para")) != "")
+        .withColumn("para_hash", F.md5(F.col("para")))
+    )
+    w = Window.partitionBy("para_hash").orderBy(
+        *[F.col(c) for c in order_cols], F.col("para_idx"))
+    return paras.select(
+        *order_cols, "para_idx", "para_hash",
+        (F.row_number().over(w) == 1).alias("is_first"))
