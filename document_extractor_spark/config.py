@@ -65,6 +65,12 @@ class PipelineConfig:
     # --- HTML block classification (north_star block model)
     min_block_chars: int = 25
     max_link_density: float = 0.35
+    # A2 stopword boilerplate gate (common_pdf.sh stopword signal):
+    # 0.0 = off (the golden corpus truth is pinned to length+link
+    # density); >0 drops long link-light blocks with almost no
+    # function words (SEO keyword stuffing) — multilingual union set
+    min_stopword_ratio: float = field(
+        default_factory=lambda: _env_float("MIN_STOPWORD_RATIO", 0.0))
 
     # --- partitioning / skew (north_rule: url-hash buckets + salting)
     url_hash_buckets: int = field(

@@ -160,7 +160,8 @@ def _html_core(url, warc_ts, lang, payload, cfg: PipelineConfig) -> dict:
                 text, spans = extract_html(
                     source, strict=(stage == "strict"),
                     min_block_chars=cfg.min_block_chars,
-                    max_link_density=cfg.max_link_density)
+                    max_link_density=cfg.max_link_density,
+                    min_stopword_ratio=cfg.min_stopword_ratio)
         except StrictParseError as exc:
             err = f"strict_parse: {exc}"
         rel = score_reliability(text)
@@ -243,6 +244,7 @@ def make_html_stage(cfg: PipelineConfig, stage: str, final: bool = False):
         "raw": cfg.html_raw_cutoff,
     }[stage]
     min_chars, max_ld = cfg.min_block_chars, cfg.max_link_density
+    min_sw = cfg.min_stopword_ratio
 
     def html_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_batch in batches:
@@ -259,7 +261,8 @@ def make_html_stage(cfg: PipelineConfig, stage: str, final: bool = False):
                         text, spans = extract_html(
                             source, strict=(stage == "strict"),
                             min_block_chars=min_chars,
-                            max_link_density=max_ld)
+                            max_link_density=max_ld,
+                            min_stopword_ratio=min_sw)
                 except StrictParseError as exc:
                     err = f"strict_parse: {exc}"
                 rel = score_reliability(text)

@@ -330,10 +330,12 @@ def extract_html(
     strict: bool = False,
     min_block_chars: int = 25,
     max_link_density: float = 0.35,
+    min_stopword_ratio: float = 0.0,
 ) -> tuple[str, list[tuple[int, int]]]:
     """(extracted_text, spans). Raises StrictParseError in strict mode."""
     blocks = parse_blocks(html_str, strict=strict)
-    kept = classify_blocks(blocks, min_block_chars, max_link_density)
+    kept = classify_blocks(blocks, min_block_chars, max_link_density,
+                           min_stopword_ratio)
     text = "\n".join(b.text for b in kept)  # E12 join contract
     spans = [(b.start, b.end) for b in kept]
     return text, spans

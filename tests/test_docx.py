@@ -97,3 +97,32 @@ def test_column_sniff_matches_python_twin(spark):
            .orderBy("id").select("fmt").toPandas().fmt.tolist())
     want = [sniff_bytes(p, None) for _, p in payloads]
     assert got == want == ["docx", "unsupported", "pdf"]
+
+
+def test_pipeline_stopword_gate_config(spark):
+    """MIN_STOPWORD_RATIO wired end-to-end: a keyword-stuffed block
+    survives the default config but is stripped when the gate is on."""
+    from document_extractor_spark.config import PipelineConfig
+    from document_extractor_spark.pipeline import run_extraction
+
+    spam = ("cheap widgets best widgets buy widgets discount widgets "
+            "premium widgets widgets sale widgets deal widgets shop")
+    content = ("The council published its annual budget report and the "
+               "committee will review it during the autumn session.")
+    html = (f"<!DOCTYPE html>\n<html><head><title>T</title></head><body>"
+            f"<main><p>{content}</p><p>{spam}</p></main>"
+            f"</body></html>").encode()
+    pages = spark.createDataFrame(
+        [("https://x.example.com/spam/1", None, html, None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+
+    off = run_extraction(spark, pages, PipelineConfig(), persist=False)
+    txt_off = off.extracted.select("text").head()[0]
+    assert spam in txt_off and content in txt_off
+
+    on = run_extraction(
+        spark, pages, PipelineConfig(min_stopword_ratio=0.08),
+        persist=False)
+    txt_on = on.extracted.select("text").head()[0]
+    assert spam not in txt_on and content in txt_on
