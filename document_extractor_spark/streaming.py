@@ -154,3 +154,31 @@ def windowed_event_rollup(
             "total_value",
         )
     )
+
+
+def dedup_pages_stream(
+    pages_stream: DataFrame,
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Streaming exact dedup: first-seen wins per content hash.
+
+    The streaming twin of dedup.exact_dedup_groups for a continuous
+    crawl: re-fetches of identical payloads inside the watermark
+    horizon are dropped by state lookup
+    (dropDuplicatesWithinWatermark), so downstream extraction never
+    pays for a duplicate. The watermark bounds state: at 10^12 pages
+    an unbounded seen-set is impossible, so dedup is exact within the
+    horizon and duplicates farther apart than it fall through to the
+    batch dedup layer (documented two-tier design — the same split
+    CCNet-style pipelines use).
+
+    Key = md5 of the binary payload (null-safe: null html hashes the
+    text column instead, covering pretext rows).
+    """
+    keyed = pages_stream.withColumn(
+        "content_hash",
+        F.coalesce(F.md5(F.col("html")),
+                   F.md5(F.encode(F.col("text"), "UTF-8")),
+                   F.lit("")),
+    ).withWatermark("warc_ts", watermark)
+    return keyed.dropDuplicatesWithinWatermark(["content_hash"])

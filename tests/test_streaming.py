@@ -79,3 +79,53 @@ def test_stream_matches_batch(spark, corpus, cfg, stream_dirs):
     assert len(got) == len(want)
     for c in got.columns:
         assert (got[c].fillna("~") == want[c].fillna("~")).all(), c
+
+
+def test_streaming_dedup_first_seen_wins(spark, tmp_path):
+    """dedup_pages_stream drops within-watermark re-fetches across
+    micro-batches; the survivor set equals batch exact dedup."""
+    import os
+    import time
+
+    from document_extractor_spark.corpus import write_corpus
+    from document_extractor_spark.streaming import dedup_pages_stream
+
+    cdir = str(tmp_path / "corpus")
+    write_corpus(cdir, 120, seed=11)
+    pages = spark.read.parquet(f"{cdir}/pages.parquet")
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    # two micro-batches with overlapping content: batch b re-sends the
+    # first 40 rows (same payload bytes) plus 20 new ones
+    a = pages.limit(80)
+    b = pages.limit(40).unionByName(
+        pages.subtract(pages.limit(80)).limit(20))
+    a.coalesce(1).write.parquet(f"{in_dir}/a")
+    time.sleep(1.1)
+    b.coalesce(1).write.parquet(f"{in_dir}/b")
+
+    stream = (
+        spark.readStream.schema(pages.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in_dir + "/*"))
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (dedup_pages_stream(stream)
+         .writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir).toPandas()
+    sent = a.unionByName(b).toPandas()
+    import hashlib
+
+    def key(r):
+        if r.html is not None:
+            return hashlib.md5(bytes(r.html)).hexdigest()
+        return hashlib.md5(str(r.text).encode()).hexdigest()
+
+    sent["k"] = sent.apply(key, axis=1)
+    # exactly one survivor per distinct content hash
+    assert len(got) == sent.k.nunique()
+    got["k"] = got.content_hash
+    assert set(got.k) == set(sent.k)
