@@ -28,7 +28,13 @@ from ..functions.scoring import (
 )
 from ..functions.docx_mini import DOCX_MARKER, docx_text
 from ..functions.textnorm import decode_detect, decode_reference
-from .html_extract import StrictParseError, extract_html, extract_raw
+from .html_extract import (
+    StrictParseError,
+    classify_blocks,
+    extract_html,
+    extract_raw,
+    parse_blocks_observed,
+)
 
 # common intermediate row produced by every branch
 BRANCH_SCHEMA = (
@@ -145,35 +151,37 @@ _HTML_CASCADE = (
 def _html_core(url, warc_ts, lang, payload, cfg: PipelineConfig) -> dict:
     """Internal strict -> lenient -> raw cascade (one row, short-
     circuit on first acceptance — the reference's escalation
-    semantics, pass_pdf.py:112-255, fused into a single pass)."""
+    semantics, pass_pdf.py:112-255, fused into a single pass).
+
+    The DOM is parsed ONCE in observed mode: a strictly-valid
+    document's lenient block sequence is identical to its strict one,
+    so strict acceptance only needs the violation flag — this removes
+    the strict-then-lenient double parse (~20% of html kernel time on
+    noisy corpora; fused==staged pytest pins the equivalence).
+    """
     source, _charset = decode_detect(payload)
-    cutoffs = {"strict": cfg.html_strict_cutoff,
-               "lenient": cfg.html_lenient_cutoff,
-               "raw": cfg.html_raw_cutoff}
-    last = None
-    for stage, method, fallback in _HTML_CASCADE:
-        text, spans, err = "", [], ""
-        try:
-            if stage == "raw":
-                text = extract_raw(source)
-            else:
-                text, spans = extract_html(
-                    source, strict=(stage == "strict"),
-                    min_block_chars=cfg.min_block_chars,
-                    max_link_density=cfg.max_link_density,
-                    min_stopword_ratio=cfg.min_stopword_ratio)
-        except StrictParseError as exc:
-            err = f"strict_parse: {exc}"
-        rel = score_reliability(text)
-        if not err and rel >= cutoffs[stage] and text.strip():
-            return _row(url, warc_ts, lang, "html", method, "OK",
-                        fallback, False, 1, [(1, text, rel)],
-                        [(int(s), int(e)) for s, e in spans], rel)
-        last = (method, rel, err)
-    method, rel, err = last
-    return _row(url, warc_ts, lang, "html", method, "ERROR", True,
-                False, 0, [], [], rel,
-                err or f"extract_below_cutoff: rel={rel:.4f}")
+    blocks, violation = parse_blocks_observed(source)
+    kept = classify_blocks(
+        blocks, cfg.min_block_chars, cfg.max_link_density,
+        cfg.min_stopword_ratio)
+    text = "\n".join(b.text for b in kept)  # E12 join contract
+    spans = [(int(b.start), int(b.end)) for b in kept]
+    rel = score_reliability(text)
+    if text.strip():
+        if violation is None and rel >= cfg.html_strict_cutoff:
+            return _row(url, warc_ts, lang, "html", "html_text", "OK",
+                        False, False, 1, [(1, text, rel)], spans, rel)
+        if rel >= cfg.html_lenient_cutoff:
+            return _row(url, warc_ts, lang, "html", "html_lenient", "OK",
+                        True, False, 1, [(1, text, rel)], spans, rel)
+    raw = extract_raw(source)
+    raw_rel = score_reliability(raw)
+    if raw.strip() and raw_rel >= cfg.html_raw_cutoff:
+        return _row(url, warc_ts, lang, "html", "html_raw", "OK",
+                    True, False, 1, [(1, raw, raw_rel)], [], raw_rel)
+    return _row(url, warc_ts, lang, "html", "html_raw", "ERROR", True,
+                False, 0, [], [], raw_rel,
+                f"extract_below_cutoff: rel={raw_rel:.4f}")
 
 
 # --------------------------------------------------------------------------

@@ -118,6 +118,7 @@ class _BlockParser(HTMLParser):
         self.tag_stack: list[str] = []
         self.block_tag_stack: list[str] = ["html"]
         self.saw_root = False
+        self.violation: str | None = None  # observed strict violation
 
     # --- position helpers -------------------------------------------------
     def _abs(self) -> int:
@@ -175,8 +176,9 @@ class _BlockParser(HTMLParser):
             self._flush()
 
     def handle_endtag(self, tag: str) -> None:
-        if self.strict:
-            if not self.tag_stack or self.tag_stack[-1] != tag:
+        if not self.tag_stack or self.tag_stack[-1] != tag:
+            self.violation = self.violation or f"mismatched </{tag}>"
+            if self.strict:
                 raise StrictParseError(
                     f"mismatched </{tag}> at offset {self._abs()}"
                 )
@@ -230,13 +232,32 @@ class _BlockParser(HTMLParser):
 
     def finish(self) -> list[Block]:
         self._flush()
-        if self.strict:
-            if not self.saw_root:
+        if not self.saw_root:
+            self.violation = self.violation or "no doctype/<html> root"
+            if self.strict:
                 raise StrictParseError("no doctype/<html> root")
-            leftover = [t for t in self.tag_stack if t not in ("html", "body")]
-            if leftover:
+        leftover = [t for t in self.tag_stack if t not in ("html", "body")]
+        if leftover:
+            self.violation = self.violation or f"unclosed tags: {leftover}"
+            if self.strict:
                 raise StrictParseError(f"unclosed tags: {leftover}")
         return self.blocks
+
+
+def parse_blocks_observed(html_str: str) -> tuple[list[Block], str | None]:
+    """ONE lenient parse that also reports whether a strict parse
+    would have succeeded (None = strictly valid, else the first
+    violation). A clean document's lenient block sequence is identical
+    to its strict one, so the fused cascade can parse once instead of
+    strict-then-lenient (~20% of html kernel time on noisy corpora)."""
+    parser = _BlockParser(html_str, strict=False)
+    try:
+        parser.feed(html_str)
+        parser.close()
+    except Exception as exc:  # lenient: keep partial blocks
+        parser.violation = parser.violation or f"parser error: {exc}"
+    blocks = parser.finish()
+    return blocks, parser.violation
 
 
 def parse_blocks(html_str: str, strict: bool = False) -> list[Block]:
