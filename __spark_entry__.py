@@ -1385,6 +1385,39 @@ FROM paras
 """
 
 
+def q_token_windows(spark, sf_dir):
+    """LLM-pretraining sample windowing: 64-token windows, stride 48,
+    final window may be shorter — zero-shuffle JVM array math."""
+    from document_extractor_spark.operators.chunker import token_windows
+
+    return token_windows(_docs(spark, sf_dir), window=64, stride=48)
+
+
+_ORACLE_TOKEN_WINDOWS = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents),
+s AS (
+  SELECT doc_id, tk,
+         range(1, greatest(len(tk) - 64 + 1, 1) + 1, 48) AS starts
+  FROM t),
+w AS (
+  SELECT doc_id,
+         CAST(u.i - 1 AS BIGINT) AS win_idx,
+         CAST(starts[CAST(u.i AS INT)] AS BIGINT) AS start_tok,
+         CAST(least(64, len(tk) - starts[CAST(u.i AS INT)] + 1) AS BIGINT)
+             AS n_tokens,
+         array_to_string(
+             tk[CAST(starts[CAST(u.i AS INT)] AS INT):
+                CAST(starts[CAST(u.i AS INT)] + 63 AS INT)], ' ')
+             AS window_text
+  FROM s, LATERAL unnest(range(1, len(starts) + 1)) AS u(i))
+SELECT doc_id, win_idx, start_tok, n_tokens, window_text
+FROM w WHERE n_tokens > 0
+"""
+
+
 def q_extract_error_rows(spark, sf_dir):
     """ERROR-status rows of the full pipeline: garbage HTML falls off the
     cascade with html_raw, scan-only PDFs triage to ERROR with pdf_text
@@ -1460,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_error_rows": q_extract_error_rows,
         "url_canonical_dedup": q_url_canonical_dedup,
         "paragraph_dedup": q_paragraph_dedup,
+        "token_windows": q_token_windows,
     }
 
 
@@ -1474,6 +1508,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _ORACLE_WINNOW,
         "url_canonical_dedup": _ORACLE_URL_DEDUP,
         "paragraph_dedup": _ORACLE_PARA_DEDUP,
+        "token_windows": _ORACLE_TOKEN_WINDOWS,
         "pricing_summary": _ORACLE_PRICING,
         "top_revenue_nations": _ORACLE_TOP_NATIONS,
         "route_dispatch": _ORACLE_ROUTE,

@@ -123,3 +123,45 @@ def chunk_by_cumsum(
         (F.floor((F.sum(size_col).over(w) - 1) / F.lit(max_bytes)) + 1)
         .cast("integer"),
     )
+
+
+def token_windows(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-token-size training-sample windows with overlap.
+
+    The standard LLM-pretraining chunking op: whitespace tokens,
+    windows of `window` tokens starting every `stride` tokens (the
+    final window may be shorter). All JVM array math — tokens are
+    split once per row, window starts come from sequence(), and each
+    window is a slice+join; no shuffle at all (embarrassingly
+    parallel, survives any scale the scan survives).
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - F.lit(window) + 1, F.lit(1)),
+        F.lit(stride))
+    wins = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.cast("long").alias("start_tok"),
+            F.least(F.lit(window), n - s + 1).cast("long")
+            .alias("n_tokens"),
+            F.array_join(F.slice(toks, s, window), " ")
+            .alias("window_text")))
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.posexplode(wins).alias("win_idx", "w"))
+        .filter(F.col("w.n_tokens") > 0)
+        .select(
+            id_col,
+            F.col("win_idx").cast("long").alias("win_idx"),
+            F.col("w.start_tok").alias("start_tok"),
+            F.col("w.n_tokens").alias("n_tokens"),
+            F.col("w.window_text").alias("window_text"))
+    )

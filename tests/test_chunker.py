@@ -193,3 +193,33 @@ def test_write_chunks_files_byte_parity(spark, pages_df, cfg, tmp_path):
     # every chunk dir accounted for
     ndirs = len(glob.glob(f"{out}/run_id=*/chunk_id=*"))
     assert ndirs == pdf.groupby(["run_id", "chunk_id"]).ngroups
+
+
+def test_token_windows_semantics(spark):
+    """Window/stride/short-tail semantics of the training-sample
+    windower, incl. docs shorter than one window."""
+    from document_extractor_spark.operators.chunker import token_windows
+
+    text20 = " ".join(f"t{i}" for i in range(1, 21))  # 20 tokens
+    rows = [(1, text20), (2, "a b c"), (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (token_windows(df, window=8, stride=6).toPandas()
+           .sort_values(["doc_id", "win_idx"]).reset_index(drop=True))
+
+    d1 = got[got.doc_id == 1]
+    # starts: 1, 7, 13 (last full-window start = 20-8+1=13)
+    assert d1.start_tok.tolist() == [1, 7, 13]
+    assert d1.n_tokens.tolist() == [8, 8, 8]
+    assert d1.window_text.iloc[0] == " ".join(f"t{i}" for i in range(1, 9))
+    assert d1.window_text.iloc[2] == " ".join(f"t{i}" for i in range(13, 21))
+    # overlap: stride 6 < window 8 -> consecutive windows share 2 tokens
+    assert d1.window_text.iloc[0].split()[-2:] == \
+        d1.window_text.iloc[1].split()[:2]
+
+    d2 = got[got.doc_id == 2]  # shorter than one window: single tail
+    assert len(d2) == 1
+    assert (d2.iloc[0].start_tok, d2.iloc[0].n_tokens) == (1, 3)
+    assert d2.iloc[0].window_text == "a b c"
+
+    assert (got.doc_id != 3).all()  # empty text -> no windows
+    assert (got.doc_id != 4).all()  # null text -> no windows
