@@ -1385,6 +1385,52 @@ FROM paras
 """
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup VALUE-checked against batch SQL: the
+    seeded corpus is replayed as two micro-batches (second re-sends
+    half of the first), drained with Trigger.AvailableNow through
+    dropDuplicatesWithinWatermark, and the surviving content-hash set
+    must equal DISTINCT md5(payload) over the whole corpus."""
+    import shutil
+    import time
+
+    from document_extractor_spark.streaming import dedup_pages_stream
+
+    cdir = _ensure_entry_corpus()
+    pages = spark.read.parquet(f"{cdir}/pages.parquet")
+    work = f"{_ENTRY_CORPUS_DIR}_streamdedup"
+    in_dir, out_dir, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    if not os.path.exists(out_dir):
+        shutil.rmtree(work, ignore_errors=True)
+        a = pages.limit(400)
+        b = pages.limit(200).unionByName(pages.subtract(pages.limit(400)))
+        a.coalesce(1).write.mode("overwrite").parquet(f"{in_dir}/a")
+        time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+        b.coalesce(1).write.mode("overwrite").parquet(f"{in_dir}/b")
+        stream = (spark.readStream.schema(pages.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(in_dir + "/*"))
+        q = (dedup_pages_stream(stream)
+             .writeStream.format("parquet")
+             .option("path", out_dir).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+    out = spark.read.parquet(out_dir)
+    return out.agg(
+        F.count("*").alias("survivors"),
+        F.countDistinct("content_hash").alias("n_unique"))
+
+
+# DuckDB's md5() is VARCHAR-only, so the twin counts DISTINCT raw
+# payloads (BLOB DISTINCT) instead of hashes — same cardinality.
+_ORACLE_STREAM_DEDUP = f"""
+SELECT CAST(count(DISTINCT coalesce(html, encode(coalesce(text, ''))))
+            AS BIGINT) AS survivors,
+       CAST(count(DISTINCT coalesce(html, encode(coalesce(text, ''))))
+            AS BIGINT) AS n_unique
+FROM '{_ENTRY_CORPUS_DIR}/pages.parquet'
+"""
+
+
 def q_token_windows(spark, sf_dir):
     """LLM-pretraining sample windowing: 64-token windows, stride 48,
     final window may be shorter — zero-shuffle JVM array math."""
@@ -1494,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": q_url_canonical_dedup,
         "paragraph_dedup": q_paragraph_dedup,
         "token_windows": q_token_windows,
+        "streaming_dedup": q_streaming_dedup,
     }
 
 
@@ -1509,6 +1556,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical_dedup": _ORACLE_URL_DEDUP,
         "paragraph_dedup": _ORACLE_PARA_DEDUP,
         "token_windows": _ORACLE_TOKEN_WINDOWS,
+        "streaming_dedup": _ORACLE_STREAM_DEDUP,
         "pricing_summary": _ORACLE_PRICING,
         "top_revenue_nations": _ORACLE_TOP_NATIONS,
         "route_dispatch": _ORACLE_ROUTE,
