@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "embedding_neardup_lsh",
     "training_filter_pipeline",
     "asof_join_purchases",
+    "legacy_reliability",
+    "token_windows",
+    "url_canonical_dedup",
 ]
 
 

@@ -41,6 +41,11 @@ def _normalize(rows, cols):
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
 
 
+def _reorder(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return [tuple(r[i] for i in order) for r in rows]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -102,6 +107,21 @@ def main() -> int:
                 ok = False
                 diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 print(f"FAIL  {name}: value mismatch, first diffs: {diff}")
+            else:
+                # exact-value + type pass, mimicking the driver's
+                # dtype-sensitive hash (DuckDB HUGEINT vs Spark long
+                # was the round-1 failure class)
+                ax = sorted(
+                    tuple((type(v).__name__, repr(v)) for v in r)
+                    for r in (_reorder(srows, scols)))
+                bx = sorted(
+                    tuple((type(v).__name__, repr(v)) for v in r)
+                    for r in (_reorder(orows, ocols)))
+                if ax != bx:
+                    ok = False
+                    diff = [(x, y) for x, y in zip(ax, bx) if x != y][:2]
+                    print(f"FAIL  {name}: exact type/value mismatch "
+                          f"(driver hash would differ): {diff}")
         if ok:
             print(f"OK    {name}: {len(srows)} rows "
                   f"({time.time() - t0:.1f}s)")
