@@ -126,3 +126,28 @@ def test_pipeline_stopword_gate_config(spark):
         persist=False)
     txt_on = on.extracted.select("text").head()[0]
     assert spam not in txt_on and content in txt_on
+
+
+def test_docx_inside_pdf_container(spark):
+    """S9 x E8: a DOCX attachment in a PDF portfolio routes through
+    the inline container recursion to the docx branch."""
+    from document_extractor_spark.config import PipelineConfig
+    from document_extractor_spark.pdf_gen import build_pdf
+    from document_extractor_spark.pipeline import run_extraction
+
+    inner = build_docx([
+        "The quarterly market report shows strong revenue growth.",
+        "Supply chain policy remained stable across the region."])
+    payload = build_pdf([["Container manifest page."]],
+                        attachments=[("report.docx", inner)])
+    pages = spark.createDataFrame(
+        [("https://x.example.com/container/9", None, payload, None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    res = run_extraction(spark, pages, PipelineConfig(), persist=False)
+    ext = res.extracted.drop("spans").toPandas()
+    child = ext[ext.url.str.endswith("::report.docx")]
+    assert len(child) == 1
+    assert child.iloc[0].method == "docx_text"
+    assert child.iloc[0].status == "OK"
+    assert child.iloc[0].text.startswith("The quarterly market report")
