@@ -1197,22 +1197,58 @@ def q_embedding_neardup_lsh(spark, sf_dir):
 
 
 def q_media_metadata(spark, sf_dir):
-    """Multimodal plumbing: typed metadata over opaque binary media
-    columns (deterministic synthetic payloads; stub decode kernels)."""
+    """Multimodal metadata over opaque binary media columns with REAL
+    header parsing (PNG IHDR / RIFF fmt+data / MP4 mvhd — stdlib only;
+    pixel/sample decode stays stubbed). Payloads are built
+    deterministically from the id, so the oracle recomputes every
+    field arithmetically in SQL."""
     from document_extractor_spark.operators.multimodal import (
+        build_mp4,
+        build_png,
+        build_wav,
         media_meta_table,
     )
 
-    rows = [
-        (i, bytes([137, 80, 78, 71, 13, 10, 26, 10]) + bytes([i % 251] * 64))
-        if i % 3 == 0 else
-        (i, b"RIFF" + bytes(4) + b"WAVEfmt " + bytes([i % 251] * 32))
-        if i % 3 == 1 else
-        (i, b"\xff\xd8\xff\xe0" + bytes([i % 251] * 48))
-        for i in range(60)
-    ]
+    rows = []
+    for i in range(60):
+        if i % 3 == 0:
+            rows.append((i, build_png(16 * (i % 7 + 1), 16 * (i % 5 + 1))))
+        elif i % 3 == 1:
+            rows.append((i, build_wav(i % 9 + 1)))
+        else:
+            rows.append((i, build_mp4(i % 11 + 1)))
     media = spark.createDataFrame(rows, "id long, media binary")
     return media_meta_table(media)
+
+
+def _media_fixture_sizes() -> tuple[int, int, int]:
+    from document_extractor_spark.operators.multimodal import (
+        build_mp4, build_png, build_wav)
+
+    # builder byte lengths are shape-constant (headers only)
+    return len(build_png(16, 16)), len(build_wav(1)), len(build_mp4(1))
+
+
+_PNG_BYTES, _WAV_BYTES, _MP4_BYTES = _media_fixture_sizes()
+
+_ORACLE_MEDIA = f"""
+SELECT CAST(i AS BIGINT) AS id,
+       CASE i % 3 WHEN 0 THEN 'image/png'
+                  WHEN 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS kind,
+       CAST(CASE i % 3 WHEN 0 THEN {_PNG_BYTES}
+                       WHEN 1 THEN {_WAV_BYTES}
+                       ELSE {_MP4_BYTES} END AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN i % 3 = 0 THEN 16 * (i % 7 + 1) END AS INT) AS width,
+       CAST(CASE WHEN i % 3 = 0 THEN 16 * (i % 5 + 1) END AS INT) AS height,
+       CAST(CASE i % 3 WHEN 1 THEN 1000 * (i % 9 + 1)
+                       WHEN 2 THEN 1000 * (i % 11 + 1) END AS INT)
+           AS duration_ms,
+       CASE i % 3 WHEN 0 THEN 'png'
+                  WHEN 1 THEN 'pcm16@8000'
+                  ELSE 'mp4' END AS codec
+FROM range(0, 60) t(i)
+"""
 
 
 # Versioned so a corpus.py change invalidates the cached parquet; bump
@@ -1557,6 +1593,7 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": _ORACLE_PARA_DEDUP,
         "token_windows": _ORACLE_TOKEN_WINDOWS,
         "streaming_dedup": _ORACLE_STREAM_DEDUP,
+        "media_metadata": _ORACLE_MEDIA,
         "pricing_summary": _ORACLE_PRICING,
         "top_revenue_nations": _ORACLE_TOP_NATIONS,
         "route_dispatch": _ORACLE_ROUTE,

@@ -56,34 +56,125 @@ def _sniff_media_kind(payload: bytes | None) -> str:
     return "binary/unknown"
 
 
-def _fake_dims(payload: bytes) -> tuple[int, int]:
-    """Deterministic stand-in for a real header parse."""
-    h = hashlib.md5(payload[:64]).digest()
-    return 16 * (1 + h[0] % 64), 16 * (1 + h[1] % 64)
+# ---------------------------------------------------------------------------
+# REAL header parsers (stdlib-only): metadata extraction does not need
+# image/audio libraries — only pixel/sample DECODE does (still stubbed
+# in media_features / frame sampling). A payload whose magic matches
+# but whose header is truncated/garbled degrades to None fields.
+# ---------------------------------------------------------------------------
+def _png_dims(payload: bytes) -> tuple[int | None, int | None]:
+    """IHDR is always the first chunk: width/height at bytes 16..24."""
+    if len(payload) >= 24 and payload[12:16] == b"IHDR":
+        return (int.from_bytes(payload[16:20], "big"),
+                int.from_bytes(payload[20:24], "big"))
+    return None, None
+
+
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def _jpeg_dims(payload: bytes) -> tuple[int | None, int | None]:
+    """Walk marker segments to the first SOFn frame header."""
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None, None
+        marker = payload[i + 1]
+        if marker in _JPEG_SOF:
+            if i + 9 <= n:
+                return (int.from_bytes(payload[i + 7:i + 9], "big"),
+                        int.from_bytes(payload[i + 5:i + 7], "big"))
+            return None, None
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers have no length
+            continue
+        seg_len = int.from_bytes(payload[i + 2:i + 4], "big")
+        if seg_len < 2:
+            return None, None
+        i += 2 + seg_len
+    return None, None
+
+
+def _wav_meta(payload: bytes) -> tuple[int | None, str | None]:
+    """RIFF chunk walk: (duration_ms, 'pcm<bits>@<rate>') from the
+    fmt and data chunks."""
+    pos, n = 12, len(payload)
+    rate = channels = bits = data_size = None
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate and channels and bits and data_size is not None:
+        bytes_per_sec = rate * channels * (bits // 8)
+        if bytes_per_sec:
+            return (round(1000 * data_size / bytes_per_sec),
+                    f"pcm{bits}@{rate}")
+    return None, None
+
+
+def _mp4_duration_ms(payload: bytes) -> int | None:
+    """Top-level box walk to moov/mvhd (version 0): duration/timescale."""
+    def walk(buf: bytes, want: bytes) -> bytes | None:
+        pos = 0
+        while pos + 8 <= len(buf):
+            size = int.from_bytes(buf[pos:pos + 4], "big")
+            btype = buf[pos + 4:pos + 8]
+            if size < 8:
+                return None
+            if btype == want:
+                return buf[pos + 8:pos + size]
+            pos += size
+        return None
+
+    moov = walk(payload, b"moov")
+    if moov is None:
+        return None
+    mvhd = walk(moov, b"mvhd")
+    if mvhd is None or len(mvhd) < 20 or mvhd[0] != 0:
+        return None
+    timescale = int.from_bytes(mvhd[12:16], "big")
+    duration = int.from_bytes(mvhd[16:20], "big")
+    return round(1000 * duration / timescale) if timescale else None
 
 
 def extract_media_meta(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: (id, media binary) -> typed metadata row."""
+    """mapInPandas kernel: (id, media binary) -> typed metadata row.
+
+    Width/height/duration come from REAL header parsing (PNG IHDR,
+    JPEG SOFn walk, RIFF fmt/data chunks, MP4 mvhd box) — no external
+    library needed for metadata; only content decode stays stubbed."""
     for pdf_batch in batches:
         out = []
         for r in pdf_batch.itertuples(index=False):
             payload = r.media
             kind = _sniff_media_kind(payload)
             w = h = dur = None
-            if kind.startswith("image/"):
-                if _HAVE_PIL:  # pragma: no cover
-                    raise NotImplementedError(
-                        "real decode path: PIL present but kernel stubbed")
-                w, h = _fake_dims(payload)
-            elif kind.startswith(("audio/", "video/")):
-                dur = 1000 * (1 + payload[12] % 60) if len(payload) > 12 else 0
+            codec = kind.split("/")[-1]
+            if kind == "image/png":
+                w, h = _png_dims(payload)
+            elif kind == "image/jpeg":
+                w, h = _jpeg_dims(payload)
+            elif kind == "audio/wav":
+                dur, fmt = _wav_meta(payload)
+                codec = fmt or codec
+            elif kind == "video/mp4":
+                dur = _mp4_duration_ms(payload)
             out.append({
                 "id": r.id, "kind": kind,
                 "n_bytes": len(payload) if payload else 0,
                 "width": w, "height": h, "duration_ms": dur,
-                "codec": kind.split("/")[-1],
+                "codec": codec,
             })
         yield pd.DataFrame(out, columns=[
             "id", "kind", "n_bytes", "width", "height", "duration_ms",
@@ -143,3 +234,44 @@ def sampled_frames_table(media: DataFrame, stride: int = 10,
                          max_frames: int = 8) -> DataFrame:
     return media.select("id", "media").mapInPandas(
         make_frame_sampler(stride, max_frames), schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic media builders (corpus/test fixtures + the driver
+# oracle): minimal VALID headers the real parsers above can read.
+# ---------------------------------------------------------------------------
+def build_png(w: int, h: int) -> bytes:
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr)) + chunk
+            + struct.pack(">I", zlib.crc32(chunk)))
+
+
+def build_wav(seconds: int, rate: int = 8000, channels: int = 1,
+              bits: int = 16) -> bytes:
+    import struct
+
+    data_size = seconds * rate * channels * (bits // 8)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * bits // 8,
+                      channels * bits // 8, bits)
+    # header declares the true data size; the body is truncated (these
+    # are metadata fixtures, not playable audio)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", data_size) + bytes(16))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def build_mp4(duration_s: int, timescale: int = 1000) -> bytes:
+    import struct
+
+    mvhd_body = bytes(12) + struct.pack(
+        ">II", timescale, duration_s * timescale) + bytes(80)
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + bytes(4)
+    return ftyp + moov
