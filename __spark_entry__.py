@@ -1120,8 +1120,32 @@ GROUP BY c_mktsegment
 # non-SQL-expressible ops (rows-only driver check)
 # ===========================================================================
 def q_simhash_fingerprints(spark, sf_dir):
-    """SimHash 63-bit fingerprints (pandas UDF)."""
+    """SimHash 63-bit fingerprints (numpy-vectorized pandas UDF),
+    value-checked bit-for-bit by a DuckDB per-bit majority twin."""
     return DD.simhash_fingerprints(_docs(spark, sf_dir))
+
+
+_ORACLE_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+             string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS tok
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(tok), 1, 16)) AS UBIGINT) AS hv
+  FROM toks),
+bits AS (
+  SELECT doc_id, CAST(b.b AS INT) AS b,
+         CASE WHEN 2 * count(*) FILTER (((hv >> CAST(b.b AS INT)) & 1) = 1)
+                   > count(*) THEN 1 ELSE 0 END AS bit
+  FROM h, LATERAL unnest(range(0, 63)) AS b(b)
+  GROUP BY doc_id, b.b)
+SELECT doc_id,
+       CAST(sum(CAST(bit AS HUGEINT) * (CAST(1 AS HUGEINT) << b)) AS BIGINT)
+           AS simhash
+FROM bits GROUP BY doc_id
+"""
 
 
 def q_lsh_ann_topk(spark, sf_dir):
@@ -1594,6 +1618,7 @@ def oracle_sql() -> dict[str, str]:
         "token_windows": _ORACLE_TOKEN_WINDOWS,
         "streaming_dedup": _ORACLE_STREAM_DEDUP,
         "media_metadata": _ORACLE_MEDIA,
+        "simhash_fingerprints": _ORACLE_SIMHASH,
         "pricing_summary": _ORACLE_PRICING,
         "top_revenue_nations": _ORACLE_TOP_NATIONS,
         "route_dispatch": _ORACLE_ROUTE,
