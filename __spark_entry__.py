@@ -1220,6 +1220,17 @@ def q_embedding_neardup_lsh(spark, sf_dir):
                                          == 1_000_000)
 
 
+# identical vectors share EVERY sign bit whatever the hyperplanes are,
+# so the salted-duplicate recovery set is plane-independent and exactly
+# enumerable: one (v, v+1e6, cosine 1.0) pair per embedding row.
+_ORACLE_NEARDUP_LSH = """
+SELECT vec_id AS id_a,
+       vec_id + 1000000 AS id_b,
+       1.0 AS cosine
+FROM embeddings
+"""
+
+
 def q_media_metadata(spark, sf_dir):
     """Multimodal metadata over opaque binary media columns with REAL
     header parsing (PNG IHDR / RIFF fmt+data / MP4 mvhd — stdlib only;
@@ -1619,6 +1630,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": _ORACLE_STREAM_DEDUP,
         "media_metadata": _ORACLE_MEDIA,
         "simhash_fingerprints": _ORACLE_SIMHASH,
+        "embedding_neardup_lsh": _ORACLE_NEARDUP_LSH,
         "pricing_summary": _ORACLE_PRICING,
         "top_revenue_nations": _ORACLE_TOP_NATIONS,
         "route_dispatch": _ORACLE_ROUTE,
