@@ -1226,7 +1226,7 @@ def q_embedding_neardup_lsh(spark, sf_dir):
 _ORACLE_NEARDUP_LSH = """
 SELECT vec_id AS id_a,
        vec_id + 1000000 AS id_b,
-       1.0 AS cosine
+       CAST(1.0 AS DOUBLE) AS cosine
 FROM embeddings
 """
 
