@@ -1471,7 +1471,18 @@ def q_streaming_dedup(spark, sf_dir):
     pages = spark.read.parquet(f"{cdir}/pages.parquet")
     work = f"{_ENTRY_CORPUS_DIR}_streamdedup"
     in_dir, out_dir, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
-    if not os.path.exists(out_dir):
+
+    def _cached_ok() -> bool:
+        # a timed-out prior run can leave a readable-but-partial sink;
+        # survivors must cover every distinct payload before we trust it
+        try:
+            n = spark.read.parquet(out_dir).count()
+        except Exception:
+            return False
+        want = pages.select("html", "text").distinct().count()
+        return n == want
+
+    if not _cached_ok():
         shutil.rmtree(work, ignore_errors=True)
         a = pages.limit(400)
         b = pages.limit(200).unionByName(pages.subtract(pages.limit(400)))
