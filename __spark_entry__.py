@@ -1288,7 +1288,7 @@ FROM range(0, 60) t(i)
 
 # Versioned so a corpus.py change invalidates the cached parquet; bump
 # when generate_corpus output changes.
-_ENTRY_CORPUS_DIR = "/tmp/des_corpus_entry_600_v3"
+_ENTRY_CORPUS_DIR = "/tmp/des_corpus_entry_600_v4"
 
 
 def _ensure_entry_corpus() -> str:

@@ -56,18 +56,19 @@ _HOT_DOMAINS = [
 
 # fixture class -> cumulative weight (FIXTURES.md §2 mix)
 _MIX = [
-    ("html_clean", 0.36),
-    ("html_noisy", 0.48),
-    ("html_garbage", 0.52),
-    ("pdf_text", 0.66),
-    ("pdf_big", 0.69),
-    ("pdf_scanonly", 0.71),
-    ("plaintext", 0.82),
-    ("pretext", 0.84),
-    ("container", 0.88),
-    ("docx", 0.93),
-    ("noise", 0.95),
-    ("unsupported", 0.97),
+    ("html_clean", 0.34),
+    ("html_noisy", 0.46),
+    ("html_garbage", 0.50),
+    ("pdf_text", 0.64),
+    ("pdf_big", 0.67),
+    ("pdf_scanonly", 0.69),
+    ("plaintext", 0.80),
+    ("pretext", 0.82),
+    ("container", 0.86),
+    ("docx", 0.91),
+    ("gzip_html", 0.94),
+    ("noise", 0.96),
+    ("unsupported", 0.98),
     ("dup", 1.00),
 ]
 
@@ -300,6 +301,25 @@ def generate_corpus(
                 paras + ([c for r_ in table for c in r_] if table else []))
             expected.append(_exp(
                 truth, "docx_text", False, score_reliability(truth)))
+
+        elif cls == "gzip_html":
+            # Common-Crawl payloads often arrive gzip-compressed: the
+            # engine must decompress and route the inner html (mtime=0
+            # keeps the bytes deterministic)
+            import gzip as _gzip
+            import io as _io
+
+            title = _sentence(rng, lang, 4, 7)[:-1]
+            paras = [_paragraph(rng, lang, 2, 4)
+                     for _ in range(rng.randint(3, 5))]
+            html = _render_html(rng, lang, title, paras, malformed=False)
+            buf = _io.BytesIO()
+            with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(html.encode("utf-8"))
+            row["html"] = buf.getvalue()
+            truth = "\n".join([title] + paras)
+            expected.append(_exp(truth, "html_text", False,
+                                 score_reliability(truth)))
 
         elif cls == "noise":
             row["html"] = b"RIFF\x24\x00\x00\x00WAVEfmt " + bytes(32)

@@ -26,12 +26,13 @@ FMT_PDF = "pdf"
 FMT_HTML = "html"
 FMT_TXT = "txt"
 FMT_DOCX = "docx"
+FMT_GZIP = "gzip"
 FMT_PRETEXT = "pretext"
 FMT_NOISE = "noise"
 FMT_UNSUPPORTED = "unsupported"
 
-ALL_FORMATS = [FMT_PDF, FMT_HTML, FMT_TXT, FMT_DOCX, FMT_PRETEXT,
-               FMT_NOISE, FMT_UNSUPPORTED]
+ALL_FORMATS = [FMT_PDF, FMT_HTML, FMT_TXT, FMT_DOCX, FMT_GZIP,
+               FMT_PRETEXT, FMT_NOISE, FMT_UNSUPPORTED]
 
 # how many payload bytes the sniffer inspects
 _PREFIX_LEN = 512
@@ -54,6 +55,7 @@ def sniff_format(html: Column, text: Column) -> Column:
     # first). Zips that bury it past 512 bytes stay unsupported -
     # mirrored in extract_branches.sniff_bytes (route parity pytest).
     is_docx = is_zip & prefix.contains("word/document.xml")
+    is_gzip = prefix.startswith("\x1f\x8b")
     is_pdf = prefix.startswith("%PDF-")
     looks_html = (
         low.contains("<!doctype html")
@@ -67,6 +69,7 @@ def sniff_format(html: Column, text: Column) -> Column:
         F.when(html.isNull() & text.isNotNull(), F.lit(FMT_PRETEXT))
         .when(html.isNull(), F.lit(FMT_UNSUPPORTED))
         .when(is_wav, F.lit(FMT_NOISE))          # noise deleted on sight
+        .when(is_gzip, F.lit(FMT_GZIP))          # decompress + re-route
         .when(is_docx, F.lit(FMT_DOCX))          # Office Open XML text
         .when(is_zip, F.lit(FMT_UNSUPPORTED))    # xlsx-style containers
         .when(is_pdf, F.lit(FMT_PDF))

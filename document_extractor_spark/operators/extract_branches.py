@@ -322,6 +322,8 @@ def sniff_bytes(html: bytes | None, text: str | None) -> str:
     prefix = html[:512]
     if prefix.startswith(b"RIFF") and prefix[8:12] == b"WAVE":
         return "noise"
+    if prefix.startswith(b"\x1f\x8b"):
+        return "gzip"
     if prefix.startswith(b"PK\x03\x04"):
         return "docx" if DOCX_MARKER in prefix else "unsupported"
     if prefix.startswith(b"PK"):
@@ -356,6 +358,28 @@ def make_extract_any(cfg: PipelineConfig):
             return
         if fmt == "docx":
             out.append(_docx_core(url, warc_ts, lang, html, cfg))
+            return
+        if fmt == "gzip":
+            # Common-Crawl payloads are often stored gzip-compressed:
+            # decompress (bounded) and re-dispatch the inner bytes once
+            # (a gzip-in-gzip payload quarantines, no unbounded loops)
+            import gzip as _gzip
+
+            try:
+                inner = _gzip.decompress(html)
+            except Exception as exc:
+                out.append(_row(url, warc_ts, lang, "gzip", "none",
+                                "ERROR", False, False, 0, [], [], 0.0,
+                                f"gzip_corrupt: {exc}"))
+                return
+            ifmt = sniff_bytes(inner, None)
+            if ifmt == "gzip":
+                out.append(_row(url, warc_ts, lang, "gzip", "none",
+                                "ERROR", False, False, 0, [], [], 0.0,
+                                "gzip_nested"))
+                return
+            _dispatch_one(url, warc_ts, lang, ifmt, inner, None, out,
+                          allow_container=allow_container)
             return
         # pdf: container probe first (portfolio_unpack.py semantics)
         if allow_container and html is not None \

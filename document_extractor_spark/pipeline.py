@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 from .config import PipelineConfig
 from .functions.sniff import (
     FMT_DOCX,
+    FMT_GZIP,
     FMT_HTML,
     FMT_PDF,
     FMT_PRETEXT,
@@ -126,7 +127,15 @@ def _staged_branches(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
         .mapInPandas(explode_containers, schema=pages.schema)
         .withColumn("fmt", sniff_format(F.col("html"), F.col("text")))
     )
-    dispatched = sniffed.filter(F.col("fmt") != FMT_PDF).unionByName(pdf_stream)
+    dispatched = sniffed.filter(
+        ~F.col("fmt").isin(FMT_PDF, FMT_GZIP)).unionByName(pdf_stream)
+    # gzip rows: decompress + inner dispatch is inherently per-row
+    # recursive, so the staged path delegates that slice to the fused
+    # kernel (identical semantics by construction)
+    gzip_out = (
+        sniffed.filter(F.col("fmt") == FMT_GZIP)
+        .mapInPandas(make_extract_any(cfg), schema=BRANCH_SCHEMA)
+    )
 
     txt_rows = dispatched.filter(F.col("fmt").isin(FMT_TXT, FMT_PRETEXT))
     docx_rows = dispatched.filter(F.col("fmt") == FMT_DOCX)
@@ -175,7 +184,8 @@ def _staged_branches(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
         F.lit("unsupported").alias("error"),
     )
     return (txt_out.unionByName(docx_out).unionByName(pdf_out)
-            .unionByName(html_out).unionByName(unsupported_out))
+            .unionByName(html_out).unionByName(unsupported_out)
+            .unionByName(gzip_out))
 
 
 def run_extraction(

@@ -151,3 +151,55 @@ def test_docx_inside_pdf_container(spark):
     assert child.iloc[0].method == "docx_text"
     assert child.iloc[0].status == "OK"
     assert child.iloc[0].text.startswith("The quarterly market report")
+
+
+def test_gzip_payload_handling(spark):
+    """Gzip-compressed payloads (Common-Crawl reality): decompress and
+    re-route; corrupt gzip quarantines; nested gzip quarantines; a
+    gzip-wrapped PDF reaches the pdf branch."""
+    import gzip as g
+    import io
+
+    from document_extractor_spark.config import PipelineConfig
+    from document_extractor_spark.pdf_gen import build_pdf
+    from document_extractor_spark.pipeline import run_extraction
+
+    def gz(b):
+        buf = io.BytesIO()
+        with g.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+            f.write(b)
+        return buf.getvalue()
+
+    html = (b"<!DOCTYPE html>\n<html><head><title>T</title></head><body>"
+            b"<main><p>The council published its annual budget report "
+            b"and the committee will review it in the autumn.</p></main>"
+            b"</body></html>")
+    pdf = build_pdf([[
+        "The annual report shows strong revenue growth this quarter.",
+        "Supply chain policy remained stable across the whole region.",
+        "The committee will review the findings in the autumn session.",
+    ]])
+    rows = [
+        ("u://gz-html", None, gz(html), None, "en"),
+        ("u://gz-pdf", None, gz(pdf), None, "en"),
+        ("u://gz-corrupt", None, b"\x1f\x8b\x08garbage-not-gzip", None, "en"),
+        ("u://gz-nested", None, gz(gz(html)), None, "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    res = run_extraction(spark, pages, PipelineConfig(), persist=False)
+    ext = res.extracted.drop("spans").toPandas().set_index("url")
+    quar = res.quarantine.toPandas().set_index("url")
+
+    assert ext.loc["u://gz-html"].method == "html_text"
+    assert ext.loc["u://gz-html"].status == "OK"
+    assert "council published" in ext.loc["u://gz-html"].text
+    assert ext.loc["u://gz-pdf"].method == "pdf_text"
+    assert ext.loc["u://gz-pdf"].status == "OK"
+    assert "gzip_corrupt" in quar.loc["u://gz-corrupt"].reason or \
+        "gzip_corrupt" in str(ext.loc["u://gz-corrupt"].error
+                              if "u://gz-corrupt" in ext.index else "")
+    assert "gzip_nested" in quar.loc["u://gz-nested"].reason or \
+        "gzip_nested" in str(ext.loc["u://gz-nested"].error
+                             if "u://gz-nested" in ext.index else "")
