@@ -43,6 +43,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="local[N] cores; 0 = use existing/cluster master")
     ap.add_argument("--buckets", type=int, default=0,
                     help="url-hash buckets (0 = auto)")
+    ap.add_argument("--export-chunks", metavar="DIR", default=None,
+                    help="also export combined chunk .txt files "
+                         "(S7 tail: rendered blocks greedily packed, "
+                         "one file per chunk)")
+    ap.add_argument("--max-chunk-bytes", type=int, default=3_000_000)
     args = ap.parse_args(argv)
 
     if args.cores > 0:
@@ -61,6 +66,12 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"run_id": args.run_id, "status": "noop",
                           "reason": "all inputs already committed"}))
         return 0
+    if args.export_chunks:
+        from .artifacts import chunked_docs, rendered_docs, write_chunks
+
+        rendered = rendered_docs(result.extracted)
+        write_chunks(chunked_docs(rendered, args.max_chunk_bytes),
+                     args.export_chunks)
     met = result.metrics.groupBy().sum(
         "docs_in", "docs_out", "parse_failures", "bytes_extracted"
     ).head()
