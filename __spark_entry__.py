@@ -1407,7 +1407,8 @@ n AS (
         regexp_replace(
           regexp_replace(
             regexp_replace(rest,
-              '(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '', 'g'),
+              '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '\\1',
+              'g'),
             '&&+', '&', 'g'),
           '\\?&+', '?', 'g'),
         '[?&]+$', '', 'g'),
@@ -1484,8 +1485,13 @@ def q_streaming_dedup(spark, sf_dir):
 
     if not _cached_ok():
         shutil.rmtree(work, ignore_errors=True)
-        a = pages.limit(400)
-        b = pages.limit(200).unionByName(pages.subtract(pages.limit(400)))
+        # deterministic url-hash split (limit() without an order would
+        # re-evaluate differently per reference): batch A = slices 0-3,
+        # batch B = slice 4 plus a RE-SEND of slice 0 (the duplicates
+        # the stream must drop)
+        slot = F.pmod(F.xxhash64("url"), F.lit(5))
+        a = pages.filter(slot < 4)
+        b = pages.filter(slot == 4).unionByName(pages.filter(slot == 0))
         a.coalesce(1).write.mode("overwrite").parquet(f"{in_dir}/a")
         time.sleep(1.1)  # distinct mtimes -> deterministic batch order
         b.coalesce(1).write.mode("overwrite").parquet(f"{in_dir}/b")
@@ -1495,7 +1501,9 @@ def q_streaming_dedup(spark, sf_dir):
              .writeStream.format("parquet")
              .option("path", out_dir).option("checkpointLocation", ckpt)
              .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()  # a partial sink must not be read as the answer
+            raise RuntimeError("streaming_dedup drain timed out")
     out = spark.read.parquet(out_dir)
     return out.agg(
         F.count("*").alias("survivors"),
@@ -1526,10 +1534,16 @@ WITH t AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
   FROM documents),
-s AS (
+s0 AS (
   SELECT doc_id, tk,
-         range(1, greatest(len(tk) - 64 + 1, 1) + 1, 48) AS starts
+         range(1, greatest(len(tk) - 64 + 1, 1) + 1, 48) AS fs
   FROM t),
+s AS (
+  -- shorter tail window when the last full window stops short
+  SELECT doc_id, tk,
+         CASE WHEN fs[-1] + 64 - 1 < len(tk)
+              THEN list_append(fs, fs[-1] + 48) ELSE fs END AS starts
+  FROM s0),
 w AS (
   SELECT doc_id,
          CAST(u.i - 1 AS BIGINT) AS win_idx,

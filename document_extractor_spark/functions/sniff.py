@@ -49,12 +49,17 @@ def sniff_format(html: Column, text: Column) -> Column:
     low = F.lower(prefix)
 
     is_wav = prefix.startswith("RIFF") & (F.substring(prefix, 9, 4) == "WAVE")
-    is_zip = prefix.startswith("PK")
+    # real zip signatures only (local header / EOCD / spanned):
+    # a text payload that merely starts with "PK" is NOT a zip
+    is_zip = (prefix.startswith("PK")
+              | prefix.startswith("PK")
+              | prefix.startswith("PK"))
     # DOCX = zip whose word/document.xml entry name is visible in the
     # sniffed prefix (first local file header; docx_mini stores it
     # first). Zips that bury it past 512 bytes stay unsupported -
     # mirrored in extract_branches.sniff_bytes (route parity pytest).
-    is_docx = is_zip & prefix.contains("word/document.xml")
+    is_docx = (prefix.startswith("PK")
+               & prefix.contains("word/document.xml"))
     is_gzip = prefix.startswith("\x1f\x8b")
     is_pdf = prefix.startswith("%PDF-")
     looks_html = (

@@ -25,13 +25,10 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# (pattern, replacement) pairs — Java regex == RE2 == Python for these
-_RULES: list[tuple[str, str]] = [
-    (r"#.*$", ""),                                     # 1 fragment
-    (r"^[Ww][Ww][Ww]\.", ""),                          # (host-only helper)
-]
-
-_TRACKING = r"(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*"
+# anchored to a ?/& boundary: un-anchored, the pattern would match
+# INSIDE longer param names ("afbclid=1") or values, collapsing
+# genuinely distinct urls into one canonical form
+_TRACKING = r"([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*"
 
 
 def canonical_url(url: Column) -> Column:
@@ -46,7 +43,7 @@ def canonical_url(url: Column) -> Column:
         .when(scheme == "https",
               F.regexp_replace(host, ":443$", "")) \
         .otherwise(host)                               # 4
-    rest = F.regexp_replace(rest, _TRACKING, "")       # 5
+    rest = F.regexp_replace(rest, _TRACKING, "$1")     # 5
     rest = F.regexp_replace(rest, r"&&+", "&")         # a=1&&b=2 -> &
     rest = F.regexp_replace(rest, r"\?&+", "?")        # ?&b=2 -> ?b=2
     rest = F.regexp_replace(rest, r"[?&]+$", "")       # dangling ?/&
@@ -71,7 +68,7 @@ def canonical_url_py(url: str) -> str:
         host = re.sub(":80$", "", host)
     elif scheme == "https":
         host = re.sub(":443$", "", host)
-    rest = re.sub(_TRACKING, "", rest)
+    rest = re.sub(_TRACKING, r"\1", rest)
     rest = re.sub(r"&&+", "&", rest)
     rest = re.sub(r"\?&+", "?", rest)
     rest = re.sub(r"[?&]+$", "", rest)

@@ -141,11 +141,20 @@ def token_windows(
     window is a slice+join; no shuffle at all (embarrassingly
     parallel, survives any scale the scan survives).
     """
+    assert stride <= window, "stride > window would leave coverage gaps"
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     n = F.size(toks)
-    starts = F.sequence(
+    full_starts = F.sequence(
         F.lit(1), F.greatest(n - F.lit(window) + 1, F.lit(1)),
         F.lit(stride))
+    # when the last full window stops short of the end, one shorter
+    # tail window (start = last + stride) covers the remaining tokens —
+    # without it, up to stride-1 tokens per doc silently vanish
+    last = F.element_at(full_starts, -1)
+    starts = F.when(
+        last + F.lit(window) - 1 < n,
+        F.concat(full_starts, F.array(last + F.lit(stride))),
+    ).otherwise(full_starts)
     wins = F.transform(
         starts,
         lambda s: F.struct(

@@ -141,13 +141,6 @@ def _docx_core(url, warc_ts, lang, payload, cfg: PipelineConfig) -> dict:
                 f"docx_below_cutoff: rel={rel:.4f}")
 
 
-_HTML_CASCADE = (
-    ("strict", "html_text", False),
-    ("lenient", "html_lenient", True),
-    ("raw", "html_raw", True),
-)
-
-
 def _html_core(url, warc_ts, lang, payload, cfg: PipelineConfig) -> dict:
     """Internal strict -> lenient -> raw cascade (one row, short-
     circuit on first acceptance — the reference's escalation
@@ -326,8 +319,8 @@ def sniff_bytes(html: bytes | None, text: str | None) -> str:
         return "gzip"
     if prefix.startswith(b"PK\x03\x04"):
         return "docx" if DOCX_MARKER in prefix else "unsupported"
-    if prefix.startswith(b"PK"):
-        return "unsupported"
+    if prefix.startswith((b"PK\x05\x06", b"PK\x07\x08")):
+        return "unsupported"  # zip EOCD/spanned; text starting "PK" is not a zip
     if prefix.startswith(b"%PDF-"):
         return "pdf"
     low = prefix.decode("iso-8859-1").lower()

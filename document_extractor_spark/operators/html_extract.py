@@ -296,7 +296,11 @@ def _stopword_union() -> frozenset:
 
 
 _SW_UNION = _stopword_union()
-_SW_TOKEN_RE = re.compile("[^a-z]+")
+# keep Latin letters WITH diacritics whole: a bare [^a-z] tokenizer
+# would shred "für" into f/r (making the listed entry unreachable)
+# and inflate the denominator with junk fragments for exactly the
+# non-English languages the union set exists to protect
+_SW_TOKEN_RE = re.compile("[^a-z\u00e0-\u00f6\u00f8-\u00ff]+")
 
 
 def stopword_ratio(text: str) -> float:
@@ -339,9 +343,10 @@ def classify_blocks(
         if (min_stopword_ratio > 0.0 and not b.heading):
             toks = [t for t in
                     _SW_TOKEN_RE.sub(" ", b.text.lower()).split(" ") if t]
-            if (len(toks) >= stopword_min_tokens
-                    and stopword_ratio(b.text) < min_stopword_ratio):
-                continue
+            if len(toks) >= stopword_min_tokens:
+                ratio = sum(1 for t in toks if t in _SW_UNION) / len(toks)
+                if ratio < min_stopword_ratio:
+                    continue
         kept.append(b)
     return kept
 

@@ -62,21 +62,39 @@ def sessionize_with_state(
         s0 = last = None
         n, tot = 0, 0.0
 
+    # accumulator for watermark-allowed stragglers that fall more than
+    # a gap BEFORE the open session: consecutive in-batch stragglers
+    # within a gap of each other merge into ONE early session, matching
+    # the batch twin (events arrive sorted within the batch)
+    early = None  # (start, end, n, tot)
+
+    def _flush_early() -> None:
+        nonlocal early
+        if early is not None:
+            out.append((user_id, *early))
+            early = None
+
     for us, value in zip(events["us"], events["value"]):
         us = int(us)
         if s0 is None:
             s0, last, n, tot = us, us, 1, float(value)
         elif us - last >= GAP_US:
+            _flush_early()
             out.append((user_id, s0, last, n, tot))  # close previous
             s0, last, n, tot = us, us, 1, float(value)
         elif s0 - us >= GAP_US:
             # watermark-allowed (1h) but more than a gap (30min) before
             # the open session's start: a separate, already-closed
-            # earlier session. Emit it alone — the batch twin would do
-            # the same unless another straggler lands within ITS gap in
-            # a later micro-batch (accepted approximation; the 1h
+            # earlier session. Merge with a pending in-batch straggler
+            # when within its gap; a straggler in a LATER micro-batch
+            # can no longer join it (accepted approximation; the 1h
             # watermark bounds how far back this can occur).
-            out.append((user_id, us, us, 1, float(value)))
+            if early is not None and us - early[1] < GAP_US:
+                early = (early[0], us, early[2] + 1,
+                         early[3] + float(value))
+            else:
+                _flush_early()
+                early = (us, us, 1, float(value))
         else:
             # a late out-of-order event (allowed by the watermark, within
             # the gap) must NOT rewind `last` — the next gap is measured
@@ -85,6 +103,7 @@ def sessionize_with_state(
             s0, last = min(s0, us), max(last, us)
             n, tot = n + 1, tot + float(value)
 
+    _flush_early()
     state.update((s0, last, n, tot))
     # close the open session if no event arrives within the gap
     state.setTimeoutTimestamp(last // 1000 + GAP_US // 1000)

@@ -223,3 +223,28 @@ def test_token_windows_semantics(spark):
 
     assert (got.doc_id != 3).all()  # empty text -> no windows
     assert (got.doc_id != 4).all()  # null text -> no windows
+
+
+def test_token_windows_tail_coverage(spark):
+    """EVERY token lands in at least one window: a misaligned tail
+    (n - window not a multiple of stride) gets a shorter final window
+    instead of silently vanishing."""
+    from document_extractor_spark.operators.chunker import token_windows
+
+    for n, w, s_ in [(100, 64, 48), (10, 8, 6), (20, 8, 6), (65, 64, 48),
+                     (130, 64, 48), (7, 8, 6), (64, 64, 48)]:
+        text = " ".join(f"t{i}" for i in range(1, n + 1))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        got = (token_windows(df, window=w, stride=s_).toPandas()
+               .sort_values("win_idx"))
+        covered = set()
+        for r in got.itertuples():
+            toks = r.window_text.split()
+            assert len(toks) == r.n_tokens
+            assert toks[0] == f"t{r.start_tok}"
+            covered.update(range(r.start_tok, r.start_tok + r.n_tokens))
+        assert covered == set(range(1, n + 1)), (n, w, s_, sorted(covered)[-5:])
+        # windows are stride-spaced with at most one short tail
+        starts = got.start_tok.tolist()
+        assert starts == sorted(starts)
+        assert all(b - a == s_ for a, b in zip(starts, starts[1:])), starts

@@ -149,3 +149,55 @@ def test_late_in_gap_event_does_not_rewind_session(spark, tmp_path):
     assert s.session_start_us == t0
     assert s.session_end_us == t0 + 38 * mins  # not rewound, not split
     assert s.n_events == 4
+
+
+def test_same_batch_stragglers_merge(spark, tmp_path):
+    """Two watermark-allowed stragglers in ONE later micro-batch that
+    are within a gap of each other must emit as a single merged early
+    session, matching the batch twin (review finding)."""
+    import time
+
+    from document_extractor_spark.streaming_state import stateful_sessions
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    t0 = 1_700_000_000_000_000
+    mins = 60_000_000
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "us", "value"])
+        pdf["ts"] = pd.to_datetime(pdf.us, unit="us", utc=True)
+        spark.createDataFrame(pdf[["user_id", "ts", "value"]]) \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(in_dir, name))
+        time.sleep(1.1)
+
+    # batch 1: open session starts at t0+100min
+    write_file("a", [(1, t0 + 100 * mins, 1.0)])
+    # batch 2: stragglers at t0+45 and t0+50 (both > gap before s0, but
+    # 5min apart -> ONE early session [45,50] n=2)
+    write_file("b", [(1, t0 + 45 * mins, 1.0), (1, t0 + 50 * mins, 1.0)])
+    # batch 3: close the main session
+    write_file("c", [(1, t0 + 400 * mins, 1.0)])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1").parquet(in_dir + "/*"))
+    q = (stateful_sessions(stream)
+         .writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = (spark.read.parquet(out_dir).toPandas()
+           .sort_values("session_start_us").reset_index(drop=True))
+    early = got[got.session_start_us == t0 + 45 * mins]
+    assert len(early) == 1, got.to_string()
+    assert early.iloc[0].session_end_us == t0 + 50 * mins
+    assert early.iloc[0].n_events == 2
+    # the main session emits separately, unpolluted
+    main = got[got.session_start_us == t0 + 100 * mins]
+    assert len(main) == 1 and main.iloc[0].n_events == 1

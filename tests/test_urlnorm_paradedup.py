@@ -62,3 +62,31 @@ def test_paragraph_dedup_marks(spark):
     # every non-shared paragraph is first
     others = got[~got.para_hash.isin(shared.para_hash)]
     assert others.is_first.all()
+
+
+def test_tracking_params_anchored_to_boundary():
+    """A param merely CONTAINING a tracker name must survive —
+    un-anchored stripping would merge distinct urls (review finding)."""
+    keep = [
+        ("https://h/p?afbclid=1", "https://h/p?afbclid=1"),
+        ("https://h/p?x_gclid=2", "https://h/p?x_gclid=2"),
+        ("https://h/p?q=utm_source%3Dx", "https://h/p?q=utm_source%3Dx"),
+    ]
+    strip = [
+        ("https://h/p?fbclid=1", "https://h/p"),
+        ("https://h/p?a=1&fbclid=2&b=3", "https://h/p?a=1&b=3"),
+        ("https://h/p?utm_a=1&utm_b=2", "https://h/p"),
+    ]
+    for raw, want in keep + strip:
+        assert canonical_url_py(raw) == want, raw
+
+
+def test_tracking_anchor_column_parity(spark):
+    cases = ["https://h/p?afbclid=1", "https://h/p?fbclid=1",
+             "https://h/p?a=1&fbclid=2&b=3", "https://h/p?utm_a=1&utm_b=2"]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(cases)],
+                               "id long, url string")
+    got = (df.select("id", canonical_url(F.col("url")).alias("c"))
+           .toPandas().set_index("id").c)
+    for i, u in enumerate(cases):
+        assert got[i] == canonical_url_py(u), u
