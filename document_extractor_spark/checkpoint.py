@@ -40,9 +40,17 @@ def committed_urls(spark: SparkSession, out_dir: str) -> DataFrame | None:
         except Exception:  # table not created yet = nothing committed
             return None
     manifest = os.path.join(out_dir, "_manifest")
-    if not os.path.isdir(manifest) or not os.listdir(manifest):
+    # read-probe instead of os.path checks: (a) out_dir may be a
+    # remote fs (hdfs://, s3a://) the driver's local os module cannot
+    # see — silently disabling resume; (b) a crash during the FIRST
+    # manifest write can leave only _temporary/ behind, which passes a
+    # listdir check but fails the parquet read forever after
+    try:
+        df = spark.read.parquet(manifest)
+        df.take(1)
+        return df
+    except Exception:  # absent or partial = nothing committed
         return None
-    return spark.read.parquet(manifest)
 
 
 def filter_uncommitted(
@@ -64,17 +72,23 @@ def run_and_commit(
     """One incremental batch: resume-filter -> extract -> append ->
     commit manifest. Returns None when nothing is uncommitted."""
     cfg = cfg or PipelineConfig()
-    todo = filter_uncommitted(spark, pages, out_dir)
-    if not todo.take(1):
-        return None
-    result = run_extraction(spark, todo, cfg)
-    # io_tables routes each write to the configured Iceberg catalog
-    # (atomic snapshot commits) or to parquet dirs under out_dir
-    write_table(result.extracted, "extracted", out_dir)
-    write_table(result.quarantine, "quarantine", out_dir)
-    write_table(result.metrics, "metrics", out_dir)
-    # commit point: manifest written last, after all data lands
-    write_table(
-        todo.select("url").withColumn("run_id", F.lit(cfg.run_id)),
-        "_manifest", out_dir)
-    return result
+    # persist: without it the pages scan + manifest anti-join re-run
+    # three times (emptiness probe, the extraction job, the manifest
+    # write) — two full input re-reads per incremental batch
+    todo = filter_uncommitted(spark, pages, out_dir).persist()
+    try:
+        if not todo.take(1):
+            return None
+        result = run_extraction(spark, todo, cfg)
+        # io_tables routes each write to the configured Iceberg catalog
+        # (atomic snapshot commits) or to parquet dirs under out_dir
+        write_table(result.extracted, "extracted", out_dir)
+        write_table(result.quarantine, "quarantine", out_dir)
+        write_table(result.metrics, "metrics", out_dir)
+        # commit point: manifest written last, after all data lands
+        write_table(
+            todo.select("url").withColumn("run_id", F.lit(cfg.run_id)),
+            "_manifest", out_dir)
+        return result
+    finally:
+        todo.unpersist()

@@ -89,7 +89,15 @@ def _unescape_pdf_string(raw: bytes) -> bytes:
 
 
 _OBJ_HEADER_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# capture the optional "gen R" tail explicitly instead of a negative
+# lookahead: with (?!\s+\d+\s+R) the \d+ BACKTRACKS on "/Length 10 0 R"
+# to match just "1" (lookahead then sees "0 0 R" and passes), silently
+# truncating the stream; an indirect length must fall back to the
+# endstream delimiter scan
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(\s+\d+\s+R)?")
+# the stream keyword must follow the dict close — a bare find(b"stream")
+# also matches inside literal strings like /F (stream.txt)
+_STREAM_KW_RE = re.compile(rb">>\s*stream")
 
 
 def _parse_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
@@ -116,19 +124,20 @@ def _parse_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
         if m is None:
             break
         num = int(m.group(1))
-        sidx = data.find(b"stream", m.end())
+        skw = _STREAM_KW_RE.search(data, m.end())
+        sidx = skw.start() if skw else -1
         eidx = data.find(b"endobj", m.end())
         if sidx != -1 and (eidx == -1 or sidx < eidx):
             head = data[m.end():sidx]
-            dstart = sidx + len(b"stream")
+            dstart = skw.end()
             if data[dstart:dstart + 2] == b"\r\n":
                 dstart += 2
             elif data[dstart:dstart + 1] == b"\n":
                 dstart += 1
             lm = _LENGTH_RE.search(head)
-            if lm:
+            if lm and not lm.group(2):
                 dend = dstart + int(lm.group(1))
-            else:  # no direct /Length: fall back to delimiter scan
+            else:  # no/indirect /Length: fall back to delimiter scan
                 dend = data.find(b"endstream", dstart)
                 if dend == -1:
                     dend = len(data)

@@ -25,28 +25,31 @@ from typing import Iterator
 import pandas as pd
 
 from ..functions.pdf_mini import parse_pdf
+from ..schemas import PAGES_COLS
 
-PAGES_COLS = ["url", "warc_ts", "html", "text", "lang"]
+
+def _is_container(payload) -> bool:
+    return payload is not None and b"/EmbeddedFile" in payload
 
 
 def explode_containers(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
     for pdf_batch in batches:
-        out = []
-        for r in pdf_batch.itertuples(index=False):
-            payload = r.html
-            # fast path: no embedded-file marker -> not a container
-            if payload is None or b"/EmbeddedFile" not in payload:
-                out.append({
-                    "url": r.url, "warc_ts": r.warc_ts, "html": payload,
-                    "text": r.text, "lang": r.lang,
-                })
-                continue
-            doc = parse_pdf(payload)
+        # common path: zero containers in the batch -> pass the Arrow
+        # batch through UNTOUCHED instead of re-materializing every
+        # multi-KB binary payload through per-row Python dicts
+        mask = pdf_batch["html"].map(_is_container)
+        if not mask.any():
+            yield pdf_batch[PAGES_COLS]
+            continue
+        out = list(pdf_batch[~mask][PAGES_COLS]
+                   .to_dict("records"))
+        for r in pdf_batch[mask].itertuples(index=False):
+            doc = parse_pdf(r.html)
             if not doc.attachments:
                 out.append({
-                    "url": r.url, "warc_ts": r.warc_ts, "html": payload,
+                    "url": r.url, "warc_ts": r.warc_ts, "html": r.html,
                     "text": r.text, "lang": r.lang,
                 })
                 continue

@@ -34,8 +34,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     clash = set(value_cols) & set(left.columns)
     if clash:
         raise ValueError(f"value_cols clash with left columns: {clash}")
+    # ONE struct per right row, not per-column last(ignorenulls): the
+    # per-column form skips right rows whose individual value is NULL,
+    # carrying a STALE older value and even tearing value_cols across
+    # different right rows — merge_asof attaches the latest right ROW
+    # atomically, nulls included. The struct is non-null whenever the
+    # row exists, so last(ignorenulls) picks rows, not values.
+    # merge_asof also rejects null keys; drop null-`on` right rows.
     rt = (
         right.select(by, on, *value_cols)
+        .filter(F.col(on).isNotNull())
+        .withColumn("_r", F.struct(*[F.col(c) for c in value_cols]))
+        .drop(*value_cols)
         .withColumn("_is_left", F.lit(0))
     )
     lt = left.withColumn("_is_left", F.lit(1))
@@ -46,9 +56,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
         .orderBy(F.col(on).asc(), F.col("_is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    u = u.withColumn("_r", F.last("_r", ignorenulls=True).over(w))
+    out = u.filter(F.col("_is_left") == 1).drop("_is_left")
     for c in value_cols:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.filter(F.col("_is_left") == 1).drop("_is_left")
+        out = out.withColumn(c, F.col("_r")[c])
+    return out.drop("_r")
 
 
 def range_join_bins(points: DataFrame, intervals: DataFrame,
@@ -61,6 +73,8 @@ def range_join_bins(points: DataFrame, intervals: DataFrame,
     pick it near the typical interval length so each interval spans
     O(1) bins. Output: all interval columns + all point columns.
     """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be a positive integer")
     iv = intervals.withColumn(
         "_bin",
         F.explode(F.sequence(

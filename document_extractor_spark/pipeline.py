@@ -57,6 +57,7 @@ from .functions.sniff import (
     sniff_format,
 )
 from .operators.container import explode_containers
+from .schemas import PAGES_COLS as _PAGES_COLS
 from .operators.extract_branches import (
     BRANCH_SCHEMA,
     CASCADE_SCHEMA,
@@ -67,7 +68,6 @@ from .operators.extract_branches import (
     make_txt_branch,
 )
 
-_PAGES_COLS = ["url", "warc_ts", "html", "text", "lang"]
 
 
 @dataclass
@@ -128,12 +128,14 @@ def _staged_branches(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
         .withColumn("fmt", sniff_format(F.col("html"), F.col("text")))
     )
     dispatched = sniffed.filter(
-        ~F.col("fmt").isin(FMT_PDF, FMT_GZIP)).unionByName(pdf_stream)
+        F.col("fmt") != FMT_PDF).unionByName(pdf_stream)
     # gzip rows: decompress + inner dispatch is inherently per-row
     # recursive, so the staged path delegates that slice to the fused
-    # kernel (identical semantics by construction)
+    # kernel (identical semantics by construction). Built from
+    # `dispatched`, not `sniffed`: a container can carry a .gz child,
+    # which only appears after the explode re-sniff.
     gzip_out = (
-        sniffed.filter(F.col("fmt") == FMT_GZIP)
+        dispatched.filter(F.col("fmt") == FMT_GZIP)
         .mapInPandas(make_extract_any(cfg), schema=BRANCH_SCHEMA)
     )
 

@@ -77,3 +77,7 @@ METRICS_SCHEMA = StructType([
     StructField("parse_failures", LongType(), True),
     StructField("bytes_extracted", LongType(), True),
 ])
+
+
+# canonical pages column order (shared by pipeline + container explode)
+PAGES_COLS = ["url", "warc_ts", "html", "text", "lang"]

@@ -203,3 +203,37 @@ def test_gzip_payload_handling(spark):
     assert "gzip_nested" in quar.loc["u://gz-nested"].reason or \
         "gzip_nested" in str(ext.loc["u://gz-nested"].error
                              if "u://gz-nested" in ext.index else "")
+
+
+def test_gzip_child_in_container_staged_equals_fused(spark):
+    """A .gz attachment inside a PDF portfolio must survive BOTH
+    dispatch modes (the staged path used to silently drop it)."""
+    import gzip as g
+    import io
+
+    from document_extractor_spark.config import PipelineConfig
+    from document_extractor_spark.pdf_gen import build_pdf
+    from document_extractor_spark.pipeline import run_extraction
+
+    def gz(b):
+        buf = io.BytesIO()
+        with g.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+            f.write(b)
+        return buf.getvalue()
+
+    child = gz(b"The committee will review the annual budget report "
+               b"during the autumn session of the council this year.")
+    payload = build_pdf([["Container manifest page."]],
+                        attachments=[("notes.txt.gz", child)])
+    pages = spark.createDataFrame(
+        [("u://gzkid", None, payload, None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    cfg = PipelineConfig()
+    for mode in ("fused", "staged"):
+        res = run_extraction(spark, pages, cfg, mode=mode, persist=False)
+        ext = res.extracted.drop("spans").toPandas()
+        kid = ext[ext.url == "u://gzkid::notes.txt.gz"]
+        assert len(kid) == 1, (mode, ext.url.tolist())
+        assert kid.iloc[0].status == "OK", mode
+        assert "committee" in kid.iloc[0].text, mode

@@ -72,3 +72,36 @@ def test_round_trip_property(pages, compress):
     doc = parse_pdf(build_pdf(clean, compress=compress))
     assert doc.ok and doc.n_pages == len(clean)
     assert doc.page_texts == ["\n".join(pg) for pg in clean]
+
+
+def test_indirect_length_falls_back_to_delimiter_scan():
+    """'/Length 10 0 R' must NOT be read as a direct length of 1 (the
+    old negative-lookahead regex backtracked into exactly that); the
+    endstream delimiter scan recovers the full stream."""
+    import zlib
+
+    from document_extractor_spark.functions.pdf_mini import _parse_objects
+
+    body = zlib.compress(b"BT (hello world from an indirect stream) Tj ET")
+    data = (
+        b"1 0 obj << /Length 10 0 R /Filter /FlateDecode >> stream\n"
+        + body + b"\nendstream endobj\n"
+        b"10 0 obj " + str(len(body)).encode() + b" endobj\n")
+    objs = _parse_objects(data)
+    assert objs[1][1] is not None  # decompressed, not truncated to 1 byte
+    assert b"hello world" in objs[1][1]
+
+
+def test_stream_keyword_inside_literal_string_not_a_stream():
+    """'(stream.txt)' inside a Filespec body must not make the object a
+    stream (the old bare find(b'stream') swallowed every later object)."""
+    from document_extractor_spark.functions.pdf_mini import _parse_objects
+
+    data = (
+        b"7 0 obj << /Type /Filespec /F (stream.txt) /EF << /F 8 0 R >> >>"
+        b" endobj\n"
+        b"8 0 obj << /Length 5 >> stream\nhello\nendstream endobj\n")
+    objs = _parse_objects(data)
+    assert objs[7][1] is None          # not a stream object
+    assert b"stream.txt" in objs[7][0]
+    assert objs[8][1] == b"hello"      # the real stream still parses

@@ -176,3 +176,20 @@ def test_extract_one_debug_path(spark, pages_df, corpus, cfg):
     got2 = extract_one(spark, pages_df, url, forced).toPandas()
     assert got2.iloc[0].method == "html_lenient"
     assert got2.iloc[0].text == got.iloc[0].text
+
+
+def test_resume_survives_partial_manifest(spark, pages_df, cfg, tmp_path):
+    """A crash during the first manifest write leaves _manifest/ with
+    only _temporary/ — resume must treat that as nothing-committed
+    instead of crashing forever (review finding)."""
+    from document_extractor_spark.checkpoint import run_and_commit
+
+    out = str(tmp_path / "out3")
+    os.makedirs(os.path.join(out, "_manifest", "_temporary"))
+    sub = pages_df.limit(30).cache()
+    result = run_and_commit(spark, sub, out, cfg)
+    assert result is not None  # processed despite the debris
+    n = spark.read.parquet(os.path.join(out, "_manifest")).count()
+    assert n == 30
+    # and the second run is a clean noop
+    assert run_and_commit(spark, sub, out, cfg) is None

@@ -106,3 +106,44 @@ def test_temporal_plans_never_nested_loop(spark):
     for plan in (p1, p2):
         assert "BroadcastNestedLoop" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_asof_join_attaches_rows_atomically(spark):
+    """A right row with NULL values must still WIN as the latest row
+    (merge_asof semantics) — per-column last(ignorenulls) would carry
+    stale values and tear multiple columns across different right rows
+    (review finding)."""
+    import pandas as pd
+
+    left = spark.createDataFrame(
+        [(1, 3), (1, 10)], "user_id long, ts long")
+    right = spark.createDataFrame(
+        [(1, 1, 1.0, None), (1, 2, None, 2.0), (1, None, 9.0, 9.0)],
+        "user_id long, ts long, a double, b double")
+    from document_extractor_spark.operators.temporal import asof_join
+
+    got = (asof_join(left, right, on="ts", by="user_id",
+                     value_cols=("a", "b"))
+           .toPandas().sort_values("ts").reset_index(drop=True))
+    # latest right row at ts<=3 is ts=2 -> (a=NULL, b=2.0) as a UNIT
+    assert pd.isna(got.loc[0, "a"])
+    assert got.loc[0, "b"] == 2.0
+    assert pd.isna(got.loc[1, "a"]) and got.loc[1, "b"] == 2.0
+    # pandas twin agrees
+    lp = left.toPandas().sort_values("ts")
+    rp = right.toPandas().dropna(subset=["ts"]).sort_values("ts")
+    rp["ts"] = rp.ts.astype("int64")
+    want = pd.merge_asof(lp, rp, on="ts", by="user_id",
+                         direction="backward")
+    assert pd.isna(want.loc[0, "a"]) and want.loc[0, "b"] == 2.0
+
+
+def test_asof_join_null_right_key_excluded(spark):
+    """Right rows with NULL `on` must not be inherited by anyone."""
+    from document_extractor_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 0)], "user_id long, ts long")
+    right = spark.createDataFrame(
+        [(1, None, 9.0)], "user_id long, ts long, value double")
+    got = asof_join(left, right).toPandas()
+    assert got.value.isna().all()
