@@ -68,7 +68,10 @@ def score_reliability_col(text: Column) -> Column:
     return F.when(
         text.isNull() | (total == 0), F.lit(0.0)
     ).otherwise(
-        F.round(
+        # bround = HALF_EVEN, matching Python's round() in the scalar
+        # scorer: plain F.round (HALF_UP) flips exactly-representable
+        # ties like 5/32 = 0.15625 -> 0.1563 vs Python 0.1562
+        F.bround(
             F.least(F.lit(1.0), F.length(stripped) / total.cast("double")), 4
         )
     )

@@ -51,14 +51,14 @@ def sniff_format(html: Column, text: Column) -> Column:
     is_wav = prefix.startswith("RIFF") & (F.substring(prefix, 9, 4) == "WAVE")
     # real zip signatures only (local header / EOCD / spanned):
     # a text payload that merely starts with "PK" is NOT a zip
-    is_zip = (prefix.startswith("PK")
-              | prefix.startswith("PK")
-              | prefix.startswith("PK"))
+    is_zip = (prefix.startswith("PK\x03\x04")
+              | prefix.startswith("PK\x05\x06")
+              | prefix.startswith("PK\x07\x08"))
     # DOCX = zip whose word/document.xml entry name is visible in the
     # sniffed prefix (first local file header; docx_mini stores it
     # first). Zips that bury it past 512 bytes stay unsupported -
     # mirrored in extract_branches.sniff_bytes (route parity pytest).
-    is_docx = (prefix.startswith("PK")
+    is_docx = (prefix.startswith("PK\x03\x04")
                & prefix.contains("word/document.xml"))
     is_gzip = prefix.startswith("\x1f\x8b")
     is_pdf = prefix.startswith("%PDF-")

@@ -7,13 +7,12 @@ Two decode modes:
   — invalid byte sequences silently dropped. Used on the txt branch
   where the per-url byte-identical invariant is checked.
 - ``decode_detect``: the engine's proper decode — BOM sniff
-  (UTF-8-sig / UTF-16 LE/BE), strict UTF-8 attempt, Latin-1 fallback
+  (UTF-8-sig / UTF-32 / UTF-16 LE+BE), strict UTF-8 attempt, Latin-1 fallback
   (total: never fails), documented as a deliberate divergence
   (SURVEY.md R8). Used on the HTML branch before DOM parsing.
 """
 from __future__ import annotations
 
-import unicodedata
 
 
 def decode_reference(payload: bytes | None) -> str:
@@ -33,6 +32,12 @@ def decode_detect(payload: bytes | None) -> tuple[str, str]:
         return "", "none"
     if payload.startswith(b"\xef\xbb\xbf"):
         return payload[3:].decode("utf-8", errors="replace"), "utf-8-sig"
+    # UTF-32 BOMs BEFORE UTF-16: ff fe 00 00 begins with the UTF-16-LE
+    # BOM, so the shorter prefix must not win
+    if payload.startswith(b"\xff\xfe\x00\x00"):
+        return payload[4:].decode("utf-32-le", errors="replace"), "utf-32-le"
+    if payload.startswith(b"\x00\x00\xfe\xff"):
+        return payload[4:].decode("utf-32-be", errors="replace"), "utf-32-be"
     if payload.startswith(b"\xff\xfe"):
         return payload[2:].decode("utf-16-le", errors="replace"), "utf-16-le"
     if payload.startswith(b"\xfe\xff"):
@@ -42,7 +47,3 @@ def decode_detect(payload: bytes | None) -> tuple[str, str]:
     except UnicodeDecodeError:
         return payload.decode("latin-1"), "latin-1"
 
-
-def nfc(text: str) -> str:
-    """Unicode NFC normalization for the detected-decode path."""
-    return unicodedata.normalize("NFC", text)

@@ -218,15 +218,24 @@ class _BlockParser(HTMLParser):
 
     def handle_entityref(self, name: str) -> None:
         start = self._abs()
+        # HTMLParser consumes one char LESS when the entity has no
+        # trailing semicolon ('&euro' vs '&euro;') — a fixed +2 end
+        # would overrun into the next tag and break the span invariant
+        end = start + 1 + len(name)
+        if self.source[end:end + 1] == ";":
+            end += 1
         self.pieces.append(_Piece(
-            start, start + len(name) + 2, unescape(f"&{name};"),
+            start, end, unescape(self.source[start:end]),
             self.link_depth > 0, self.boiler_depth > 0,
         ))
 
     def handle_charref(self, name: str) -> None:
         start = self._abs()
+        end = start + 2 + len(name)
+        if self.source[end:end + 1] == ";":
+            end += 1
         self.pieces.append(_Piece(
-            start, start + len(name) + 3, unescape(f"&#{name};"),
+            start, end, unescape(self.source[start:end]),
             self.link_depth > 0, self.boiler_depth > 0,
         ))
 
@@ -303,13 +312,19 @@ _SW_UNION = _stopword_union()
 _SW_TOKEN_RE = re.compile("[^a-z\u00e0-\u00f6\u00f8-\u00ff]+")
 
 
-def stopword_ratio(text: str) -> float:
-    """Stopword density with the legacy tokenizer (lowercase, non-[a-z]
-    runs -> space) over the multilingual union set."""
+def _stopword_stats(text: str) -> tuple[float, int]:
+    """(stopword density, token count) with the legacy tokenizer
+    (lowercase, non-letter runs -> space) over the multilingual union
+    set — the single implementation both the helper and the block gate
+    use."""
     toks = [t for t in _SW_TOKEN_RE.sub(" ", text.lower()).split(" ") if t]
     if not toks:
-        return 0.0
-    return sum(1 for t in toks if t in _SW_UNION) / len(toks)
+        return 0.0, 0
+    return sum(1 for t in toks if t in _SW_UNION) / len(toks), len(toks)
+
+
+def stopword_ratio(text: str) -> float:
+    return _stopword_stats(text)[0]
 
 
 def classify_blocks(
@@ -341,12 +356,9 @@ def classify_blocks(
         if not (b.heading or b.n_chars >= min_block_chars):
             continue
         if (min_stopword_ratio > 0.0 and not b.heading):
-            toks = [t for t in
-                    _SW_TOKEN_RE.sub(" ", b.text.lower()).split(" ") if t]
-            if len(toks) >= stopword_min_tokens:
-                ratio = sum(1 for t in toks if t in _SW_UNION) / len(toks)
-                if ratio < min_stopword_ratio:
-                    continue
+            ratio, n_toks = _stopword_stats(b.text)
+            if n_toks >= stopword_min_tokens and ratio < min_stopword_ratio:
+                continue
         kept.append(b)
     return kept
 

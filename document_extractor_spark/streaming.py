@@ -83,6 +83,31 @@ def extracted_stream(pages_stream: DataFrame,
     )
 
 
+def _make_batch_writer(output_dir: str, cfg: PipelineConfig):
+    """foreachBatch sink: run the SAME batch pipeline per micro-batch
+    and append all THREE tables (extracted / quarantine / metrics).
+    A sink that wrote only the extracted stream silently vanished
+    unsupported rows and never produced metrics — the batch and
+    streaming paths must share one accounting model."""
+    import os
+
+    from .pipeline import run_extraction
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        res = run_extraction(batch_df.sparkSession, batch_df, cfg,
+                             persist=False)
+        res.extracted.write.mode("append").parquet(
+            os.path.join(output_dir, "extracted"))
+        res.quarantine.write.mode("append").parquet(
+            os.path.join(output_dir, "quarantine"))
+        res.metrics.write.mode("append").parquet(
+            os.path.join(output_dir, "metrics"))
+
+    return write_batch
+
+
 def run_watcher_once(
     spark: SparkSession,
     input_dir: str,
@@ -91,13 +116,13 @@ def run_watcher_once(
     cfg: PipelineConfig | None = None,
 ) -> StreamingQuery:
     """One watcher cycle: drain all currently-available input files
-    (Trigger.AvailableNow) into the extracted table, exactly once."""
-    stream = extracted_stream(read_pages_stream(spark, input_dir), cfg)
+    (Trigger.AvailableNow) through the full pipeline, exactly once —
+    extracted + quarantine + metrics land per micro-batch."""
+    cfg = cfg or PipelineConfig()
     return (
-        stream.writeStream.format("parquet")
-        .option("path", output_dir)
+        read_pages_stream(spark, input_dir)
+        .writeStream.foreachBatch(_make_batch_writer(output_dir, cfg))
         .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
@@ -113,12 +138,11 @@ def run_watcher_continuous(
 ) -> StreamingQuery:
     """The long-running daemon: poll cadence mirrors the reference's
     INPUT_CHECK_INTERVAL (entrypoint.sh:30-31)."""
-    stream = extracted_stream(read_pages_stream(spark, input_dir), cfg)
+    cfg = cfg or PipelineConfig()
     return (
-        stream.writeStream.format("parquet")
-        .option("path", output_dir)
+        read_pages_stream(spark, input_dir)
+        .writeStream.foreachBatch(_make_batch_writer(output_dir, cfg))
         .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
         .trigger(processingTime=f"{poll_secs} seconds")
         .start()
     )
@@ -177,8 +201,11 @@ def dedup_pages_stream(
     """
     keyed = pages_stream.withColumn(
         "content_hash",
+        # a row with neither payload nor text hashes its URL: a shared
+        # constant key would collapse ALL such rows onto the first one
+        # instead of letting each flow through to quarantine
         F.coalesce(F.md5(F.col("html")),
                    F.md5(F.encode(F.col("text"), "UTF-8")),
-                   F.lit("")),
+                   F.md5(F.encode(F.col("url"), "UTF-8"))),
     ).withWatermark("warc_ts", watermark)
     return keyed.dropDuplicatesWithinWatermark(["content_hash"])

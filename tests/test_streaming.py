@@ -36,14 +36,21 @@ def test_watcher_drains_and_is_exactly_once(spark, corpus, cfg, stream_dirs):
     q = run_watcher_once(spark, stream_dirs["in"], stream_dirs["out"],
                          stream_dirs["ckpt"], cfg)
     q.awaitTermination(120)
-    n1 = spark.read.parquet(stream_dirs["out"]).count()
+    ext_dir = os.path.join(stream_dirs["out"], "extracted")
+    n1 = spark.read.parquet(ext_dir).count()
     assert n1 > 0
+    # the watcher lands ALL THREE tables, like the batch pipeline
+    assert spark.read.parquet(
+        os.path.join(stream_dirs["out"], "metrics")).count() > 0
+    quar = spark.read.parquet(
+        os.path.join(stream_dirs["out"], "quarantine"))
+    assert "reason" in quar.columns
 
     # second cycle with no new files: nothing re-processed
     q2 = run_watcher_once(spark, stream_dirs["in"], stream_dirs["out"],
                           stream_dirs["ckpt"], cfg)
     q2.awaitTermination(120)
-    assert spark.read.parquet(stream_dirs["out"]).count() == n1
+    assert spark.read.parquet(ext_dir).count() == n1
 
     # a late file arrives; next cycle picks up ONLY it
     _write_pages(corpus, slice(40, 60),
@@ -51,7 +58,7 @@ def test_watcher_drains_and_is_exactly_once(spark, corpus, cfg, stream_dirs):
     q3 = run_watcher_once(spark, stream_dirs["in"], stream_dirs["out"],
                           stream_dirs["ckpt"], cfg)
     q3.awaitTermination(120)
-    out = spark.read.parquet(stream_dirs["out"]).toPandas()
+    out = spark.read.parquet(ext_dir).toPandas()
     assert len(out) > n1
     assert out.url.is_unique or out.page.notna().any()  # no dup docs
 
@@ -65,7 +72,7 @@ def test_stream_matches_batch(spark, corpus, cfg, stream_dirs):
                          stream_dirs["ckpt"], cfg)
     q.awaitTermination(120)
     got = (
-        spark.read.parquet(stream_dirs["out"])
+        spark.read.parquet(os.path.join(stream_dirs["out"], "extracted"))
         .select("url", "page", "method", "status", "text")
         .toPandas().sort_values(["url", "page"]).reset_index(drop=True)
     )

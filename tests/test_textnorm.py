@@ -27,3 +27,39 @@ def test_detect_fallbacks():
     assert decode_detect(None) == ("", "none")
     # latin-1 is total: arbitrary bytes never raise
     assert decode_detect(bytes(range(128, 256)))[1] == "latin-1"
+
+
+def test_utf32_boms_detected_before_utf16():
+    """ff fe 00 00 is the UTF-32-LE BOM whose prefix matches UTF-16-LE;
+    the longer signature must win (review finding)."""
+    from document_extractor_spark.functions.textnorm import decode_detect
+
+    text = "héllo world"
+    for enc, bom, name in [
+        ("utf-32-le", b"\xff\xfe\x00\x00", "utf-32-le"),
+        ("utf-32-be", b"\x00\x00\xfe\xff", "utf-32-be"),
+        ("utf-16-le", b"\xff\xfe", "utf-16-le"),
+        ("utf-16-be", b"\xfe\xff", "utf-16-be"),
+    ]:
+        payload = bom + text.encode(enc)
+        got, charset = decode_detect(payload)
+        assert got == text, enc
+        assert charset == name
+
+
+def test_bround_banker_parity_on_exact_tie(spark):
+    """5/32 = 0.15625: Python round() gives 0.1562, Spark F.round gives
+    0.1563 — the Column scorer must match the scalar (review finding)."""
+    from pyspark.sql import functions as F
+
+    from document_extractor_spark.functions.scoring import (
+        score_reliability,
+        score_reliability_col,
+    )
+
+    text = "abcde" + " " * 27  # 5 alnum of 32 chars
+    assert len(text) == 32
+    want = score_reliability(text)
+    df = spark.createDataFrame([(text,)], "t string")
+    got = df.select(score_reliability_col(F.col("t")).alias("r")).head()[0]
+    assert got == want == 0.1562
