@@ -62,7 +62,17 @@ def write_table(df: DataFrame, name: str, root: str,
         if mode == "overwrite":
             writer.createOrReplace()
         else:
-            writer.append()
+            # append() requires an existing table; the FIRST write on a
+            # fresh catalog must bootstrap it (create() is the atomic
+            # create-with-data form, racing creators: one wins, the
+            # loser retries as a plain append)
+            try:
+                writer.append()
+            except Exception:
+                try:
+                    writer.create()
+                except Exception:
+                    writer.append()
         return ident
     path = f"{root}/{name}"
     df.write.mode(mode).parquet(path)
