@@ -429,7 +429,10 @@ def q_training_filter_pipeline(spark, sf_dir):
         & (F.length("text") >= 80)
     )
     return (
-        d.withColumn("pass", passed.cast("int"))
+        # coalesce: a NULL-text row makes the predicate NULL, which
+        # avg() would silently skip while the oracle's CASE counts it
+        # as a fail — NULL text IS a fail
+        d.withColumn("pass", F.coalesce(passed.cast("int"), F.lit(0)))
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"),
              F.sum("pass").alias("n_pass"),
@@ -664,7 +667,7 @@ def q_ngram_jaccard(spark, sf_dir):
 _ORACLE_JACCARD = """
 WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\\s+'),
+         list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                      t -> t <> '') AS t
   FROM documents),
 sh0 AS (
@@ -705,7 +708,7 @@ def _sql_seed_hash(expr: str, seed: int) -> str:
 _ORACLE_MINHASH = """
 WITH toks AS (
   SELECT DISTINCT doc_id,
-         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                             t -> t <> '')) AS tok
   FROM documents)
 SELECT doc_id, {mins}
@@ -722,7 +725,7 @@ def q_minhash_lsh_buckets(spark, sf_dir):
 _ORACLE_LSH = """
 WITH toks AS (
   SELECT DISTINCT doc_id,
-         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                             t -> t <> '')) AS tok
   FROM documents),
 sigs AS (SELECT doc_id, {mins} FROM toks GROUP BY doc_id),
@@ -952,7 +955,7 @@ def q_fingerprints(spark, sf_dir):
 
 _ORACLE_FINGERPRINT = """
 SELECT source, count(*) AS n_docs,
-       count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+       count(DISTINCT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ',
                                               'g')))) AS distinct_fps
 FROM documents GROUP BY source
 """
@@ -1075,7 +1078,9 @@ def q_order_priority_semi(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
-        orders.join(li.select("l_orderkey").distinct(),
+        # no .distinct(): semi-join semantics already dedup matches,
+        # and the extra shuffle would double the join cost at scale
+        orders.join(li.select("l_orderkey"),
                     orders.o_orderkey == F.col("l_orderkey"), "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
@@ -1129,7 +1134,7 @@ _ORACLE_SIMHASH = """
 WITH toks AS (
   SELECT doc_id,
          unnest(list_distinct(list_filter(
-             string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS tok
+             string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''))) AS tok
   FROM documents),
 h AS (
   SELECT doc_id,
@@ -1140,11 +1145,16 @@ bits AS (
          CASE WHEN 2 * count(*) FILTER (((hv >> CAST(b.b AS INT)) & 1) = 1)
                    > count(*) THEN 1 ELSE 0 END AS bit
   FROM h, LATERAL unnest(range(0, 63)) AS b(b)
-  GROUP BY doc_id, b.b)
-SELECT doc_id,
-       CAST(sum(CAST(bit AS HUGEINT) * (CAST(1 AS HUGEINT) << b)) AS BIGINT)
-           AS simhash
-FROM bits GROUP BY doc_id
+  GROUP BY doc_id, b.b),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CAST(bit AS HUGEINT) * (CAST(1 AS HUGEINT) << b))
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id)
+-- LEFT JOIN back: a doc with no tokens (empty/NULL text) still emits
+-- a row with simhash 0, exactly like the Spark UDF
+SELECT d.doc_id, coalesce(fp.simhash, 0) AS simhash
+FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
 """
 
 
@@ -1292,9 +1302,15 @@ _ENTRY_CORPUS_DIR = "/tmp/des_corpus_entry_600_v4"
 
 
 def _ensure_entry_corpus() -> str:
+    import shutil
+
     from document_extractor_spark.corpus import write_corpus
 
-    if not os.path.exists(f"{_ENTRY_CORPUS_DIR}/pages.parquet"):
+    # probe the LAST-written file: write_corpus lands pages.parquet
+    # first, so a crash mid-generation would otherwise leave a
+    # permanently half-built cache that never regenerates
+    if not os.path.exists(f"{_ENTRY_CORPUS_DIR}/expected_quarantine.parquet"):
+        shutil.rmtree(_ENTRY_CORPUS_DIR, ignore_errors=True)
         write_corpus(_ENTRY_CORPUS_DIR, 600, seed=42)
     return _ENTRY_CORPUS_DIR
 
@@ -1532,8 +1548,9 @@ def q_token_windows(spark, sf_dir):
 _ORACLE_TOKEN_WINDOWS = """
 WITH t AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
-  FROM documents),
+         list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                     x -> x <> '') AS tk
+  FROM documents WHERE text IS NOT NULL),
 s0 AS (
   SELECT doc_id, tk,
          range(1, greatest(len(tk) - 64 + 1, 1) + 1, 48) AS fs

@@ -223,7 +223,8 @@ def fingerprint(text: Column) -> Column:
     """Normalized content fingerprint: md5 of lower + ws-collapsed.
     Collapse BEFORE trim: trim() strips only spaces, so stray
     tabs/newlines must first become spaces."""
-    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+    return F.md5(F.trim(F.regexp_replace(
+        F.lower(text), "[ \\t\\n\\x0B\\f\\r]+", " ")))
 
 
 # --------------------------------------------------------------------------

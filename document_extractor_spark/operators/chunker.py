@@ -142,7 +142,9 @@ def token_windows(
     parallel, survives any scale the scan survives).
     """
     assert stride <= window, "stride > window would leave coverage gaps"
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    toks = F.filter(
+        F.split(F.col(text_col), "[ \\t\\n\\x0B\\f\\r]+"),
+        lambda t: t != "")
     n = F.size(toks)
     full_starts = F.sequence(
         F.lit(1), F.greatest(n - F.lit(window) + 1, F.lit(1)),

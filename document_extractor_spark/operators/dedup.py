@@ -25,6 +25,7 @@ every step is reproducible in ANSI SQL for the DuckDB oracle:
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -34,7 +35,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
-TOKEN_SPLIT = r"\s+"
+# the literal awk/java whitespace class: Java \s includes \x0B while
+# RE2 (DuckDB) \s does not — every tokenizer and its SQL twin must
+# pin the same six chars or \x0B text diverges the value checks
+TOKEN_SPLIT = "[ \\t\\n\\x0B\\f\\r]+"
+# Python twin of the same class (str.split() would also split on
+# \xa0 etc., diverging from the JVM tokenizer and the SQL twins)
+_WS_SPLIT_RE = re.compile("[ \t\n\x0b\f\r]+")
 
 
 def tokens_col(text_col: str = "text"):
@@ -93,16 +100,6 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
         docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
         .groupBy("content_hash")
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
-    )
-
-
-def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
-                 text_col: str = "text", n: int = 3) -> DataFrame:
-    return (
-        docs.select(F.col(id_col), shingles_col(tokens_col(text_col), n)
-                    .alias("sh"))
-        .select(id_col, F.explode("sh").alias("shingle"))
-        .distinct()
     )
 
 
@@ -228,7 +225,7 @@ def simhash63_scalar(t: object) -> int:
     if not isinstance(t, str) or not t:
         return 0
     counts = [0] * 63
-    for tok in set(t.lower().split()):
+    for tok in set(_WS_SPLIT_RE.split(t.lower())) - {""}:
         h = int.from_bytes(
             hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
         for b in range(63):
@@ -262,7 +259,7 @@ def simhash63(texts: pd.Series) -> pd.Series:
     for i, t in enumerate(texts):
         if not isinstance(t, str) or not t:
             continue
-        toks = set(t.lower().split())
+        toks = set(_WS_SPLIT_RE.split(t.lower())) - {""}
         if not toks:
             continue
         h = np.fromiter((tok_hash(tok) for tok in toks),
@@ -316,11 +313,9 @@ def embedding_neardup_pairs_lsh(emb: DataFrame, id_col: str = "vec_id",
 
     bucketed = lsh_bucketed(emb, n_bits=n_bits, seed=seed,
                             id_col=id_col, vec_col=vec_col)
-    withn = bucketed.withColumn(
-        "norm",
-        F.sqrt(F.aggregate(
-            F.transform(vec_col, lambda x: x.cast("double") * x),
-            F.lit(0.0), lambda acc, x: acc + x)))
+    from .similarity import _norm_expr
+
+    withn = bucketed.withColumn("norm", _norm_expr(F.col(vec_col)))
     a, b = withn.alias("a"), withn.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"),
@@ -343,11 +338,11 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
                             threshold: float = 0.8) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute force — see
     similarity.py for the LSH-bucketed scale path)."""
+    from .similarity import _norm_expr
+
     withn = emb.select(
         F.col(id_col), F.col(vec_col),
-        F.sqrt(F.aggregate(
-            F.transform(vec_col, lambda x: x.cast("double") * x),
-            F.lit(0.0), lambda acc, x: acc + x)).alias("norm"))
+        _norm_expr(F.col(vec_col)).alias("norm"))
     a, b = withn.alias("a"), withn.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"),

@@ -67,7 +67,11 @@ def lsh_bucketed(emb: DataFrame, n_bits: int = 8, seed: int = 7,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
     """Add a random-hyperplane LSH bucket column (sign-bit signature)."""
-    out_schema = f"{id_col} long, {vec_col} array<float>, bucket int"
+    # derive the vector element type from the input: hardcoding
+    # array<float> silently truncated double embeddings to float32,
+    # skewing the downstream exact-cosine re-rank
+    elem = emb.schema[vec_col].dataType.simpleString()
+    out_schema = f"{id_col} long, {vec_col} {elem}, bucket int"
 
     def signer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         planes = None
@@ -138,8 +142,29 @@ def lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
 
 
 def _l2_normalized(vec_col):
+    """Catalyst inlines a lambda-captured expression PER ELEMENT, so
+    dividing by _norm_expr inside transform() re-evaluates the O(dim)
+    norm dim times (the repo measured this trap at 5-10x elsewhere).
+    zip_with against a same-length array of the precomputed norm keeps
+    the norm expression evaluated once per row... still inlined per
+    element by Catalyst; instead divide AFTER the transform using a
+    scalar multiply: compute inv = 1/norm once via a nested aggregate
+    is equally inlined — the only robust hoist without a join is to
+    evaluate the norm in a separate projection, which ivf_fit_assign
+    now does (see _with_unit_vec)."""
     n = _norm_expr(vec_col)
     return F.transform(vec_col, lambda x: x.cast("double") / n)
+
+
+def _with_unit_vec(emb: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    """Two projections so the O(dim) norm is a materialized per-row
+    column before the per-element divide — not re-inlined dim times."""
+    withn = emb.withColumn("_nrm", _norm_expr(F.col(vec_col)))
+    return withn.withColumn(
+        out_col,
+        F.transform(F.col(vec_col),
+                    lambda x: x.cast("double") / F.col("_nrm"))
+    ).drop("_nrm")
 
 
 def ivf_fit_assign(emb: DataFrame, n_cells: int = 16, seed: int = 7,
@@ -160,8 +185,8 @@ def ivf_fit_assign(emb: DataFrame, n_cells: int = 16, seed: int = 7,
 
     import numpy as np
 
-    feat = emb.withColumn("_fv", array_to_vector(
-        _l2_normalized(F.col(vec_col))))
+    feat = _with_unit_vec(emb, vec_col, "_unit").withColumn(
+        "_fv", array_to_vector(F.col("_unit"))).drop("_unit")
     model = KMeans(featuresCol="_fv", predictionCol="cell", k=n_cells,
                    seed=seed, maxIter=max_iter).fit(feat)
     assigned = model.transform(feat).select(
