@@ -33,12 +33,28 @@ from .io_tables import iceberg_catalog, read_table, write_table
 from .pipeline import ExtractionResult, run_extraction
 
 
+def _is_missing_path_error(exc: Exception) -> bool:
+    """True only for 'nothing committed yet' shapes: a missing path or
+    a dir holding no readable footer (crash during the FIRST manifest
+    write leaves only _temporary/). Transient failures (S3 throttle,
+    auth, network) must NOT match — swallowing them would silently
+    disable resume and the next run_and_commit would re-extract and
+    APPEND the whole input again, duplicating every output table."""
+    s = str(exc)
+    return any(tok in s for tok in (
+        "PATH_NOT_FOUND", "FileNotFoundException", "NoSuchFileException",
+        "UNABLE_TO_INFER_SCHEMA",  # dir exists but no committed footer
+        "Path does not exist", "TABLE_OR_VIEW_NOT_FOUND"))
+
+
 def committed_urls(spark: SparkSession, out_dir: str) -> DataFrame | None:
     if iceberg_catalog(spark):
         try:
             return read_table(spark, "_manifest", out_dir)
-        except Exception:  # table not created yet = nothing committed
-            return None
+        except Exception as exc:  # table not created yet = nothing committed
+            if _is_missing_path_error(exc):
+                return None
+            raise
     manifest = os.path.join(out_dir, "_manifest")
     # read-probe instead of os.path checks: (a) out_dir may be a
     # remote fs (hdfs://, s3a://) the driver's local os module cannot
@@ -49,8 +65,10 @@ def committed_urls(spark: SparkSession, out_dir: str) -> DataFrame | None:
         df = spark.read.parquet(manifest)
         df.take(1)
         return df
-    except Exception:  # absent or partial = nothing committed
-        return None
+    except Exception as exc:  # absent or partial = nothing committed
+        if _is_missing_path_error(exc):
+            return None
+        raise  # flaky read must ABORT, not duplicate output on re-run
 
 
 def filter_uncommitted(

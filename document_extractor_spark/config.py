@@ -58,6 +58,12 @@ class PipelineConfig:
     bigdoc_page_limit: int = field(
         default_factory=lambda: _env_int("BIGDOC_PAGE_LIMIT", 500))
 
+    # --- gzip transport decode bound (R9): a high-ratio gzip bomb must
+    # quarantine, not inflate fully in executor memory inside the Arrow
+    # kernel. 64 MiB decompressed is ~30x the largest real crawl page.
+    gzip_max_bytes: int = field(
+        default_factory=lambda: _env_int("GZIP_MAX_BYTES", 64 * 1024 * 1024))
+
     # --- combined-chunk bin packing (reference: output_writer.py:62-116)
     max_combined_bytes: int = field(
         default_factory=lambda: _env_int("MAX_COMBINED_BYTES", 3_000_000))

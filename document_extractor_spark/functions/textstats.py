@@ -127,13 +127,13 @@ def quality_score(text: Column) -> Column:
 # pure-ascii-alpha entries are effective — we keep exactly those.
 _LEGACY_SW_RAW = """a an and are as at be but by for from has have if in into
   is it its of on or that the their there these they this to was were what
-  when where which who will with without within would about above after again
-  against all also any because been before being below between both did do
-  does doing down during each few further he her here hers herself him
-  himself his how i into itself just me more most my myself no nor not now
-  off once only other our ours ourselves out over own same she should so some
-  such than then those through too under until up very we you your yours
-  yourself yourselves""".split()
+  when where which who why will with without within would about above after
+  again against all also any because been before being below between both
+  did do does doing down during each few further he her here hers herself
+  him himself his how i into itself just me more most my myself no nor not
+  now off once only other our ours ourselves out over own same she should so
+  some such than then those through too under until up very we you your
+  yours yourself yourselves""".split()
 LEGACY_STOPWORDS = sorted(set(_LEGACY_SW_RAW))
 
 

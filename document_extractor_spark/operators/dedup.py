@@ -85,9 +85,19 @@ def widen_narrow_input(df: DataFrame) -> DataFrame:
     compute-heavy first stage (tokenize + shingle + hash) would run on
     a single core regardless of cluster size. At real scale the scan
     has plenty of splits and this is a no-op (the predicate guards the
-    extra shuffle)."""
-    p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
+    extra shuffle).
+
+    The partition probe needs a DataFrame->RDD plan conversion, which
+    Spark Connect doesn't support and which costs driver time on deep
+    plans — so the probe is best-effort: any failure (Connect session,
+    exotic plan) leaves the input untouched rather than erroring the
+    hot path."""
+    try:
+        p = df.sparkSession.sparkContext.defaultParallelism
+        nparts = df.rdd.getNumPartitions()
+    except Exception:  # Connect: no sparkContext / .rdd — trust the scan
+        return df
+    if nparts < p:
         return df.repartition(p)
     return df
 

@@ -354,16 +354,35 @@ def make_extract_any(cfg: PipelineConfig):
             return
         if fmt == "gzip":
             # Common-Crawl payloads are often stored gzip-compressed:
-            # decompress (bounded) and re-dispatch the inner bytes once
-            # (a gzip-in-gzip payload quarantines, no unbounded loops)
-            import gzip as _gzip
+            # decompress BOUNDED and re-dispatch the inner bytes once
+            # (a gzip-in-gzip payload quarantines, no unbounded loops).
+            # The bound is real: zlib.decompressobj with max_length
+            # stops inflating at cfg.gzip_max_bytes + 1 output bytes,
+            # so a high-ratio bomb (MBs in, GBs out) costs at most the
+            # cap in executor memory before it quarantines. (Trailing
+            # concatenated gzip members are ignored — first member
+            # only; truncated streams return partial output without an
+            # exception, so eof is checked explicitly.)
+            import zlib as _zlib
 
+            cap = cfg.gzip_max_bytes
+            d = _zlib.decompressobj(wbits=31)
             try:
-                inner = _gzip.decompress(html)
+                inner = d.decompress(html, cap + 1)
             except Exception as exc:
                 out.append(_row(url, warc_ts, lang, "gzip", "none",
                                 "ERROR", False, False, 0, [], [], 0.0,
                                 f"gzip_corrupt: {exc}"))
+                return
+            if len(inner) > cap:
+                out.append(_row(url, warc_ts, lang, "gzip", "none",
+                                "ERROR", False, False, 0, [], [], 0.0,
+                                f"gzip_too_large: decompressed > {cap} bytes"))
+                return
+            if not d.eof:
+                out.append(_row(url, warc_ts, lang, "gzip", "none",
+                                "ERROR", False, False, 0, [], [], 0.0,
+                                "gzip_corrupt: truncated stream"))
                 return
             ifmt = sniff_bytes(inner, None)
             if ifmt == "gzip":

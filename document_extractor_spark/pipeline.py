@@ -75,9 +75,16 @@ class ExtractionResult:
     extracted: DataFrame
     quarantine: DataFrame
     metrics: DataFrame
+    # the persisted branch stream the three tables derive from (None
+    # when run_extraction(persist=False)): unpersisting the derived
+    # DataFrames alone would leak the underlying cache
+    branches: DataFrame | None = None
 
     def unpersist(self) -> None:
-        for df in (self.extracted, self.quarantine, self.metrics):
+        for df in (self.extracted, self.quarantine, self.metrics,
+                   self.branches):
+            if df is None:
+                continue
             try:
                 df.unpersist()
             except Exception:
@@ -283,7 +290,8 @@ def run_extraction(
             "bytes_extracted")
     )
 
-    return ExtractionResult(extracted, quarantine, metrics)
+    return ExtractionResult(extracted, quarantine, metrics,
+                            branches if persist else None)
 
 
 def extract_one(

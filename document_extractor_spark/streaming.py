@@ -96,14 +96,27 @@ def _make_batch_writer(output_dir: str, cfg: PipelineConfig):
     def write_batch(batch_df, batch_id: int) -> None:
         if not batch_df.take(1):
             return
+        # persist=True: three sinks consume one result — without the
+        # cache the full extraction (the expensive Arrow stage) would
+        # recompute once PER SINK, 3x per micro-batch
         res = run_extraction(batch_df.sparkSession, batch_df, cfg,
-                             persist=False)
-        res.extracted.write.mode("append").parquet(
-            os.path.join(output_dir, "extracted"))
-        res.quarantine.write.mode("append").parquet(
-            os.path.join(output_dir, "quarantine"))
-        res.metrics.write.mode("append").parquet(
-            os.path.join(output_dir, "metrics"))
+                             persist=True)
+        try:
+            # foreachBatch is at-least-once: a crash between the three
+            # appends replays the WHOLE batch on restart (the streaming
+            # checkpoint commits only after write_batch returns). Each
+            # row carries batch_id so readers — or a compaction job on
+            # a transactional table — can dedup replays exactly:
+            # row_number() over (url, page, batch_id) keeping min.
+            bid = F.lit(batch_id).alias("batch_id")
+            res.extracted.withColumn("batch_id", bid).write.mode(
+                "append").parquet(os.path.join(output_dir, "extracted"))
+            res.quarantine.withColumn("batch_id", bid).write.mode(
+                "append").parquet(os.path.join(output_dir, "quarantine"))
+            res.metrics.withColumn("batch_id", bid).write.mode(
+                "append").parquet(os.path.join(output_dir, "metrics"))
+        finally:
+            res.unpersist()
 
     return write_batch
 

@@ -237,3 +237,45 @@ def test_gzip_child_in_container_staged_equals_fused(spark):
         assert len(kid) == 1, (mode, ext.url.tolist())
         assert kid.iloc[0].status == "OK", mode
         assert "committee" in kid.iloc[0].text, mode
+
+
+def test_gzip_bomb_and_truncation_bounded(spark):
+    """R9 decompression bound: a high-ratio gzip bomb must quarantine
+    as gzip_too_large WITHOUT fully inflating in executor memory (the
+    zlib max_length cap stops at gzip_max_bytes + 1), and a truncated
+    stream — which zlib returns partial output for without raising —
+    must quarantine as corrupt, not extract a fragment."""
+    import gzip as g
+    import io
+
+    from document_extractor_spark.config import PipelineConfig
+    from document_extractor_spark.pipeline import run_extraction
+
+    def gz(b):
+        buf = io.BytesIO()
+        with g.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+            f.write(b)
+        return buf.getvalue()
+
+    # ~1000:1 ratio: 1 MiB of zeros-as-text compresses to ~1 KiB
+    bomb_inner = b"The report " * (1 << 17)  # ~1.4 MiB
+    ok_inner = b"A short stable plaintext line for the extractor."
+    full = gz(ok_inner * 20)
+    rows = [
+        ("u://bomb", None, gz(bomb_inner), None, "en"),
+        ("u://trunc", None, full[: len(full) // 2], None, "en"),
+        ("u://ok", None, gz(ok_inner), None, "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    cfg = PipelineConfig(gzip_max_bytes=64 * 1024)  # tiny cap for the test
+    res = run_extraction(spark, pages, cfg, persist=False)
+    quar = res.quarantine.toPandas().set_index("url")
+    ext = res.extracted.toPandas().set_index("url")
+
+    assert quar.loc["u://bomb"].reason == "gzip_too_large"
+    assert quar.loc["u://trunc"].reason == "gzip_corrupt"
+    assert "truncated" in quar.loc["u://trunc"].note
+    assert ext.loc["u://ok"].status == "OK"
+    assert "short stable plaintext" in ext.loc["u://ok"].text

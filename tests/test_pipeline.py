@@ -193,3 +193,23 @@ def test_resume_survives_partial_manifest(spark, pages_df, cfg, tmp_path):
     assert n == 30
     # and the second run is a clean noop
     assert run_and_commit(spark, sub, out, cfg) is None
+
+
+def test_resume_probe_only_swallows_missing_path():
+    """A transient manifest-read failure must ABORT resume (re-raise),
+    not silently return 'nothing committed' — the latter would make
+    run_and_commit re-extract and append the whole input, duplicating
+    every output table."""
+    from document_extractor_spark.checkpoint import _is_missing_path_error
+
+    assert _is_missing_path_error(
+        Exception("[PATH_NOT_FOUND] Path does not exist: /x/_manifest"))
+    assert _is_missing_path_error(
+        Exception("java.io.FileNotFoundException: /x/_manifest"))
+    assert _is_missing_path_error(
+        Exception("[UNABLE_TO_INFER_SCHEMA] parquet at /x/_manifest"))
+    assert not _is_missing_path_error(
+        Exception("503 Slow Down (S3 throttled)"))
+    assert not _is_missing_path_error(
+        Exception("com.amazonaws.AmazonClientException: Unable to "
+                  "execute HTTP request: connect timed out"))

@@ -146,3 +146,27 @@ def test_approx_distinct_error_bound(spark):
     assert (got.exact_users > 0).all()
     rel_err = (got.approx_users - got.exact_users).abs() / got.exact_users
     assert (rel_err < 0.05).all(), rel_err
+
+
+def test_legacy_stopwords_match_reference_ascii_entries():
+    """LEGACY_STOPWORDS must equal exactly the pure-ascii-alpha entries
+    of the reference's embedded awk list (common_pdf.sh:87-96, verbatim
+    below). Entries with a Unicode apostrophe can never match after the
+    awk tokenizer's [^a-z]->space mapping, so only ascii-alpha entries
+    are effective — a missing one ('why' was dropped once) silently
+    shifts W-ratio for any text containing it."""
+    ref_raw = (
+        "a an and are as at be but by for from has have if in into is it its "
+        "of on or that the their there these they this to was were what when "
+        "where which who will with without within would about above after "
+        "again against all also any because been before being below between "
+        "both did do does doing down during each few further he her here "
+        "hers herself him himself his how i into itself just me more most "
+        "my myself no nor not now off once only other our ours ourselves "
+        "out over own same she should so some such than then there’s "
+        "they’re those through too under until up very we were "
+        "what’s when’s where’s who’s why will you your "
+        "yours yourself yourselves"
+    ).split()
+    ascii_alpha = {w for w in ref_raw if w.isascii() and w.isalpha()}
+    assert set(TS.LEGACY_STOPWORDS) == ascii_alpha
