@@ -1473,20 +1473,33 @@ FROM paras
 """
 
 
+# md5-prefix slice of the corpus replayed through the stream: small
+# enough (~15% of 600 rows) that the drain always finishes inside the
+# driver's per-query budget, and expressible identically in DuckDB
+# (md5 over the url STRING — unlike xxhash64, which DuckDB lacks).
+_STREAM_SLICE_CHARS = ("0", "1", "2", "3")  # batch A keys
+_STREAM_RESEND_CHAR = "4"                   # batch B's fresh keys
+
+
 def q_streaming_dedup(spark, sf_dir):
-    """Streaming exact dedup VALUE-checked against batch SQL: the
-    seeded corpus is replayed as two micro-batches (second re-sends
-    half of the first), drained with Trigger.AvailableNow through
-    dropDuplicatesWithinWatermark, and the surviving content-hash set
-    must equal DISTINCT md5(payload) over the whole corpus."""
+    """Streaming exact dedup VALUE-checked against batch SQL: an
+    md5(url)-sliced subset of the seeded corpus is replayed as two
+    micro-batches (the second re-sends batch A's first slice — the
+    duplicates the stream must drop), drained with Trigger.AvailableNow
+    through dropDuplicatesWithinWatermark, and the surviving
+    content-hash set must equal DISTINCT payload over the subset.
+    Survivor COUNTS are batch-order independent (the distinct set is
+    the same whichever file the source lists first), so no mtime
+    staggering is needed and the whole entry is a few seconds."""
     import shutil
-    import time
 
     from document_extractor_spark.streaming import dedup_pages_stream
 
     cdir = _ensure_entry_corpus()
-    pages = spark.read.parquet(f"{cdir}/pages.parquet")
-    work = f"{_ENTRY_CORPUS_DIR}_streamdedup"
+    first = F.substring(F.md5(F.col("url")), 1, 1)
+    pages = (spark.read.parquet(f"{cdir}/pages.parquet")
+             .filter(first.isin(*_STREAM_SLICE_CHARS, _STREAM_RESEND_CHAR)))
+    work = f"{_ENTRY_CORPUS_DIR}_streamdedup_v2"
     in_dir, out_dir, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
 
     def _cached_ok() -> bool:
@@ -1501,15 +1514,10 @@ def q_streaming_dedup(spark, sf_dir):
 
     if not _cached_ok():
         shutil.rmtree(work, ignore_errors=True)
-        # deterministic url-hash split (limit() without an order would
-        # re-evaluate differently per reference): batch A = slices 0-3,
-        # batch B = slice 4 plus a RE-SEND of slice 0 (the duplicates
-        # the stream must drop)
-        slot = F.pmod(F.xxhash64("url"), F.lit(5))
-        a = pages.filter(slot < 4)
-        b = pages.filter(slot == 4).unionByName(pages.filter(slot == 0))
+        a = pages.filter(first.isin(*_STREAM_SLICE_CHARS))
+        b = pages.filter(first == _STREAM_RESEND_CHAR).unionByName(
+            pages.filter(first == _STREAM_SLICE_CHARS[0]))  # the RE-SEND
         a.coalesce(1).write.mode("overwrite").parquet(f"{in_dir}/a")
-        time.sleep(1.1)  # distinct mtimes -> deterministic batch order
         b.coalesce(1).write.mode("overwrite").parquet(f"{in_dir}/b")
         stream = (spark.readStream.schema(pages.schema)
                   .option("maxFilesPerTrigger", "1").parquet(in_dir + "/*"))
@@ -1517,7 +1525,7 @@ def q_streaming_dedup(spark, sf_dir):
              .writeStream.format("parquet")
              .option("path", out_dir).option("checkpointLocation", ckpt)
              .outputMode("append").trigger(availableNow=True).start())
-        if not q.awaitTermination(300):
+        if not q.awaitTermination(120):
             q.stop()  # a partial sink must not be read as the answer
             raise RuntimeError("streaming_dedup drain timed out")
     out = spark.read.parquet(out_dir)
@@ -1526,14 +1534,18 @@ def q_streaming_dedup(spark, sf_dir):
         F.countDistinct("content_hash").alias("n_unique"))
 
 
-# DuckDB's md5() is VARCHAR-only, so the twin counts DISTINCT raw
-# payloads (BLOB DISTINCT) instead of hashes — same cardinality.
+# DuckDB's md5() over a BLOB is unavailable, so the twin counts
+# DISTINCT raw payloads (BLOB DISTINCT) instead of hashes — same
+# cardinality; the slice predicate is md5 over the url STRING, which
+# both engines compute identically.
 _ORACLE_STREAM_DEDUP = f"""
 SELECT CAST(count(DISTINCT coalesce(html, encode(coalesce(text, ''))))
             AS BIGINT) AS survivors,
        CAST(count(DISTINCT coalesce(html, encode(coalesce(text, ''))))
             AS BIGINT) AS n_unique
 FROM '{_ENTRY_CORPUS_DIR}/pages.parquet'
+WHERE substring(md5(url), 1, 1) IN
+      {tuple(_STREAM_SLICE_CHARS) + (_STREAM_RESEND_CHAR,)}
 """
 
 
