@@ -1158,11 +1158,58 @@ FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
 """
 
 
+def q_simhash_neardup_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: top-16-bit blocked self-join, hamming
+    <= 3 — never a cross join. Value-checked against a DuckDB twin
+    that recomputes the per-bit-majority fingerprints and the same
+    blocked join."""
+    return DD.simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+# fingerprint CTEs identical to _ORACLE_SIMHASH, then the same blocked
+# (simhash >> 47) self-join with bit_count(xor) distance
+_ORACLE_SIMHASH_PAIRS = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+             string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''))) AS tok
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(tok), 1, 16)) AS UBIGINT) AS hv
+  FROM toks),
+bits AS (
+  SELECT doc_id, CAST(b.b AS INT) AS b,
+         CASE WHEN 2 * count(*) FILTER (((hv >> CAST(b.b AS INT)) & 1) = 1)
+                   > count(*) THEN 1 ELSE 0 END AS bit
+  FROM h, LATERAL unnest(range(0, 63)) AS b(b)
+  GROUP BY doc_id, b.b),
+fp0 AS (
+  SELECT doc_id,
+         CAST(sum(CAST(bit AS HUGEINT) * (CAST(1 AS HUGEINT) << b))
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id),
+-- simhash=0 rows (empty docs) are excluded like the Spark operator:
+-- they form one quadratic hot block and belong to exact dedup
+blocked AS (SELECT doc_id, simhash, simhash >> 47 AS block
+            FROM fp0 WHERE simhash <> 0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM blocked a JOIN blocked b
+  ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 def q_lsh_ann_topk(spark, sf_dir):
-    """LSH-bucketed ANN top-k (random hyperplanes, multiprobe)."""
+    """LSH-bucketed ANN top-k (random hyperplanes, multiprobe) via the
+    build/query split: lsh_build signs the corpus once, lsh_query only
+    probes buckets (at scale the bucketed table persists partitioned
+    by bucket; this one-query entry builds unpersisted)."""
     emb = _emb(spark, sf_dir)
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return SIM.lsh_topk(emb, list(qv), k=10)
+    index = SIM.lsh_build(emb, persist=False)
+    return SIM.lsh_query(index, list(qv), k=10)
 
 
 def q_winnow_fingerprints(spark, sf_dir):
@@ -1655,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_left_join": q_customers_left_join,
         # rows-only (no SQL twin)
         "simhash_fingerprints": q_simhash_fingerprints,
+        "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1684,6 +1732,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": _ORACLE_STREAM_DEDUP,
         "media_metadata": _ORACLE_MEDIA,
         "simhash_fingerprints": _ORACLE_SIMHASH,
+        "simhash_neardup_pairs": _ORACLE_SIMHASH_PAIRS,
         "embedding_neardup_lsh": _ORACLE_NEARDUP_LSH,
         "pricing_summary": _ORACLE_PRICING,
         "top_revenue_nations": _ORACLE_TOP_NATIONS,

@@ -292,9 +292,16 @@ def simhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
                           max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, blocked on the top
     16 bits (at scale: block -> tiny buckets -> in-bucket compare,
-    never a cross join)."""
-    fp = simhash_fingerprints(docs, id_col, text_col).withColumn(
-        "block", F.shiftrightunsigned(F.col("simhash"), 47))
+    never a cross join).
+
+    simhash == 0 rows (empty/NULL/whitespace-only text) are EXCLUDED:
+    every empty doc lands in block 0 with distance 0 to every other,
+    so at 10^12 docs they form one quadratic hot bucket — and they are
+    exact duplicates anyway, which exact_dedup_groups already handles
+    in one linear pass."""
+    fp = (simhash_fingerprints(docs, id_col, text_col)
+          .filter(F.col("simhash") != 0)
+          .withColumn("block", F.shiftrightunsigned(F.col("simhash"), 47)))
     a, b = fp.alias("a"), fp.alias("b")
     pairs = a.join(
         b, (F.col("a.block") == F.col("b.block"))

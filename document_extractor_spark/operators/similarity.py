@@ -124,21 +124,61 @@ def lsh_bucketed_jvm(emb: DataFrame, n_bits: int = 8, seed: int = 7,
     return emb.select(id_col, vec_col, bucket.alias("bucket"))
 
 
-def lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
-             n_bits: int = 8, seed: int = 7, multiprobe: bool = True,
-             id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
-    """ANN top-k: search only the query's LSH bucket (+1-bit probes)."""
+@dataclass
+class LshIndex:
+    """Built LSH index: the bucket-signed table (persist it — queries
+    only filter probe buckets + re-rank) plus the signing parameters a
+    query needs to hash itself into the same bucket space. At 100 TB
+    the bucketed table is written `partitionBy("bucket")` so a query's
+    probe filter becomes partition pruning at the scan — the same
+    build-once/query-many shape as IvfIndex (the per-query corpus
+    re-signing this replaces paid a full scan + mapInPandas per
+    lookup)."""
+
+    bucketed: DataFrame
+    n_bits: int = 8
+    seed: int = 7
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+
+
+def lsh_build(emb: DataFrame, n_bits: int = 8, seed: int = 7,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              persist: bool = True) -> LshIndex:
+    """ONE signing pass (Arrow-batched numpy matmul), one bucketed
+    table — build ONCE, query many."""
+    bucketed = lsh_bucketed(emb, n_bits, seed, id_col, vec_col)
+    if persist:
+        bucketed = bucketed.persist()
+    return LshIndex(bucketed, n_bits, seed, id_col, vec_col)
+
+
+def lsh_query(index: LshIndex, query_vec: list[float], k: int = 10,
+              multiprobe: bool = True) -> DataFrame:
+    """ANN top-k against a prebuilt LshIndex: hash the query on the
+    driver (tiny plane matrix), probe only its bucket (+1-bit flips),
+    exact cosine re-rank within them. No corpus signing happens here."""
     q = np.asarray(query_vec, dtype=np.float64)
-    planes = _planes(len(q), n_bits, seed)
+    planes = _planes(len(q), index.n_bits, index.seed)
     qbits = (planes @ q) > 0
     qbucket = int(sum(int(b) << i for i, b in enumerate(qbits)))
     probes = [qbucket]
     if multiprobe:
-        probes += [qbucket ^ (1 << b) for b in range(n_bits)]
-    candidates = lsh_bucketed(emb, n_bits, seed, id_col, vec_col).filter(
-        F.col("bucket").isin(probes))
-    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+        probes += [qbucket ^ (1 << b) for b in range(index.n_bits)]
+    candidates = index.bucketed.filter(F.col("bucket").isin(probes))
+    return brute_force_topk(candidates, query_vec, k,
+                            index.id_col, index.vec_col)
+
+
+def lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+             n_bits: int = 8, seed: int = 7, multiprobe: bool = True,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """One-shot convenience: build + single query. For repeated
+    lookups use lsh_build once and lsh_query per query (the one-shot
+    path signs the corpus on every call)."""
+    index = lsh_build(emb, n_bits, seed, id_col, vec_col, persist=False)
+    return lsh_query(index, query_vec, k, multiprobe)
 
 
 def _l2_normalized(vec_col):

@@ -303,3 +303,39 @@ def test_lsh_jvm_signer_matches_arrow_signer(spark):
     b = (lsh_bucketed_jvm(emb, n_bits=8, seed=7).select("vec_id", "bucket")
          .toPandas().set_index("vec_id").bucket)
     assert (a.sort_index() == b.sort_index()).all()
+
+
+def test_lsh_build_once_query_many(spark, emb, monkeypatch):
+    """The LSH build/query split must sign the corpus exactly once for
+    any number of queries (mirrors ivf_build/ivf_query; the per-query
+    corpus re-sign anti-pattern is gone). Two checks: (a) lsh_query
+    never calls the signer, (b) the query plan reads the persisted
+    bucketed table from cache (InMemoryTableScan), not a rebuild."""
+    from document_extractor_spark.operators import similarity as S
+
+    signs = {"n": 0}
+    orig = S.lsh_bucketed
+
+    def counting_bucketed(*a, **kw):
+        signs["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(S, "lsh_bucketed", counting_bucketed)
+
+    index = S.lsh_build(emb, n_bits=4, seed=7)
+    index.bucketed.count()  # materialize the cache
+    q0 = emb.filter(F.col("vec_id") == 0).head().embedding
+    q3 = emb.filter(F.col("vec_id") == 3).head().embedding
+    r0 = S.lsh_query(index, list(q0), k=3).toPandas()
+    r3 = S.lsh_query(index, list(q3), k=3).toPandas()
+    assert signs["n"] == 1  # one signing pass, zero re-signs per query
+
+    plan = (S.lsh_query(index, list(q0), k=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "InMemoryTableScan" in plan
+
+    # same rows as the one-shot path (which builds per call)
+    one_shot = S.lsh_topk(emb, list(q0), k=3, n_bits=4, seed=7).toPandas()
+    assert r0.vec_id.tolist() == one_shot.vec_id.tolist()
+    assert len(r3) >= 1
+    index.bucketed.unpersist()
