@@ -46,8 +46,42 @@ def _page_block(pg) -> F.Column:
     return F.concat(head, body)
 
 
+# per-doc render cap: collect_list materializes ALL of a doc's page
+# structs in ONE aggregation buffer, so a whale document (the
+# reference's 500+-page per-page mode has no upper bound) could blow
+# an executor. 2000 pages x ~2 KB page text ~= 4 MB per buffer — well
+# inside a 64 MB-per-task budget (SCALE.md §memory-budgets).
+RENDER_MAX_PAGES = 2000
+
+
+def _over_cap_docs(ok: DataFrame, max_pages: int) -> DataFrame:
+    """(url, run_id, n_pages) of docs exceeding the render page cap.
+    One cheap count shuffle (map-side partial agg of 16-byte rows);
+    the result is tiny, so callers broadcast it."""
+    return (ok.groupBy("url", "run_id")
+            .agg(F.count("*").alias("n_pages"))
+            .filter(F.col("n_pages") > max_pages))
+
+
+def render_quarantine(extracted: DataFrame,
+                      max_pages: int = RENDER_MAX_PAGES) -> DataFrame:
+    """Docs whose page count exceeds the render cap, as quarantine rows
+    (reason render_too_large) — the metrics-visible record of what
+    rendered_docs skipped. Union into the pipeline quarantine table or
+    count it for the run metrics."""
+    ok = extracted.filter(
+        (F.col("status") == "OK") & F.col("text").isNotNull())
+    return _over_cap_docs(ok, max_pages).select(
+        "url", "run_id",
+        F.lit("render_too_large").alias("reason"),
+        F.concat(F.lit("render_too_large: "),
+                 F.col("n_pages").cast("string"),
+                 F.lit(f" pages > cap {max_pages}")).alias("note"))
+
+
 def rendered_docs(extracted: DataFrame,
-                  processed_at: str = "1970-01-01T00:00:00Z") -> DataFrame:
+                  processed_at: str = "1970-01-01T00:00:00Z",
+                  max_pages: int | None = RENDER_MAX_PAGES) -> DataFrame:
     """One row per url with the reference-parity rendered text block.
 
     Per-page rows are regrouped into page order; per-doc rows render
@@ -58,10 +92,19 @@ def rendered_docs(extracted: DataFrame,
 
     A whole-document row is unavoidable output here (the rendered
     block IS the doc), so the per-url collect_list is inherent; the
-    render itself is JVM Column work, not a Python row UDF.
+    render itself is JVM Column work, not a Python row UDF. What is
+    NOT unavoidable is an unbounded aggregation buffer: docs beyond
+    `max_pages` are excluded BEFORE the collect_list (broadcast
+    anti-join against the tiny over-cap set, so whale pages never
+    reach the buffer) and surfaced via render_quarantine with reason
+    render_too_large. max_pages=None disables the guard (test scale
+    only).
     """
     ok = extracted.filter(
         (F.col("status") == "OK") & F.col("text").isNotNull())
+    if max_pages is not None:
+        over = _over_cap_docs(ok, max_pages).select("url", "run_id")
+        ok = ok.join(F.broadcast(over), ["url", "run_id"], "left_anti")
     paged = ok.select(
         "url", "run_id", "method", "status", "reliability",
         F.struct(

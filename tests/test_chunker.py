@@ -248,3 +248,33 @@ def test_token_windows_tail_coverage(spark):
         starts = got.start_tok.tolist()
         assert starts == sorted(starts)
         assert all(b - a == s_ for a, b in zip(starts, starts[1:])), starts
+
+
+def test_render_whale_doc_cap(spark):
+    """A doc beyond the render page cap must be excluded BEFORE the
+    collect_list buffer and surface in render_quarantine as
+    render_too_large; normal docs render as before; max_pages=None
+    disables the guard."""
+    from document_extractor_spark.artifacts import (
+        render_quarantine, rendered_docs)
+
+    whale = [("u://whale", "r0", "pdf_text", "OK", 0.9, p, f"page {p}")
+             for p in range(1, 51)]
+    normal = [("u://ok", "r0", "pdf_text", "OK", 0.8, 1, "single page")]
+    df = spark.createDataFrame(
+        whale + normal,
+        "url string, run_id string, method string, status string, "
+        "reliability double, page int, text string")
+
+    rendered = rendered_docs(df, max_pages=10).toPandas()
+    assert rendered.url.tolist() == ["u://ok"]
+
+    quar = render_quarantine(df, max_pages=10).toPandas()
+    assert quar.url.tolist() == ["u://whale"]
+    assert quar.reason.tolist() == ["render_too_large"]
+    assert "50 pages > cap 10" in quar.note.iloc[0]
+
+    uncapped = rendered_docs(df, max_pages=None).toPandas()
+    assert sorted(uncapped.url) == ["u://ok", "u://whale"]
+    assert "=== [PAGE 50] ===" in uncapped.set_index("url").loc[
+        "u://whale"].rendered_text
