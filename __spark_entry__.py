@@ -1345,7 +1345,7 @@ FROM range(0, 60) t(i)
 
 # Versioned so a corpus.py change invalidates the cached parquet; bump
 # when generate_corpus output changes.
-_ENTRY_CORPUS_DIR = "/tmp/des_corpus_entry_600_v4"
+_ENTRY_CORPUS_DIR = "/tmp/des_corpus_entry_600_v5"
 
 
 def _ensure_entry_corpus() -> str:
@@ -1656,6 +1656,16 @@ SELECT url,
        'ERROR' AS status
 FROM '{_ENTRY_CORPUS_DIR}/pages.parquet'
 WHERE split_part(url, '/', 4) IN ('html_garbage', 'pdf_scanonly')
+UNION ALL
+-- legacy .doc failure variants: the generation-time quarantine reason
+-- is the ground truth for WHICH failure each url is (truncated CFB ->
+-- doc_extract_error; non-Word CFB -> deny-list 'none')
+SELECT url,
+       CASE reason WHEN 'doc_open_failed' THEN 'doc_extract_error'
+                   WHEN 'unsupported' THEN 'none' END AS method,
+       'ERROR' AS status
+FROM '{_ENTRY_CORPUS_DIR}/expected_quarantine.parquet'
+WHERE fixture_class = 'doc'
 """
 
 

@@ -44,6 +44,9 @@ class PipelineConfig:
     # lenient than .doc by default)
     docx_cutoff: float = field(
         default_factory=lambda: _env_float("PASS_DOCX_CUTOFF", 0.70))
+    # reference pass_doc.py:203 / entrypoint.sh:37: legacy .doc cutoff
+    doc_cutoff: float = field(
+        default_factory=lambda: _env_float("PASS_DOC_CUTOFF", 0.75))
 
     # --- scan-only triage (reference: common.py:216-244, 352-371)
     triage_sample_pages: int = 6

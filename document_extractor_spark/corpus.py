@@ -22,6 +22,7 @@ from datetime import datetime, timedelta, timezone
 
 import pandas as pd
 
+from .functions.doc_mini import _build_cfb, build_doc
 from .functions.docx_mini import build_docx
 from .functions.scoring import exact_median, score_reliability
 from .pdf_gen import build_pdf
@@ -65,8 +66,9 @@ _MIX = [
     ("plaintext", 0.80),
     ("pretext", 0.82),
     ("container", 0.86),
-    ("docx", 0.91),
-    ("gzip_html", 0.94),
+    ("docx", 0.895),
+    ("doc", 0.925),
+    ("gzip_html", 0.945),
     ("noise", 0.96),
     ("unsupported", 0.98),
     ("dup", 1.00),
@@ -301,6 +303,35 @@ def generate_corpus(
                 paras + ([c for r_ in table for c in r_] if table else []))
             expected.append(_exp(
                 truth, "docx_text", False, score_reliability(truth)))
+
+        elif cls == "doc":
+            # legacy Word binary (E9): piece-table variants — plain
+            # cp1252, split pieces, a non-cp1252 paragraph forcing a
+            # UTF-16 piece, a truncated file, and a non-Word CFB
+            # (the .xls deny-list analog, process_run.py:35-37)
+            paras = [_paragraph(rng, lang, 1, 3)
+                     for _ in range(rng.randint(2, 4))]
+            variant = rng.random()
+            if variant < 0.45:
+                row["html"] = build_doc(paras)
+            elif variant < 0.70:
+                row["html"] = build_doc(paras, split_pieces=True)
+            elif variant < 0.85:
+                paras[-1] += " — συμπέρασμα"  # forces a UTF-16LE piece
+                row["html"] = build_doc(paras, split_pieces=True)
+            elif variant < 0.95:
+                row["html"] = build_doc(paras)[:600]  # truncated CFB
+                quarantine.append({"url": url, "reason": "doc_open_failed",
+                                   "fixture_class": cls})
+            else:
+                row["html"] = _build_cfb(
+                    [("Workbook", b"\x09\x08" + bytes(128))])
+                quarantine.append({"url": url, "reason": "unsupported",
+                                   "fixture_class": cls})
+            if variant < 0.85:
+                truth = "\n".join(paras)
+                expected.append(_exp(
+                    truth, "doc_text", False, score_reliability(truth)))
 
         elif cls == "gzip_html":
             # Common-Crawl payloads often arrive gzip-compressed: the

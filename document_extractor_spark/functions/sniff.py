@@ -26,13 +26,18 @@ FMT_PDF = "pdf"
 FMT_HTML = "html"
 FMT_TXT = "txt"
 FMT_DOCX = "docx"
+FMT_DOC = "doc"
 FMT_GZIP = "gzip"
 FMT_PRETEXT = "pretext"
 FMT_NOISE = "noise"
 FMT_UNSUPPORTED = "unsupported"
 
-ALL_FORMATS = [FMT_PDF, FMT_HTML, FMT_TXT, FMT_DOCX, FMT_GZIP,
+ALL_FORMATS = [FMT_PDF, FMT_HTML, FMT_TXT, FMT_DOCX, FMT_DOC, FMT_GZIP,
                FMT_PRETEXT, FMT_NOISE, FMT_UNSUPPORTED]
+
+# OLE2/CFB magic (D0 CF 11 E0 A1 B1 1A E1) as an ISO-8859-1 string —
+# the lossless byte<->char decode makes startswith a byte comparison
+_CFB_MAGIC_STR = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1".decode("iso-8859-1")
 
 # how many payload bytes the sniffer inspects
 _PREFIX_LEN = 512
@@ -61,6 +66,10 @@ def sniff_format(html: Column, text: Column) -> Column:
     is_docx = (prefix.startswith("PK\x03\x04")
                & prefix.contains("word/document.xml"))
     is_gzip = prefix.startswith("\x1f\x8b")
+    # legacy OLE2 container: .doc (also .xls/.ppt — the doc branch
+    # quarantines CFB files without a WordDocument stream, mirroring
+    # the reference's extension deny-list, process_run.py:35-37)
+    is_cfb = prefix.startswith(_CFB_MAGIC_STR)
     is_pdf = prefix.startswith("%PDF-")
     looks_html = (
         low.contains("<!doctype html")
@@ -77,6 +86,7 @@ def sniff_format(html: Column, text: Column) -> Column:
         .when(is_gzip, F.lit(FMT_GZIP))          # decompress + re-route
         .when(is_docx, F.lit(FMT_DOCX))          # Office Open XML text
         .when(is_zip, F.lit(FMT_UNSUPPORTED))    # xlsx-style containers
+        .when(is_cfb, F.lit(FMT_DOC))            # legacy Word binary
         .when(is_pdf, F.lit(FMT_PDF))
         .when(looks_html, F.lit(FMT_HTML))
         .when(~has_nul, F.lit(FMT_TXT))

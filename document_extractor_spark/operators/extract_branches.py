@@ -26,6 +26,7 @@ from ..functions.scoring import (
     sample_page_indices,
     score_reliability,
 )
+from ..functions.doc_mini import DocParseError, doc_text
 from ..functions.docx_mini import DOCX_MARKER, docx_text
 from ..functions.textnorm import decode_detect, decode_reference
 from .html_extract import (
@@ -141,6 +142,36 @@ def _docx_core(url, warc_ts, lang, payload, cfg: PipelineConfig) -> dict:
                 f"docx_below_cutoff: rel={rel:.4f}")
 
 
+def _doc_core(url, warc_ts, lang, payload, cfg: PipelineConfig) -> dict:
+    """Legacy .doc (Word 97-2003 binary) branch — reference
+    pass_doc.py:203-258 semantics with a from-scratch parser instead
+    of the antiword/catdoc subprocess (pass_doc.py:85-102): method
+    doc_text, reliability gate at PASS_DOC_CUTOFF (0.75), failures
+    record method doc_extract_error; a CFB that is not Word (.xls,
+    .ppt) routes to the unsupported quarantine exactly like the
+    reference's extension deny-list (process_run.py:35-37)."""
+    try:
+        t = doc_text(payload)
+    except DocParseError as exc:
+        if str(exc).startswith("cfb_not_word"):
+            return _row(url, warc_ts, lang, "doc", "none", "ERROR",
+                        False, False, 0, [], [], 0.0, "unsupported")
+        return _row(url, warc_ts, lang, "doc", "doc_extract_error",
+                    "ERROR", False, False, 0, [], [], 0.0,
+                    f"doc_open_failed: {exc}")
+    except Exception as exc:
+        return _row(url, warc_ts, lang, "doc", "doc_extract_error",
+                    "ERROR", False, False, 0, [], [], 0.0,
+                    f"doc_open_failed: {exc}")
+    rel = score_reliability(t)
+    if t.strip() and rel >= cfg.doc_cutoff:
+        return _row(url, warc_ts, lang, "doc", "doc_text", "OK",
+                    False, False, 1, [(1, t, rel)], [(0, len(t))], rel)
+    return _row(url, warc_ts, lang, "doc", "doc_text", "ERROR",
+                False, False, 0, [], [], rel,
+                f"doc_below_cutoff: rel={rel:.4f}")
+
+
 def _html_core(url, warc_ts, lang, payload, cfg: PipelineConfig) -> dict:
     """Internal strict -> lenient -> raw cascade (one row, short-
     circuit on first acceptance — the reference's escalation
@@ -210,6 +241,20 @@ def make_docx_branch(cfg: PipelineConfig):
             yield pd.DataFrame(out, columns=_BRANCH_COLS) if out else _empty()
 
     return docx_branch
+
+
+def make_doc_branch(cfg: PipelineConfig):
+    """Staged-path legacy .doc branch (reference pass_doc.py dispatch,
+    process_run.py:104)."""
+    def doc_branch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            out = [
+                _doc_core(r.url, r.warc_ts, r.lang, r.html, cfg)
+                for r in pdf_batch.itertuples(index=False)
+            ]
+            yield pd.DataFrame(out, columns=_BRANCH_COLS) if out else _empty()
+
+    return doc_branch
 
 
 def make_pdf_branch(cfg: PipelineConfig):
@@ -321,6 +366,8 @@ def sniff_bytes(html: bytes | None, text: str | None) -> str:
         return "docx" if DOCX_MARKER in prefix else "unsupported"
     if prefix.startswith((b"PK\x05\x06", b"PK\x07\x08")):
         return "unsupported"  # zip EOCD/spanned; text starting "PK" is not a zip
+    if prefix.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
+        return "doc"  # OLE2/CFB container (legacy Word binary)
     if prefix.startswith(b"%PDF-"):
         return "pdf"
     low = prefix.decode("iso-8859-1").lower()
@@ -351,6 +398,9 @@ def make_extract_any(cfg: PipelineConfig):
             return
         if fmt == "docx":
             out.append(_docx_core(url, warc_ts, lang, html, cfg))
+            return
+        if fmt == "doc":
+            out.append(_doc_core(url, warc_ts, lang, html, cfg))
             return
         if fmt == "gzip":
             # Common-Crawl payloads are often stored gzip-compressed:

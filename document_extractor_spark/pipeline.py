@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from .config import PipelineConfig
 from .functions.sniff import (
+    FMT_DOC,
     FMT_DOCX,
     FMT_GZIP,
     FMT_HTML,
@@ -61,6 +62,7 @@ from .schemas import PAGES_COLS as _PAGES_COLS
 from .operators.extract_branches import (
     BRANCH_SCHEMA,
     CASCADE_SCHEMA,
+    make_doc_branch,
     make_docx_branch,
     make_extract_any,
     make_html_stage,
@@ -148,6 +150,7 @@ def _staged_branches(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
     txt_rows = dispatched.filter(F.col("fmt").isin(FMT_TXT, FMT_PRETEXT))
     docx_rows = dispatched.filter(F.col("fmt") == FMT_DOCX)
+    doc_rows = dispatched.filter(F.col("fmt") == FMT_DOC)
     pdf_rows = dispatched.filter(F.col("fmt") == FMT_PDF)
     html_rows = dispatched.filter(F.col("fmt") == FMT_HTML)
     unsupported = dispatched.filter(F.col("fmt") == FMT_UNSUPPORTED)
@@ -155,6 +158,8 @@ def _staged_branches(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
     txt_out = txt_rows.mapInPandas(make_txt_branch(cfg), schema=BRANCH_SCHEMA)
     docx_out = docx_rows.mapInPandas(
         make_docx_branch(cfg), schema=BRANCH_SCHEMA)
+    doc_out = doc_rows.mapInPandas(
+        make_doc_branch(cfg), schema=BRANCH_SCHEMA)
     pdf_out = pdf_rows.mapInPandas(make_pdf_branch(cfg), schema=BRANCH_SCHEMA)
 
     s1 = html_rows.mapInPandas(
@@ -192,7 +197,8 @@ def _staged_branches(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
         F.lit(0.0).alias("reliability"),
         F.lit("unsupported").alias("error"),
     )
-    return (txt_out.unionByName(docx_out).unionByName(pdf_out)
+    return (txt_out.unionByName(docx_out).unionByName(doc_out)
+            .unionByName(pdf_out)
             .unionByName(html_out).unionByName(unsupported_out)
             .unionByName(gzip_out))
 
