@@ -1669,6 +1669,143 @@ WHERE fixture_class = 'doc'
 """
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrub (C4/RefinedWeb-style pre-training pass): e-mail / IPv4
+    / phone redaction with typed tokens plus per-doc removal counts.
+    The synthetic corpus carries no PII, so deterministic PII is
+    appended from doc_id (same expression in the oracle) — the regexes
+    are exercised on real matches, not on an all-zero corpus. Pure
+    Column: one projection, zero shuffles, zero Python stages."""
+    from document_extractor_spark.functions.pii import (
+        pii_counts, pii_redact)
+
+    d = _docs(spark, sf_dir)
+    synth = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(
+            F.lit(" Contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.concat(
+            F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 254 + 1).cast("string"))).otherwise(
+                F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.concat(
+            F.lit(" call +1 (555) 123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4,
+                   "0"))).otherwise(F.lit("")),
+    )
+    c = pii_counts(F.col("t"))
+    return (
+        d.select("doc_id", synth.alias("t"))
+        .select(
+            "doc_id",
+            c["n_emails"].cast("long").alias("n_emails"),
+            c["n_ips"].cast("long").alias("n_ips"),
+            c["n_phones"].cast("long").alias("n_phones"),
+            pii_redact(F.col("t")).alias("redacted"))
+    )
+
+
+from document_extractor_spark.functions import pii as _PII  # noqa: E402
+
+_ORACLE_PII = f"""
+WITH synth AS (
+  SELECT doc_id,
+    text
+    || (CASE WHEN doc_id % 3 = 0 THEN ' Contact user'
+         || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 0 THEN ' from 10.'
+         || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+         || CAST(doc_id % 254 + 1 AS VARCHAR) ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN ' call +1 (555) 123-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END)
+    AS t
+  FROM documents),
+staged AS (
+  SELECT doc_id, t,
+    regexp_replace(t, '{_PII.EMAIL_PATTERN}', '<EMAIL>', 'g') AS t1
+  FROM synth),
+staged2 AS (
+  SELECT doc_id, t, t1,
+    regexp_replace(t1, '{_PII.IPV4_PATTERN}', '<IP>', 'g') AS t2
+  FROM staged)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{_PII.EMAIL_PATTERN}')) AS BIGINT)
+      AS n_emails,
+  CAST(len(regexp_extract_all(t1, '{_PII.IPV4_PATTERN}')) AS BIGINT)
+      AS n_ips,
+  CAST(len(regexp_extract_all(t2, '{_PII.PHONE_PATTERN}')) AS BIGINT)
+      AS n_phones,
+  regexp_replace(t2, '{_PII.PHONE_PATTERN}', '<PHONE>', 'g') AS redacted
+FROM staged2
+"""
+
+
+def q_line_boilerplate_strip(spark, sf_dir):
+    """CCNet-style corpus-frequency line removal: lines whose trimmed
+    form appears in >= 4 distinct docs (nav bars, footers) are struck
+    from every document. The flat corpus has no newlines, so
+    multi-line docs are synthesized deterministically (same expression
+    in the oracle): shared chrome lines on doc_id strides + body
+    slices. Differs from paragraph_dedup (keep-first): boilerplate
+    survives NOWHERE."""
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    synth = F.concat(
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit("Home | About | Subscribe\n")).otherwise(F.lit("")),
+        F.substring(F.col("text"), 1, 80), F.lit("\n"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("Copyright 2026 Example Corp. All rights "
+                     "reserved.\n")).otherwise(F.lit("")),
+        F.substring(F.col("text"), 81, 80),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("\nFollow us on social media")).otherwise(F.lit("")),
+    )
+    return DD.strip_boilerplate_lines(
+        d.select("doc_id", synth.alias("text")), min_doc_count=4)
+
+
+_ORACLE_LINE_STRIP = """
+WITH synth AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0
+          THEN 'Home | About | Subscribe' || chr(10) ELSE '' END)
+    || substr(text, 1, 80) || chr(10)
+    || (CASE WHEN doc_id % 3 = 0
+          THEN 'Copyright 2026 Example Corp. All rights reserved.'
+               || chr(10) ELSE '' END)
+    || substr(text, 81, 80)
+    || (CASE WHEN doc_id % 7 = 0
+          THEN chr(10) || 'Follow us on social media' ELSE '' END) AS t
+  FROM documents WHERE text IS NOT NULL),
+lines AS (
+  SELECT doc_id, CAST(i.n - 1 AS BIGINT) AS pos,
+         string_split(t, chr(10))[CAST(i.n AS INT)] AS line
+  FROM synth, LATERAL unnest(
+      range(1, len(string_split(t, chr(10))) + 1)) AS i(n)),
+nz AS (
+  SELECT doc_id, pos, line, trim(line) AS nl
+  FROM lines WHERE trim(line) <> ''),
+hot AS (
+  SELECT nl FROM (
+    SELECT nl, count(DISTINCT doc_id) AS df FROM nz GROUP BY nl)
+  WHERE df >= 4),
+kept AS (
+  SELECT doc_id, pos, line FROM nz
+  WHERE nl NOT IN (SELECT nl FROM hot)),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM nz GROUP BY doc_id),
+reb AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id, coalesce(reb.cleaned, '') AS cleaned,
+       CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.n_lines - coalesce(reb.n_kept, 0) AS BIGINT) AS n_dropped
+FROM tot t LEFT JOIN reb ON t.doc_id = reb.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_roundtrip": q_extract_html_roundtrip,
@@ -1710,6 +1847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_domain_stats": q_salted_domain_stats,
         "order_priority_semi": q_order_priority_semi,
         "customers_left_join": q_customers_left_join,
+        "pii_redact": q_pii_redact,
+        "line_boilerplate_strip": q_line_boilerplate_strip,
         # rows-only (no SQL twin)
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
@@ -1784,4 +1923,6 @@ def oracle_sql() -> dict[str, str]:
         "salted_domain_stats": _ORACLE_SALTED,
         "order_priority_semi": _ORACLE_SEMI,
         "customers_left_join": _ORACLE_LEFT_JOIN,
+        "pii_redact": _ORACLE_PII,
+        "line_boilerplate_strip": _ORACLE_LINE_STRIP,
     }

@@ -1,0 +1,92 @@
+"""PII detection and redaction for webtext training corpora.
+
+A standard pre-training scrub pass (C4/RefinedWeb-style): find and
+replace e-mail addresses, IPv4 addresses, and international-format
+phone numbers with typed placeholder tokens, and count what was
+removed so the metrics table records scrub rates per source.
+
+The reference pipeline (strahd-zarovich/document-extractor) stops at
+extraction and has no PII stage; this module is part of the
+training-data surface this engine adds on top (SURVEY.md §2.5). It is
+pure Column work — `regexp_replace` / `regexp_count` run inside
+whole-stage codegen, so the scrub costs one projection over the
+corpus, no shuffle, no Python.
+
+Regex dialect parity: patterns are written in the Java ∩ RE2 common
+subset (character classes, bounded repetition, alternation, `\\b`) so
+the DuckDB oracle applies the *same* strings. No lookaround (RE2 has
+none), no possessive quantifiers, no `\\p{...}` classes.
+
+Order matters: IPv4 must be redacted BEFORE phone numbers, otherwise
+the phone pattern's digit-run alternative could swallow dotted octets
+partially. E-mail goes first of all, since an address like
+`bob.192.168.0.1@host` must stay one `<EMAIL>` token.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# local-part: the practical unquoted subset; domain: dotted labels with
+# a 2+ alpha TLD. Anchored with \b on both sides so `a@b.co,c@d.co`
+# yields two matches.
+EMAIL_PATTERN = (
+    r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9]"
+    r"[A-Za-z0-9-]*(\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}\b"
+)
+
+# Dotted-quad with per-octet range check (25x|2[0-4]x|1xx|xx|x) —
+# avoids tagging `999.999.999.999`; \b keeps version strings like
+# `1.2.3.4000` out on the tail side.
+_OCT = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+IPV4_PATTERN = rf"\b{_OCT}\.{_OCT}\.{_OCT}\.{_OCT}\b"
+
+# Phone: international/NANP-ish shapes with enough digits to be a
+# number, not a year: optional +CC, then 2-4 groups of 2-4 digits
+# separated by space/dash/dot, or a (XXX) XXX-XXXX form. Requires 9+
+# total digits via structure (3x3 minimum with a prefix) to keep
+# plain prose numbers out.
+PHONE_PATTERN = (
+    r"(\+[0-9]{1,3}[ .-]?)?"
+    r"(\([0-9]{3}\)[ .-]?|[0-9]{3}[ .-])"
+    r"[0-9]{3}[ .-][0-9]{4}\b"
+)
+
+EMAIL_TOKEN = "<EMAIL>"
+IP_TOKEN = "<IP>"
+PHONE_TOKEN = "<PHONE>"
+
+
+def pii_counts(text: Column) -> Column:
+    """Struct of match counts per PII class (pre-redaction).
+
+    Counted on the raw text independently, in the same precedence
+    order the redactor applies (email > ip > phone): each counter
+    runs on the text with the higher-precedence classes already
+    blanked, so a dotted quad inside an e-mail is counted once, as
+    e-mail — counts always equal the number of tokens the redactor
+    emits.
+    """
+    after_email = F.regexp_replace(text, EMAIL_PATTERN, EMAIL_TOKEN)
+    after_ip = F.regexp_replace(after_email, IPV4_PATTERN, IP_TOKEN)
+    return F.struct(
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), 0))
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(after_email, F.lit(IPV4_PATTERN), 0))
+        .alias("n_ips"),
+        F.size(F.regexp_extract_all(after_ip, F.lit(PHONE_PATTERN), 0))
+        .alias("n_phones"),
+    )
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace every e-mail / IPv4 / phone match with its typed token.
+
+    Single projection, three chained `regexp_replace` calls — all
+    JVM-side, fused by whole-stage codegen. Precedence: email > ip >
+    phone (see module docstring).
+    """
+    out = F.regexp_replace(text, EMAIL_PATTERN, EMAIL_TOKEN)
+    out = F.regexp_replace(out, IPV4_PATTERN, IP_TOKEN)
+    out = F.regexp_replace(out, PHONE_PATTERN, PHONE_TOKEN)
+    return out

@@ -406,3 +406,69 @@ def paragraph_dedup_marks(docs: DataFrame, order_cols: list[str],
     return paras.select(
         *order_cols, "para_idx", "para_hash",
         (F.row_number().over(w) == 1).alias("is_first"))
+
+
+def strip_boilerplate_lines(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            min_doc_count: int = 4) -> DataFrame:
+    """Corpus-frequency boilerplate line removal (CCNet §4.1 / the
+    RefinedWeb line-dedup pass): a line whose trimmed form appears in
+    >= `min_doc_count` DISTINCT documents is boilerplate (nav bars,
+    cookie banners, copyright footers) and is struck from every doc;
+    blank lines are dropped too. Unlike `paragraph_dedup_marks` (which
+    keeps the FIRST occurrence of a repeated paragraph), this removes
+    ALL occurrences of corpus-hot lines — the CCNet rule for chrome
+    that should survive nowhere.
+
+    Returns (id_col, cleaned, n_kept, n_dropped) with `cleaned` the
+    surviving lines re-joined by newline in original order.
+
+    Scale shape (10^12 docs): posexplode is shuffle-free; the
+    doc-frequency count shuffles once on the trimmed line; the
+    hot-line table (freq >= k) is orders of magnitude smaller than
+    the corpus, so the left_anti join broadcasts under AQE when it
+    fits and degrades to a shuffled join keyed on the line otherwise
+    (uniform: one hot line -> one partition, anti-join is linear).
+    Reassembly shuffles once on the doc id; its collect_list buffer
+    is bounded by the source document's own size, which already
+    arrived as one row. 3 shuffles total, zero Python stages.
+    """
+    lines = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n"))
+            .alias("pos", "line"))
+        .withColumn("nl", F.trim(F.col("line")))
+        .filter(F.col("nl") != "")
+    )
+    hot = (
+        lines.groupBy("nl")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_doc_count)
+        .select("nl")
+    )
+    kept = lines.join(hot, "nl", "left_anti")
+    n_total = lines.groupBy(id_col).agg(
+        F.count("*").alias("n_lines"))
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"]),
+                "\n").alias("cleaned"),
+            F.count("*").alias("n_kept"))
+    )
+    # right join keeps docs whose every line was boilerplate
+    return (
+        rebuilt.join(n_total, id_col, "right")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long")
+            .alias("n_kept"),
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long").alias("n_dropped"))
+    )

@@ -1,0 +1,111 @@
+"""PII scrub: Spark <-> DuckDB regex-dialect parity and invariants.
+
+The patterns live in the Java ∩ RE2 common subset; these tests pin
+that claim by running the SAME pattern strings through Spark
+(regexp_replace / regexp_extract_all on the JVM) and DuckDB (RE2) over
+a battery of adversarial strings and asserting identical output.
+"""
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from document_extractor_spark.functions.pii import (
+    EMAIL_PATTERN,
+    IPV4_PATTERN,
+    PHONE_PATTERN,
+    pii_counts,
+    pii_redact,
+)
+
+BATTERY = [
+    "Contact user42@mail.example.com or call +1 (555) 123-0042 "
+    "server at 10.0.13.7.",
+    "a@b.co,c@d.co and 999.999.999.999 but 192.168.0.1 ok; "
+    "ver 1.2.3.4000 no; year 2026 no",
+    "call 555-123-4567 or (212) 555-0199 at 255.255.255.255",
+    "bob.192.168.0.1@host.org stays one email",
+    "no pii here at all",
+    "edge 0.0.0.0 and 256.1.1.1 half-valid",
+    "MAILTO:ADMIN@EXAMPLE.ORG trailing dot 8.8.8.8.",
+    "+999 123-456-7890 long country code",
+    "dots.and-dashes_ok%2@sub.domain-x.co.uk fine",
+    "",
+]
+
+
+def _duck_expected(s: str):
+    con = duckdb.connect()
+    red, ne, ni, np_ = con.execute(
+        "SELECT regexp_replace(regexp_replace(regexp_replace($s, $e,"
+        " '<EMAIL>', 'g'), $i, '<IP>', 'g'), $p, '<PHONE>', 'g'),"
+        " len(regexp_extract_all($s, $e)),"
+        " len(regexp_extract_all(regexp_replace($s, $e, '<EMAIL>', 'g'),"
+        "     $i)),"
+        " len(regexp_extract_all(regexp_replace(regexp_replace($s, $e,"
+        "     '<EMAIL>', 'g'), $i, '<IP>', 'g'), $p))",
+        {"s": s, "e": EMAIL_PATTERN, "i": IPV4_PATTERN,
+         "p": PHONE_PATTERN},
+    ).fetchone()
+    con.close()
+    return red, ne, ni, np_
+
+
+def test_spark_duckdb_parity(spark):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(BATTERY)],
+                               ["i", "text"])
+    rows = (
+        df.select("i", pii_redact(F.col("text")).alias("red"),
+                  pii_counts(F.col("text")).alias("c"))
+        .orderBy("i").collect()
+    )
+    for row in rows:
+        red, ne, ni, np_ = _duck_expected(BATTERY[row["i"]])
+        assert row["red"] == red, BATTERY[row["i"]]
+        assert (row["c"]["n_emails"], row["c"]["n_ips"],
+                row["c"]["n_phones"]) == (ne, ni, np_), BATTERY[row["i"]]
+
+
+def test_counts_equal_tokens_emitted(spark):
+    """The counts struct must agree with the redactor's token output."""
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(BATTERY)],
+                               ["i", "text"])
+    out = df.select(
+        pii_redact(F.col("text")).alias("red"),
+        pii_counts(F.col("text")).alias("c"),
+    ).collect()
+    for row in out:
+        for tok, key in (("<EMAIL>", "n_emails"), ("<IP>", "n_ips"),
+                         ("<PHONE>", "n_phones")):
+            assert row["red"].count(tok) == row["c"][key]
+
+
+def test_null_text_stays_null(spark):
+    df = spark.createDataFrame([(1, None)], "i: int, text: string")
+    row = df.select(pii_redact(F.col("text")).alias("r"),
+                    pii_counts(F.col("text")).alias("c")).first()
+    assert row["r"] is None
+    assert row["c"]["n_emails"] is None
+
+
+def test_email_precedence_over_ip(spark):
+    """A dotted quad inside an e-mail local part is e-mail, not IP."""
+    df = spark.createDataFrame([("x bob.192.168.0.1@host.org y",)],
+                               ["text"])
+    row = df.select(pii_counts(F.col("text")).alias("c"),
+                    pii_redact(F.col("text")).alias("r")).first()
+    assert row["c"]["n_emails"] == 1
+    assert row["c"]["n_ips"] == 0
+    assert row["r"] == "x <EMAIL> y"
+
+
+def test_plan_is_pure_column(spark):
+    """No Python stage: the scrub must stay inside codegen."""
+    df = spark.range(10).select(
+        F.concat(F.lit("u"), F.col("id").cast("string"),
+                 F.lit("@x.org")).alias("text"))
+    plan = (df.select(pii_redact(F.col("text")).alias("r"))
+            ._jdf.queryExecution().executedPlan().toString())
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan
