@@ -1806,6 +1806,111 @@ FROM tot t LEFT JOIN reb ON t.doc_id = reb.doc_id
 """
 
 
+def q_gopher_quality(spark, sf_dir):
+    """The published Gopher document-quality rule set (Rae et al.
+    2021, A.1.1) per doc: word-count bounds, mean word length,
+    symbol/bullet/ellipsis ratios, alpha-word ratio, required
+    stopwords. Deterministic structure is appended on doc_id strides
+    so every rule actually fires on the synthetic corpus (same
+    expression in the oracle). Pure Column, one projection."""
+    d = _docs(spark, sf_dir)
+    synth = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit(" ######## ... ... ...")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 6 == 0,
+               F.lit("\n- bullet one\n- bullet two\n- bullet three"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("\nto be with the of and that have"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 9 == 0,
+               F.lit("\nmore results coming soon...")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit(" 123 456 789 000 111")).otherwise(F.lit("")),
+    )
+    g = TS.gopher_quality(F.col("t"))
+    return (
+        d.select("doc_id", synth.alias("t"))
+        .select("doc_id", g.alias("g"))
+        .select("doc_id", "g.n_words", "g.mean_word_len",
+                "g.symbol_ratio", "g.bullet_ratio", "g.ellipsis_ratio",
+                "g.alpha_ratio", "g.stop_hits", "g.passes")
+    )
+
+
+_GOPHER_WS = r"[ \t\n\x0B\f\r]"
+_ORACLE_GOPHER = f"""
+WITH synth AS (
+  SELECT doc_id,
+    coalesce(text, '')
+    || (CASE WHEN doc_id % 5 = 0 THEN ' ######## ... ... ...'
+        ELSE '' END)
+    || (CASE WHEN doc_id % 6 = 0 THEN chr(10) || '- bullet one'
+        || chr(10) || '- bullet two' || chr(10) || '- bullet three'
+        ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN chr(10)
+        || 'to be with the of and that have' ELSE '' END)
+    || (CASE WHEN doc_id % 9 = 0 THEN chr(10)
+        || 'more results coming soon...' ELSE '' END)
+    || (CASE WHEN doc_id % 11 = 0 THEN ' 123 456 789 000 111'
+        ELSE '' END) AS t
+  FROM documents),
+sig AS (
+  SELECT doc_id, t,
+    list_filter(string_split_regex(t, '{_GOPHER_WS}+'),
+                x -> x <> '') AS words,
+    list_filter(string_split(t, chr(10)),
+                x -> trim(x) <> '') AS lns,
+    CAST(length(regexp_replace(t, '{_GOPHER_WS}', '', 'g')) AS DOUBLE)
+        AS total_chars,
+    CAST(length(t) - length(replace(t, '#', ''))
+         + len(regexp_extract_all(t, '\\.\\.\\.|…')) AS DOUBLE)
+        AS n_sym
+  FROM synth),
+m AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    CASE WHEN len(words) > 0
+         THEN total_chars / len(words) ELSE 0.0 END AS mean_word_len,
+    CASE WHEN len(words) > 0
+         THEN n_sym / len(words) ELSE 0.0 END AS symbol_ratio,
+    CASE WHEN len(lns) > 0 THEN
+      CAST(len(list_filter(lns,
+           x -> regexp_matches(ltrim(x), '^[-*•‣]'))) AS DOUBLE)
+      / len(lns) ELSE 0.0 END AS bullet_ratio,
+    CASE WHEN len(lns) > 0 THEN
+      CAST(len(list_filter(lns,
+           x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$'))) AS DOUBLE)
+      / len(lns) ELSE 0.0 END AS ellipsis_ratio,
+    CASE WHEN len(words) > 0 THEN
+      CAST(len(list_filter(words,
+           x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+      / len(words) ELSE 0.0 END AS alpha_ratio,
+    CAST({" + ".join(
+        f"CAST(list_contains(list_transform(words, x -> lower(x)),"
+        f" '{sw}') AS INT)"
+        for sw in TS.GOPHER_STOPWORDS
+    )} AS BIGINT) AS stop_hits
+  FROM sig)
+SELECT doc_id, n_words,
+  round(mean_word_len, 6) AS mean_word_len,
+  round(symbol_ratio, 6) AS symbol_ratio,
+  round(bullet_ratio, 6) AS bullet_ratio,
+  round(ellipsis_ratio, 6) AS ellipsis_ratio,
+  round(alpha_ratio, 6) AS alpha_ratio,
+  stop_hits,
+  (n_words >= 50 AND n_words <= 100000
+   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+   AND symbol_ratio < 0.1
+   AND bullet_ratio < 0.9
+   AND ellipsis_ratio < 0.3
+   AND alpha_ratio >= 0.8
+   AND stop_hits >= 2) AS passes
+FROM m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_roundtrip": q_extract_html_roundtrip,
@@ -1849,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_left_join": q_customers_left_join,
         "pii_redact": q_pii_redact,
         "line_boilerplate_strip": q_line_boilerplate_strip,
+        "gopher_quality": q_gopher_quality,
         # rows-only (no SQL twin)
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
@@ -1925,4 +2031,5 @@ def oracle_sql() -> dict[str, str]:
         "customers_left_join": _ORACLE_LEFT_JOIN,
         "pii_redact": _ORACLE_PII,
         "line_boilerplate_strip": _ORACLE_LINE_STRIP,
+        "gopher_quality": _ORACLE_GOPHER,
     }

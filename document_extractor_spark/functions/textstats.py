@@ -253,3 +253,97 @@ def winnow(text: str, k: int = 8, window: int = 4) -> list[int]:
 @pandas_udf(ArrayType(LongType()))
 def winnow_fingerprint(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: winnow(t) if isinstance(t, str) else [])
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models",
+# Appendix A.1.1) — the standard pre-training document filter. All
+# pure Column work in the Java ∩ RE2 dialect subset so the DuckDB
+# oracle applies identical pattern strings.
+# ---------------------------------------------------------------------------
+
+# the published required-stopword set; a doc must contain >= 2
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+# the pinned six-char whitespace class (see legacy_reliability: \s is
+# NOT portable across Python/Java/RE2)
+WS_CLASS = "[ \\t\\n\\x0B\\f\\r]"
+
+
+def gopher_quality(text: Column,
+                   min_words: int = 50,
+                   max_words: int = 100_000) -> Column:
+    """Struct of the seven Gopher document-quality signals + verdict.
+
+    Signals (thresholds in parentheses are the published defaults):
+      n_words        word count                    (50..100000 incl.)
+      mean_word_len  total word chars / n_words    (3..10 incl.)
+      symbol_ratio   ('#' + '...' + ellipsis char) / n_words  (< 0.1)
+      bullet_ratio   lines starting with a bullet  (< 0.9)
+      ellipsis_ratio lines ending with ellipsis    (< 0.3)
+      alpha_ratio    words containing an [A-Za-z]  (>= 0.8)
+      stop_hits      distinct GOPHER_STOPWORDS present   (>= 2)
+      passes         AND of all seven
+
+    Stays in whole-stage codegen end to end: split / filter /
+    transform / regexp over arrays, no shuffle, no Python stage —
+    the filter costs one projection over the corpus at any scale.
+    """
+    t = F.coalesce(text, F.lit(""))
+    words = F.filter(F.split(t, WS_CLASS + "+"), lambda x: x != "")
+    n_words = F.size(words)
+    nd = n_words.cast("double")
+    total_chars = F.length(F.regexp_replace(t, WS_CLASS, "")).cast("double")
+    mean_word_len = F.when(n_words > 0, total_chars / nd).otherwise(
+        F.lit(0.0))
+
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    n_ellip = F.size(F.regexp_extract_all(
+        t, F.lit(r"\.\.\.|…"), 0))
+    symbol_ratio = F.when(n_words > 0,
+                          (n_hash + n_ellip) / nd).otherwise(F.lit(0.0))
+
+    lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(F.filter(
+        lines, lambda x: F.ltrim(x).rlike(r"^[-*•‣]")))
+    ellip_lines = F.size(F.filter(
+        lines, lambda x: F.rtrim(x).rlike(r"(\.\.\.|…)$")))
+    bullet_ratio = F.when(n_lines > 0,
+                          bullet_lines / n_lines.cast("double")
+                          ).otherwise(F.lit(0.0))
+    ellipsis_ratio = F.when(n_lines > 0,
+                            ellip_lines / n_lines.cast("double")
+                            ).otherwise(F.lit(0.0))
+
+    alpha_words = F.size(F.filter(
+        words, lambda x: x.rlike("[A-Za-z]")))
+    alpha_ratio = F.when(n_words > 0,
+                         alpha_words / nd).otherwise(F.lit(0.0))
+
+    lower_words = F.transform(words, F.lower)
+    stop_hits = sum(
+        (F.array_contains(lower_words, sw).cast("int")
+         for sw in GOPHER_STOPWORDS),
+        F.lit(0))
+
+    passes = (
+        (n_words >= min_words) & (n_words <= max_words)
+        & (mean_word_len >= 3.0) & (mean_word_len <= 10.0)
+        & (symbol_ratio < 0.1)
+        & (bullet_ratio < 0.9)
+        & (ellipsis_ratio < 0.3)
+        & (alpha_ratio >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return F.struct(
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_ratio, 6).alias("bullet_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        stop_hits.cast("long").alias("stop_hits"),
+        passes.alias("passes"),
+    )
