@@ -1911,6 +1911,48 @@ FROM m
 """
 
 
+_SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.125}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum downsampling (corpus rebalancing):
+    md5-threshold sampling keyed on doc_id with per-source rates — a
+    pure codegen filter, zero shuffles for the sample itself; the
+    verification aggregates kept counts per source (1 shuffle).
+    Engine-portable by construction, which is exactly what the DuckDB
+    oracle demonstrates."""
+    from document_extractor_spark.functions.sampling import (
+        stratified_hash_sample)
+
+    d = _docs(spark, sf_dir)
+    kept = stratified_hash_sample(
+        d, key_col="doc_id", strata_col="source",
+        rates=_SAMPLE_RATES, default_rate=0.75)
+    return (
+        kept.groupBy("source")
+        .agg(F.count("*").alias("n_kept"),
+             F.min("doc_id").alias("first_kept"),
+             F.max("doc_id").alias("last_kept"))
+    )
+
+
+def _sample_case_sql() -> str:
+    from document_extractor_spark.functions.sampling import hash_threshold
+    arms = "".join(
+        f" WHEN '{v}' THEN '{hash_threshold(r)}'"
+        for v, r in sorted(_SAMPLE_RATES.items()))
+    return (f"CASE source{arms} ELSE '{hash_threshold(0.75)}' END")
+
+
+_ORACLE_STRATIFIED = f"""
+SELECT source, count(*) AS n_kept,
+       min(doc_id) AS first_kept, max(doc_id) AS last_kept
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < {_sample_case_sql()}
+GROUP BY source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_roundtrip": q_extract_html_roundtrip,
@@ -1955,6 +1997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "line_boilerplate_strip": q_line_boilerplate_strip,
         "gopher_quality": q_gopher_quality,
+        "stratified_sample": q_stratified_sample,
         # rows-only (no SQL twin)
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
@@ -2032,4 +2075,5 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _ORACLE_PII,
         "line_boilerplate_strip": _ORACLE_LINE_STRIP,
         "gopher_quality": _ORACLE_GOPHER,
+        "stratified_sample": _ORACLE_STRATIFIED,
     }
