@@ -1953,6 +1953,156 @@ GROUP BY source
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup cluster formation: min-label connected
+    components over a deterministic edge graph (chains + long-range
+    fusing edges synthesized on doc_id — same expression in the
+    oracle's recursive CTE), then keeper = smallest id per cluster.
+    This is the decision layer on top of the pair generators: A~B,
+    B~C => one cluster, one survivor. Converges to a unique fixpoint
+    regardless of iteration order, so it is exactly checkable."""
+    from document_extractor_spark.operators.components import (
+        dedup_decision)
+
+    d = _docs(spark, sf_dir)
+    chain = d.filter((F.col("doc_id") % 10).isin(0, 1, 2)).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1).alias("id_b"))
+    fuse = d.filter(F.col("doc_id") % 23 == 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 17).alias("id_b"))
+    pairs = chain.unionByName(fuse)
+    return dedup_decision(d, pairs).withColumn(
+        "component", F.col("component").cast("long"))
+
+
+_ORACLE_CLUSTERS = """
+WITH RECURSIVE
+e0 AS (
+  SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+  WHERE doc_id % 10 IN (0, 1, 2)
+  UNION ALL
+  SELECT doc_id AS a, doc_id + 17 AS b FROM documents
+  WHERE doc_id % 23 = 0),
+e AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+reach(src, dst) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+comp AS (SELECT src AS node, min(dst) AS component
+         FROM reach GROUP BY src)
+SELECT d.doc_id,
+       CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
+       (coalesce(c.component, d.doc_id) = d.doc_id) AS is_keeper
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
+def q_gopher_repetition(spark, sf_dir):
+    """The Gopher repetition block (dup-line fractions + top-n-gram
+    char mass, Rae et al. A.1.1): distributed explode/groupBy signals
+    keyed on (doc, line) / (doc, n, gram) — uniformly sharded no
+    matter how repetitious one document is. Repeated lines are
+    synthesized on doc_id strides (corpus has no newlines)."""
+    from document_extractor_spark.operators.repetition import (
+        gopher_repetition_flags)
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    synth = F.concat(
+        F.substring(F.col("text"), 1, 60),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("\nsubscribe now\nsubscribe now\nsubscribe now"))
+        .otherwise(F.lit("")),
+        F.lit("\n"), F.substring(F.col("text"), 61, 60),
+        F.when(F.col("doc_id") % 6 == 0,
+               # hot bigram block: "buy now" x 8
+               F.concat(F.lit("\n"),
+                        F.repeat(F.lit("buy now "), 8))).otherwise(
+            F.lit("")),
+    )
+    return gopher_repetition_flags(
+        d.select("doc_id", synth.alias("text")))
+
+
+_ORACLE_REP_GOPHER = f"""
+WITH synth AS (
+  SELECT doc_id,
+    substr(text, 1, 60)
+    || (CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'subscribe now'
+        || chr(10) || 'subscribe now' || chr(10) || 'subscribe now'
+        ELSE '' END)
+    || chr(10) || substr(text, 61, 60)
+    || (CASE WHEN doc_id % 6 = 0
+        THEN chr(10) || repeat('buy now ', 8) ELSE '' END) AS t
+  FROM documents WHERE text IS NOT NULL),
+base AS (
+  SELECT doc_id, t,
+    CAST(length(regexp_replace(t, '{_GOPHER_WS}', '', 'g')) AS DOUBLE)
+        AS total_chars,
+    list_filter(list_transform(string_split(t, chr(10)),
+                               x -> trim(x)), x -> x <> '') AS lns,
+    list_filter(string_split_regex(t, '{_GOPHER_WS}+'),
+                x -> x <> '') AS words
+  FROM synth),
+line_occ AS (
+  SELECT doc_id, u.line AS line, count(*) AS cnt,
+         length(u.line) AS ln
+  FROM base, LATERAL unnest(lns) AS u(line)
+  GROUP BY doc_id, u.line),
+line_stats AS (
+  SELECT doc_id,
+    sum(cnt) AS n_lines, sum(cnt - 1) AS dup_occ,
+    sum(cnt * ln) AS line_chars, sum((cnt - 1) * ln) AS dup_chars
+  FROM line_occ GROUP BY doc_id),
+gram_rows AS (
+  SELECT doc_id, n.n AS n,
+         array_to_string(words[CAST(i.i AS INT):CAST(i.i + n.n - 1 AS INT)],
+                         ' ') AS gram
+  FROM base,
+       LATERAL unnest([2, 3, 4]) AS n(n),
+       LATERAL unnest(range(1, len(words) - n.n + 2)) AS i(i)
+  WHERE len(words) >= n.n),
+gram_mass AS (
+  SELECT doc_id, n, gram, count(*) AS cnt,
+    CASE WHEN count(*) >= 2
+         THEN count(*) * length(replace(gram, ' ', '')) ELSE 0 END
+        AS mass
+  FROM gram_rows GROUP BY doc_id, n, gram),
+gram_stats AS (
+  SELECT doc_id,
+    max(CASE WHEN n = 2 THEN mass END) AS m2,
+    max(CASE WHEN n = 3 THEN mass END) AS m3,
+    max(CASE WHEN n = 4 THEN mass END) AS m4
+  FROM gram_mass GROUP BY doc_id),
+m AS (
+  SELECT b.doc_id,
+    CAST(coalesce(ls.n_lines, 0) AS BIGINT) AS n_lines,
+    round(CASE WHEN coalesce(ls.n_lines, 0) > 0
+          THEN ls.dup_occ / CAST(ls.n_lines AS DOUBLE)
+          ELSE 0.0 END, 6) AS dup_line_frac,
+    round(CASE WHEN coalesce(ls.line_chars, 0) > 0
+          THEN ls.dup_chars / CAST(ls.line_chars AS DOUBLE)
+          ELSE 0.0 END, 6) AS dup_line_char_frac,
+    round(CASE WHEN b.total_chars > 0
+          THEN coalesce(gs.m2, 0) / b.total_chars
+          ELSE 0.0 END, 6) AS top2_char_frac,
+    round(CASE WHEN b.total_chars > 0
+          THEN coalesce(gs.m3, 0) / b.total_chars
+          ELSE 0.0 END, 6) AS top3_char_frac,
+    round(CASE WHEN b.total_chars > 0
+          THEN coalesce(gs.m4, 0) / b.total_chars
+          ELSE 0.0 END, 6) AS top4_char_frac
+  FROM base b
+  LEFT JOIN line_stats ls ON b.doc_id = ls.doc_id
+  LEFT JOIN gram_stats gs ON b.doc_id = gs.doc_id)
+SELECT *,
+  (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+   AND top2_char_frac <= 0.20 AND top3_char_frac <= 0.18
+   AND top4_char_frac <= 0.16) AS passes
+FROM m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_roundtrip": q_extract_html_roundtrip,
@@ -1998,6 +2148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_boilerplate_strip": q_line_boilerplate_strip,
         "gopher_quality": q_gopher_quality,
         "stratified_sample": q_stratified_sample,
+        "dedup_clusters": q_dedup_clusters,
+        "gopher_repetition": q_gopher_repetition,
         # rows-only (no SQL twin)
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
@@ -2076,4 +2228,6 @@ def oracle_sql() -> dict[str, str]:
         "line_boilerplate_strip": _ORACLE_LINE_STRIP,
         "gopher_quality": _ORACLE_GOPHER,
         "stratified_sample": _ORACLE_STRATIFIED,
+        "dedup_clusters": _ORACLE_CLUSTERS,
+        "gopher_repetition": _ORACLE_REP_GOPHER,
     }

@@ -1,0 +1,68 @@
+"""connected_components / dedup_decision: closure, determinism, plan."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from document_extractor_spark.operators.components import (
+    connected_components,
+    dedup_decision,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a: long, b: long")
+
+
+def test_chain_collapses_to_one_component(spark):
+    # 0-1-2-3-4: transitive closure must label all with 0
+    cc = connected_components(
+        _edges(spark, [(i, i + 1) for i in range(4)]))
+    got = {r["node"]: r["comp"] for r in cc.collect()}
+    assert got == {i: 0 for i in range(5)}
+
+
+def test_two_components_stay_apart(spark):
+    cc = connected_components(
+        _edges(spark, [(1, 2), (2, 3), (10, 11)]))
+    got = {r["node"]: r["comp"] for r in cc.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_bridge_edge_fuses_clusters(spark):
+    # two chains fused by one long-range edge
+    edges = [(1, 2), (2, 3), (20, 21), (21, 22), (3, 20)]
+    cc = connected_components(_edges(spark, edges))
+    comps = {r["comp"] for r in cc.collect()}
+    assert comps == {1}
+
+
+def test_deterministic_across_runs_and_partitioning(spark):
+    edges = [(i, (i * 7) % 50) for i in range(0, 50, 3)]
+    df1 = _edges(spark, edges)
+    df2 = _edges(spark, edges).repartition(16)
+    a = sorted(map(tuple, connected_components(df1).collect()))
+    b = sorted(map(tuple, connected_components(df2).collect()))
+    assert a == b
+
+
+def test_dedup_decision_keeper_and_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)],
+                                 "doc_id: long")
+    pairs = spark.createDataFrame([(1, 3), (3, 5)],
+                                  "id_a: long, id_b: long")
+    out = {r["doc_id"]: r for r in
+           dedup_decision(docs, pairs).collect()}
+    assert out[1]["component"] == 1 and out[1]["is_keeper"]
+    assert out[3]["component"] == 1 and not out[3]["is_keeper"]
+    assert out[5]["component"] == 1 and not out[5]["is_keeper"]
+    for solo in (0, 2, 4):
+        assert out[solo]["component"] == solo
+        assert out[solo]["is_keeper"]
+
+
+def test_no_nested_loops(spark):
+    cc = connected_components(_edges(spark, [(1, 2), (2, 3)]),
+                              max_rounds=2)
+    plan = cc._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
