@@ -2103,6 +2103,67 @@ FROM m
 """
 
 
+def q_neardup_dedup_pipeline(spark, sf_dir):
+    """The composed dedup pipeline end to end: shingle-Jaccard pair
+    generation (df-capped) at threshold 0.5 -> transitive closure ->
+    keeper decision for EVERY document. This is what the individual
+    operators exist for: content-similar docs collapse to one
+    survivor, everything else keeps itself. Real corpus text (no
+    synthesis) — the synthetic corpus contains genuine near-dups."""
+    from document_extractor_spark.operators.components import (
+        dedup_decision)
+
+    docs = _docs(spark, sf_dir)
+    pairs = DD.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, max_shingle_df=500)
+    return dedup_decision(docs, pairs).withColumn(
+        "component", F.col("component").cast("long"))
+
+
+# the pair CTEs are the checked ngram_jaccard oracle at a higher
+# threshold; closure + keeper decision layered on top
+_ORACLE_NEARDUP_PIPELINE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
+                     t -> t <> '') AS t
+  FROM documents),
+sh0 AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substring(md5(unnest(
+             [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+              for i in range(1, len(t) - 1)])), 1, 15)) AS BIGINT)
+         AS shingle
+  FROM toks WHERE len(t) >= 3),
+sh AS (
+  SELECT doc_id, shingle FROM sh0
+  WHERE shingle IN (SELECT shingle FROM sh0
+                    GROUP BY shingle HAVING count(*) <= 500)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh0 GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(i / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 6) >= 0.5),
+e AS (SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b AS a, id_a AS b FROM pairs),
+reach(src, dst) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+comp AS (SELECT src AS node, min(dst) AS component
+         FROM reach GROUP BY src)
+SELECT d.doc_id,
+       CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
+       (coalesce(c.component, d.doc_id) = d.doc_id) AS is_keeper
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_roundtrip": q_extract_html_roundtrip,
@@ -2150,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "dedup_clusters": q_dedup_clusters,
         "gopher_repetition": q_gopher_repetition,
+        "neardup_dedup_pipeline": q_neardup_dedup_pipeline,
         # rows-only (no SQL twin)
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
@@ -2230,4 +2292,5 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _ORACLE_STRATIFIED,
         "dedup_clusters": _ORACLE_CLUSTERS,
         "gopher_repetition": _ORACLE_REP_GOPHER,
+        "neardup_dedup_pipeline": _ORACLE_NEARDUP_PIPELINE,
     }

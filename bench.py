@@ -47,6 +47,13 @@ BENCH_QUERIES = [
     "legacy_reliability",
     "token_windows",
     "url_canonical_dedup",
+    # round-3 training-pipeline operators
+    "pii_redact",
+    "line_boilerplate_strip",
+    "gopher_quality",
+    "gopher_repetition",
+    "stratified_sample",
+    "neardup_dedup_pipeline",
 ]
 
 
