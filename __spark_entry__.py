@@ -2164,6 +2164,44 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 """
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Per-doc top-5 TF-IDF terms (smoothed RATIO idf — rational
+    arithmetic, not libm ln(), so scores are exact IEEE doubles in
+    both engines; ranking identical). Ties break by term asc."""
+    from document_extractor_spark.operators.keywords import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=5)
+
+
+_ORACLE_TFIDF = """
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+terms AS (
+  SELECT doc_id, u.term AS term
+  FROM (SELECT doc_id,
+          list_filter(string_split_regex(lower(text),
+                      '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS ts
+        FROM documents),
+       LATERAL unnest(ts) AS u(term)),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df
+       FROM terms GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS DOUBLE) * ((n.n_docs + 1.0) / (df.df + 1))
+             AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM scored)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= 5
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_roundtrip": q_extract_html_roundtrip,
@@ -2212,6 +2250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "gopher_repetition": q_gopher_repetition,
         "neardup_dedup_pipeline": q_neardup_dedup_pipeline,
+        "tfidf_topk": q_tfidf_topk,
         # rows-only (no SQL twin)
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
@@ -2293,4 +2332,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _ORACLE_CLUSTERS,
         "gopher_repetition": _ORACLE_REP_GOPHER,
         "neardup_dedup_pipeline": _ORACLE_NEARDUP_PIPELINE,
+        "tfidf_topk": _ORACLE_TFIDF,
     }
