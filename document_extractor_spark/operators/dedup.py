@@ -448,27 +448,25 @@ def strip_boilerplate_lines(docs: DataFrame, id_col: str = "doc_id",
         .filter(F.col("df") >= min_doc_count)
         .select("nl")
     )
-    kept = lines.join(hot, "nl", "left_anti")
-    n_total = lines.groupBy(id_col).agg(
-        F.count("*").alias("n_lines"))
-    rebuilt = (
-        kept.groupBy(id_col)
+    # flag-join instead of anti-join + separate totals pass: one
+    # groupBy(doc) computes kept lines AND both counters together
+    # (collect_list skips the NULLed-out hot lines), saving a shuffle
+    # and keeping docs whose every line was boilerplate
+    flagged = lines.join(hot.withColumn("is_hot", F.lit(True)),
+                         "nl", "left")
+    keep = F.col("is_hot").isNull()
+    return (
+        flagged.groupBy(id_col)
         .agg(
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    F.array_sort(F.collect_list(
+                        F.when(keep, F.struct("pos", "line")))),
                     lambda s: s["line"]),
                 "\n").alias("cleaned"),
-            F.count("*").alias("n_kept"))
-    )
-    # right join keeps docs whose every line was boilerplate
-    return (
-        rebuilt.join(n_total, id_col, "right")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long")
-            .alias("n_kept"),
-            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("long").alias("n_dropped"))
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.sum((~keep).cast("long")).alias("n_dropped"))
+        .select(F.col(id_col), "cleaned",
+                F.col("n_kept").cast("long").alias("n_kept"),
+                F.col("n_dropped").cast("long").alias("n_dropped"))
     )
