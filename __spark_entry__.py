@@ -2202,6 +2202,70 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_script_profile(spark, sf_dir):
+    """Unicode script profiling (multilingual crawl signal):
+    per-script letter counts + dominant script + its share, pure
+    codepoint-range regex classes (Java∩RE2 verified). Non-Latin
+    snippets are appended on doc_id strides so every class fires."""
+    d = _docs(spark, sf_dir)
+    synth = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit(" Привет мир")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit(" 你好世界 こんにちは 안녕")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit(" مرحبا بالعالم")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit(" Γειά σου")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit(" नमस्ते दुनिया")).otherwise(F.lit("")),
+    )
+    s = TS.script_profile(F.col("t"))
+    return (
+        d.select("doc_id", synth.alias("t"))
+        .select("doc_id", s.alias("s"))
+        .select("doc_id", "s.*")
+    )
+
+
+def _script_oracle_sql() -> str:
+    counts = ",\n    ".join(
+        f"CAST(len(regexp_extract_all(t, '{cls}')) AS BIGINT)"
+        f" AS n_{name}"
+        for name, cls in TS.SCRIPT_CLASSES)
+    names = [name for name, _ in TS.SCRIPT_CLASSES]
+    total = " + ".join(f"n_{n}" for n in names)
+    mx = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    arms = "\n         ".join(
+        f"WHEN n_{n} = {mx} THEN '{n}'" for n in names)
+    return f"""
+WITH synth AS (
+  SELECT doc_id,
+    coalesce(text, '')
+    || (CASE WHEN doc_id % 3 = 0 THEN ' Привет мир' ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 0 THEN ' 你好世界 こんにちは 안녕'
+        ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN ' مرحبا بالعالم' ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN ' Γειά σου' ELSE '' END)
+    || (CASE WHEN doc_id % 11 = 0 THEN ' नमस्ते दुनिया' ELSE '' END) AS t
+  FROM documents),
+c AS (
+  SELECT doc_id,
+    {counts}
+  FROM synth)
+SELECT doc_id, {', '.join('n_' + n for n in names)},
+  CAST({total} AS BIGINT) AS n_letters,
+  CASE WHEN {mx} > 0 THEN
+    CASE {arms} ELSE 'unknown' END
+  ELSE 'unknown' END AS dominant,
+  CASE WHEN {total} > 0
+       THEN round({mx} / CAST({total} AS DOUBLE), 6)
+       ELSE 0.0 END AS dominant_share
+FROM c
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_roundtrip": q_extract_html_roundtrip,
@@ -2251,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "neardup_dedup_pipeline": q_neardup_dedup_pipeline,
         "tfidf_topk": q_tfidf_topk,
+        "script_profile": q_script_profile,
         # rows-only (no SQL twin)
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
@@ -2333,4 +2398,5 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition": _ORACLE_REP_GOPHER,
         "neardup_dedup_pipeline": _ORACLE_NEARDUP_PIPELINE,
         "tfidf_topk": _ORACLE_TFIDF,
+        "script_profile": _script_oracle_sql(),
     }

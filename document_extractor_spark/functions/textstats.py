@@ -347,3 +347,59 @@ def gopher_quality(text: Column,
         stop_hits.cast("long").alias("stop_hits"),
         passes.alias("passes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode script profiling — language-ID support signal for multilingual
+# crawls. Codepoint-range classes (\x{...}-\x{...}) rather than named
+# \p{Script=...} properties: the range syntax is the Java ∩ RE2 common
+# subset (named script classes differ between the engines: Java wants
+# \p{IsCyrillic}, RE2 wants \p{Cyrillic}), verified match on both.
+# ---------------------------------------------------------------------------
+
+SCRIPT_CLASSES = (
+    # (name, regex char class) — priority order for dominant-script
+    # tie-breaks; Latin covers ASCII + Latin-1/Extended-A/B letters
+    ("latin", r"[A-Za-z\x{00C0}-\x{024F}]"),
+    ("cyrillic", r"[\x{0400}-\x{04FF}]"),
+    ("cjk", r"[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]"),
+    ("arabic", r"[\x{0600}-\x{06FF}]"),
+    ("devanagari", r"[\x{0900}-\x{097F}]"),
+    ("greek", r"[\x{0370}-\x{03FF}]"),
+)
+
+
+def script_profile(text: Column) -> Column:
+    """Struct of per-script letter counts, the dominant script, and
+    its share of all classified letters.
+
+    One projection, N small regex scans, all codegen-resident; the
+    dominant pick is a fixed-priority CASE (first class in
+    SCRIPT_CLASSES order wins ties), so output is deterministic and
+    reproducible in any regex engine that honors codepoint ranges.
+    'unknown' when no classified letters at all (digits, punctuation,
+    unlisted scripts).
+    """
+    t = F.coalesce(text, F.lit(""))
+    counts = {
+        name: F.size(F.regexp_extract_all(t, F.lit(cls), 0))
+        for name, cls in SCRIPT_CLASSES
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    mx = F.greatest(*counts.values())
+    dominant = F.lit("unknown")
+    for name, _ in reversed(SCRIPT_CLASSES):
+        dominant = F.when((mx > 0) & (counts[name] == mx),
+                          F.lit(name)).otherwise(dominant)
+    share = F.when(total > 0,
+                   F.round(mx / total.cast("double"), 6)).otherwise(
+        F.lit(0.0))
+    return F.struct(
+        *[counts[name].cast("long").alias(f"n_{name}")
+          for name, _ in SCRIPT_CLASSES],
+        total.cast("long").alias("n_letters"),
+        dominant.alias("dominant"),
+        share.alias("dominant_share"),
+    )
