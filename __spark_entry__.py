@@ -2266,6 +2266,196 @@ FROM c
 """
 
 
+def q_training_corpus_build(spark, sf_dir):
+    """The capstone composition — the decision a corpus build
+    actually ships, per document: near-dup cluster keeper (jaccard
+    0.5 closure) -> Gopher quality gate (webtext profile: word
+    bounds, mean word length, alpha ratio, >=1 required stopword;
+    the line rules are vacuous on the flat corpus) -> repetition
+    gate (top n-gram char mass) -> deterministic per-source
+    downsampling. Output: (doc_id, keep, reason) with reason the
+    FIRST failing gate in that order (duplicate | quality |
+    repetition | sampled_out | NULL=kept). Every constituent is an
+    independently oracle-verified operator; this query pins their
+    composition."""
+    from document_extractor_spark.functions.sampling import (
+        hash_bucket, hash_threshold)
+    from document_extractor_spark.operators.components import (
+        dedup_decision)
+    from document_extractor_spark.operators.repetition import (
+        repetition_signals)
+
+    docs = _docs(spark, sf_dir)
+    pairs = DD.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, max_shingle_df=500)
+    dd = dedup_decision(docs, pairs).select(
+        "doc_id", "is_keeper")
+    rep = repetition_signals(docs).select(
+        "doc_id",
+        ((F.col("top2_char_frac") <= 0.20)
+         & (F.col("top3_char_frac") <= 0.18)
+         & (F.col("top4_char_frac") <= 0.16)
+         & (F.col("dup_line_frac") <= 0.30)).alias("rep_ok"))
+    g = TS.gopher_quality(F.col("text"))
+    base = docs.select(
+        "doc_id", "source",
+        ((g["n_words"] >= 50) & (g["n_words"] <= 100000)
+         & (g["mean_word_len"] >= 3.0) & (g["mean_word_len"] <= 10.0)
+         & (g["alpha_ratio"] >= 0.8)
+         & (g["stop_hits"] >= 1)).alias("q_ok"),
+    )
+    thr = F.lit(hash_threshold(0.75))
+    for src, rate in sorted(_SAMPLE_RATES.items()):
+        thr = F.when(F.col("source") == src,
+                     F.lit(hash_threshold(rate))).otherwise(thr)
+    joined = (
+        base.join(dd, "doc_id").join(rep, "doc_id", "left")
+        .withColumn("samp_ok", hash_bucket(F.col("doc_id")) < thr)
+    )
+    reason = (
+        F.when(~F.col("is_keeper"), F.lit("duplicate"))
+        .when(~F.coalesce(F.col("q_ok"), F.lit(False)),
+              F.lit("quality"))
+        .when(~F.coalesce(F.col("rep_ok"), F.lit(True)),
+              F.lit("repetition"))
+        .when(~F.col("samp_ok"), F.lit("sampled_out"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return joined.select(
+        "doc_id", reason.alias("reason"),
+        reason.isNull().alias("keep"))
+
+
+def _corpus_build_oracle() -> str:
+    from document_extractor_spark.functions.sampling import (
+        hash_threshold)
+    arms = "".join(
+        f" WHEN '{v}' THEN '{hash_threshold(r)}'"
+        for v, r in sorted(_SAMPLE_RATES.items()))
+    sample_case = f"CASE source{arms} ELSE '{hash_threshold(0.75)}' END"
+    sw_sum = " + ".join(
+        f"CAST(list_contains(lw, '{sw}') AS INT)"
+        for sw in TS.GOPHER_STOPWORDS)
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
+                     t -> t <> '') AS t
+  FROM documents),
+sh0 AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substring(md5(unnest(
+             [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+              for i in range(1, len(t) - 1)])), 1, 15)) AS BIGINT)
+         AS shingle
+  FROM toks WHERE len(t) >= 3),
+sh AS (
+  SELECT doc_id, shingle FROM sh0
+  WHERE shingle IN (SELECT shingle FROM sh0
+                    GROUP BY shingle HAVING count(*) <= 500)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh0 GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+prs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(i / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 6) >= 0.5),
+e AS (SELECT id_a AS a, id_b AS b FROM prs
+      UNION SELECT id_b AS a, id_a AS b FROM prs),
+reach(src, dst) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+comp AS (SELECT src AS node, min(dst) AS component
+         FROM reach GROUP BY src),
+-- quality gate over RAW text (no synthesis in the capstone)
+q AS (
+  SELECT doc_id,
+    (n_words >= 50 AND n_words <= 100000
+     AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+     AND alpha_ratio >= 0.8 AND stop_hits >= 1) AS q_ok
+  FROM (
+    -- round(x, 6) everywhere a gate compares a ratio: the Spark side
+    -- reads the gopher struct's 6-dp-rounded fields, so a boundary
+    -- value must round identically before the comparison
+    SELECT doc_id,
+      CAST(len(words) AS BIGINT) AS n_words,
+      round(CASE WHEN len(words) > 0 THEN total_chars / len(words)
+           ELSE 0.0 END, 6) AS mean_word_len,
+      round(CASE WHEN len(words) > 0 THEN
+        CAST(len(list_filter(words,
+             x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        / len(words) ELSE 0.0 END, 6) AS alpha_ratio,
+      CAST({sw_sum} AS BIGINT) AS stop_hits
+    FROM (
+      SELECT doc_id,
+        list_filter(string_split_regex(coalesce(text, ''),
+                    '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS words,
+        list_transform(list_filter(string_split_regex(
+                    coalesce(text, ''), '[ \\t\\n\\x0B\\f\\r]+'),
+                    x -> x <> ''), x -> lower(x)) AS lw,
+        CAST(length(regexp_replace(coalesce(text, ''),
+             '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE) AS total_chars
+      FROM documents))),
+-- repetition gate over RAW text: top n-gram char mass (line rules
+-- vacuous on the flat corpus but computed identically: 1 line/doc
+-- is never a duplicate)
+gram_rows AS (
+  SELECT doc_id, n.n AS n,
+         array_to_string(t[CAST(i.i AS INT):CAST(i.i + n.n - 1 AS INT)],
+                         ' ') AS gram
+  FROM toks,
+       LATERAL unnest([2, 3, 4]) AS n(n),
+       LATERAL unnest(range(1, len(t) - n.n + 2)) AS i(i)
+  WHERE len(t) >= n.n),
+gm AS (
+  SELECT doc_id, n,
+    max(CASE WHEN cnt >= 2
+        THEN cnt * length(replace(gram, ' ', '')) ELSE 0 END) AS mass
+  FROM (SELECT doc_id, n, gram, count(*) AS cnt
+        FROM gram_rows GROUP BY doc_id, n, gram)
+  GROUP BY doc_id, n),
+rep AS (
+  SELECT d.doc_id,
+    (round(coalesce(max(CASE WHEN gm.n = 2 THEN gm.mass END), 0)
+       / greatest(tc.total_chars, 1.0), 6) <= 0.20
+     AND round(coalesce(max(CASE WHEN gm.n = 3 THEN gm.mass END), 0)
+       / greatest(tc.total_chars, 1.0), 6) <= 0.18
+     AND round(coalesce(max(CASE WHEN gm.n = 4 THEN gm.mass END), 0)
+       / greatest(tc.total_chars, 1.0), 6) <= 0.16) AS rep_ok
+  FROM documents d
+  JOIN (SELECT doc_id,
+          CAST(length(regexp_replace(coalesce(text, ''),
+               '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
+              AS total_chars
+        FROM documents) tc ON d.doc_id = tc.doc_id
+  LEFT JOIN gm ON gm.doc_id = d.doc_id
+  GROUP BY d.doc_id, tc.total_chars)
+SELECT d.doc_id,
+  CASE
+    WHEN coalesce(c.component, d.doc_id) <> d.doc_id THEN 'duplicate'
+    WHEN NOT coalesce(q.q_ok, FALSE) THEN 'quality'
+    WHEN NOT coalesce(rep.rep_ok, TRUE) THEN 'repetition'
+    WHEN NOT (substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+              < {sample_case}) THEN 'sampled_out'
+    ELSE NULL END AS reason,
+  (CASE
+    WHEN coalesce(c.component, d.doc_id) <> d.doc_id THEN 'duplicate'
+    WHEN NOT coalesce(q.q_ok, FALSE) THEN 'quality'
+    WHEN NOT coalesce(rep.rep_ok, TRUE) THEN 'repetition'
+    WHEN NOT (substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+              < {sample_case}) THEN 'sampled_out'
+    ELSE NULL END) IS NULL AS keep
+FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.node
+LEFT JOIN q ON d.doc_id = q.doc_id
+LEFT JOIN rep ON rep.doc_id = d.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_roundtrip": q_extract_html_roundtrip,
@@ -2316,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_dedup_pipeline": q_neardup_dedup_pipeline,
         "tfidf_topk": q_tfidf_topk,
         "script_profile": q_script_profile,
+        "training_corpus_build": q_training_corpus_build,
         # rows-only (no SQL twin)
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
@@ -2399,4 +2590,5 @@ def oracle_sql() -> dict[str, str]:
         "neardup_dedup_pipeline": _ORACLE_NEARDUP_PIPELINE,
         "tfidf_topk": _ORACLE_TFIDF,
         "script_profile": _script_oracle_sql(),
+        "training_corpus_build": _corpus_build_oracle(),
     }

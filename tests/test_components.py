@@ -66,3 +66,29 @@ def test_no_nested_loops(spark):
     plan = cc._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_build_reason_precedence(spark, tmp_path):
+    """Composed decision: duplicate outranks quality, quality
+    outranks sampling; keepers of a dup cluster fall through to the
+    later gates."""
+    import __spark_entry__ as em
+    rows = []
+    good = ("the quick brown fox jumps over a lazy dog and then keeps "
+            "moving through very green fields forever onward ") * 3
+    # 0 and 1: near-identical docs (one cluster); 0 keeps, 1 duplicate
+    rows.append((0, good + "alpha", "en", "src0", len(good)))
+    rows.append((1, good + "alpha", "en", "src0", len(good)))
+    # 2: too short -> quality
+    rows.append((2, "the tiny doc", "en", "src0", 12))
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string,"
+              " n_chars: long")
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/documents.parquet")
+    out = {r["doc_id"]: r for r in
+           em.q_training_corpus_build(spark, sf).collect()}
+    assert out[1]["reason"] == "duplicate"
+    assert out[2]["reason"] == "quality"
+    # doc 0 survived dedup; src0 rate is 1.0 so never sampled_out
+    assert out[0]["reason"] in (None, "repetition")
