@@ -2403,11 +2403,19 @@ q AS (
 -- repetition gate over RAW text: top n-gram char mass (line rules
 -- vacuous on the flat corpus but computed identically: 1 line/doc
 -- is never a duplicate)
+-- grams over RAW-CASE words: repetition_signals does not lowercase
+-- (toks above is lowered for shingling parity only — reusing it here
+-- would hide mixed-case repetition the engine counts as distinct)
+rawtoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''),
+                     '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t
+  FROM documents),
 gram_rows AS (
   SELECT doc_id, n.n AS n,
          array_to_string(t[CAST(i.i AS INT):CAST(i.i + n.n - 1 AS INT)],
                          ' ') AS gram
-  FROM toks,
+  FROM rawtoks,
        LATERAL unnest([2, 3, 4]) AS n(n),
        LATERAL unnest(range(1, len(t) - n.n + 2)) AS i(i)
   WHERE len(t) >= n.n),

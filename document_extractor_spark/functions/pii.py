@@ -41,14 +41,15 @@ EMAIL_PATTERN = (
 _OCT = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
 IPV4_PATTERN = rf"\b{_OCT}\.{_OCT}\.{_OCT}\.{_OCT}\b"
 
-# Phone: international/NANP-ish shapes with enough digits to be a
-# number, not a year: optional +CC, then 2-4 groups of 2-4 digits
-# separated by space/dash/dot, or a (XXX) XXX-XXXX form. Requires 9+
-# total digits via structure (3x3 minimum with a prefix) to keep
-# plain prose numbers out.
+# Phone: NANP-shaped numbers (3-3-4 digit groups separated by
+# space/dash/dot, area code optionally parenthesized, optional +CC
+# prefix) — enough digits to be a number, not a year. \b on the
+# digit-run start alternative keeps the match from beginning inside
+# a longer digit run (no lookbehind in RE2, so the parenthesized and
+# +CC alternatives rely on their non-word openers instead).
 PHONE_PATTERN = (
     r"(\+[0-9]{1,3}[ .-]?)?"
-    r"(\([0-9]{3}\)[ .-]?|[0-9]{3}[ .-])"
+    r"(\([0-9]{3}\)[ .-]?|\b[0-9]{3}[ .-])"
     r"[0-9]{3}[ .-][0-9]{4}\b"
 )
 
@@ -69,13 +70,12 @@ def pii_counts(text: Column) -> Column:
     """
     after_email = F.regexp_replace(text, EMAIL_PATTERN, EMAIL_TOKEN)
     after_ip = F.regexp_replace(after_email, IPV4_PATTERN, IP_TOKEN)
+    # regexp_count, not size(regexp_extract_all): counting must not
+    # materialize an array of every matched substring per row
     return F.struct(
-        F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), 0))
-        .alias("n_emails"),
-        F.size(F.regexp_extract_all(after_email, F.lit(IPV4_PATTERN), 0))
-        .alias("n_ips"),
-        F.size(F.regexp_extract_all(after_ip, F.lit(PHONE_PATTERN), 0))
-        .alias("n_phones"),
+        F.regexp_count(text, F.lit(EMAIL_PATTERN)).alias("n_emails"),
+        F.regexp_count(after_email, F.lit(IPV4_PATTERN)).alias("n_ips"),
+        F.regexp_count(after_ip, F.lit(PHONE_PATTERN)).alias("n_phones"),
     )
 
 

@@ -381,8 +381,12 @@ def script_profile(text: Column) -> Column:
     unlisted scripts).
     """
     t = F.coalesce(text, F.lit(""))
+    # length-diff idiom, not size(regexp_extract_all): counting
+    # single-char class matches must not build an array of every
+    # matched character per row (same trick as n_hash in
+    # gopher_quality); counts are identical
     counts = {
-        name: F.size(F.regexp_extract_all(t, F.lit(cls), 0))
+        name: F.length(t) - F.length(F.regexp_replace(t, cls, ""))
         for name, cls in SCRIPT_CLASSES
     }
     total = None

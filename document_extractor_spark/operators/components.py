@@ -6,9 +6,10 @@ decision needs the transitive closure — if A~B and B~C, all three are
 one duplicate cluster and exactly one representative survives. This
 module computes components with iterative min-label propagation, the
 standard distributed formulation (Kiveris et al. 2014's
-large-star/small-star is this loop plus star-contraction speedups;
-at web scale the propagation converges in O(log n) rounds on
-near-dup graphs, whose components are small and dense).
+large-star/small-star adds star-contraction speedups that bring the
+round count to O(log n); plain propagation needs ~component-diameter
+rounds, which is small for near-dup graphs — duplicate clusters are
+dense and shallow, not long chains).
 
 Determinism: the fixpoint (every node labeled with the smallest node
 id reachable from it) is unique — independent of iteration count,
@@ -19,8 +20,9 @@ Scale shape per round: one groupBy(node) over the (undirected) edge
 list joined with current labels — 2 shuffles per round, all
 equi-joins, no nested loops. The convergence probe is a single
 count() per round (an O(rounds) driver-side scalar, not a collect of
-data). Rounds are capped; the cap is a safety bound, not a
-correctness knob, because convergence is detected exactly.
+data). Rounds are capped; exhausting the cap RAISES rather than
+returning unconverged labels, because an unconverged result silently
+splits true clusters.
 """
 from __future__ import annotations
 
@@ -57,6 +59,7 @@ def connected_components(edges: DataFrame, a_col: str = "a",
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_rounds):
         # each node pulls the smallest label among itself and its
         # neighbours
@@ -79,7 +82,17 @@ def connected_components(edges: DataFrame, a_col: str = "a",
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # returning unconverged labels would silently split true
+        # clusters (multiple "keepers" inside one duplicate group) —
+        # a correctness failure, not a perf knob. A component needs
+        # ~diameter rounds; near-dup clusters are short-diameter, so
+        # hitting the cap means the graph is not the expected shape.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} "
+            f"rounds; raise max_rounds (graph diameter exceeds it)")
     return labels.select("node", "comp")
 
 

@@ -421,7 +421,11 @@ def strip_boilerplate_lines(docs: DataFrame, id_col: str = "doc_id",
     that should survive nowhere.
 
     Returns (id_col, cleaned, n_kept, n_dropped) with `cleaned` the
-    surviving lines re-joined by newline in original order.
+    surviving lines re-joined by newline in original order. Contract:
+    docs whose every line is boilerplate come back with cleaned=''
+    and n_kept=0; docs with NO non-blank lines at all (NULL, empty,
+    or whitespace-only text) are ABSENT from the output — callers
+    rewriting a corpus in place should left-join and coalesce.
 
     Scale shape (10^12 docs): posexplode is shuffle-free; the
     doc-frequency count shuffles once on the trimmed line; the

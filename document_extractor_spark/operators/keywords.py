@@ -41,8 +41,11 @@ def tfidf_topk(docs: DataFrame, id_col: str = "doc_id",
     terms = docs.select(
         F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    df_ = terms.groupBy("term").agg(
-        F.countDistinct(id_col).alias("df"))
+    # df derived from tf, not recomputed from raw occurrences: tf is
+    # already one row per (doc, term), so a plain count per term IS
+    # the document frequency — no second tokenize/explode pass and no
+    # countDistinct expansion over every occurrence
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
         tf.join(df_, "term")
         .withColumn(

@@ -40,13 +40,10 @@ def build_session(
             str(arrow_max_records_per_batch),
         )
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # runtime bloom-filter pushdown for shuffle joins (off by
-        # default): a selective join side injects a bloom filter into
-        # the other side's scan — at corpus scale this prunes most of
-        # a fact-fact shuffle (e.g. candidate-pair verify joins,
-        # incremental anti-joins) before the exchange
-        .config("spark.sql.optimizer.runtime.bloomFilter.enabled",
-                "true")
+        # (runtime bloom-filter join pushdown — the feature that lets
+        # a selective join side prune the other side's scan — already
+        # defaults to ON in this Spark line; verified via conf.get,
+        # so no override is set here)
         .config("spark.driver.memory", os.getenv("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

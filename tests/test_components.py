@@ -61,11 +61,18 @@ def test_dedup_decision_keeper_and_singletons(spark):
 
 
 def test_no_nested_loops(spark):
-    cc = connected_components(_edges(spark, [(1, 2), (2, 3)]),
-                              max_rounds=2)
+    cc = connected_components(_edges(spark, [(1, 2), (2, 3)]))
     plan = cc._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unconverged_cap_raises(spark):
+    """Exhausting max_rounds must raise, not return split clusters."""
+    import pytest as _pt
+    edges = _edges(spark, [(i, i + 1) for i in range(6)])
+    with _pt.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_rounds=2)
 
 
 def test_corpus_build_reason_precedence(spark, tmp_path):

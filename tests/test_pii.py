@@ -30,6 +30,8 @@ BATTERY = [
     "edge 0.0.0.0 and 256.1.1.1 half-valid",
     "MAILTO:ADMIN@EXAMPLE.ORG trailing dot 8.8.8.8.",
     "+999 123-456-7890 long country code",
+    "ref 99555 123-4567 id-prefixed digit run",
+    "order 000555-123-4567x tail-guarded",
     "dots.and-dashes_ok%2@sub.domain-x.co.uk fine",
     "",
 ]
@@ -87,6 +89,15 @@ def test_null_text_stays_null(spark):
                     pii_counts(F.col("text")).alias("c")).first()
     assert row["r"] is None
     assert row["c"]["n_emails"] is None
+
+
+def test_phone_never_starts_mid_digit_run(spark):
+    """The digit-run alternative is \\b-anchored: a longer id must
+    not get its tail redacted as a phone number."""
+    df = spark.createDataFrame([("ref 99555 123-4567 end",)], ["text"])
+    from document_extractor_spark.functions.pii import pii_redact as pr
+    row = df.select(pr(F.col("text")).alias("r")).first()
+    assert row["r"] == "ref 99555 123-4567 end"
 
 
 def test_email_precedence_over_ip(spark):

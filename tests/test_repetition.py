@@ -38,7 +38,8 @@ def test_lines_trimmed_and_blanks_dropped(spark):
 
 
 def test_top_bigram_mass(spark):
-    # "ab cd" occurs twice: mass = 2 * 4 chars = 8; total chars = 12
+    # "ab cd" occurs twice: mass = 2 * 4 chars = 8; total non-ws
+    # chars = 10
     s = _sig(spark, "ab cd ab cd ef")
     assert abs(s["top2_char_frac"] - 8 / 10) < 1e-6
 
