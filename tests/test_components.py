@@ -99,3 +99,11 @@ def test_corpus_build_reason_precedence(spark, tmp_path):
     assert out[2]["reason"] == "quality"
     # doc 0 survived dedup; src0 rate is 1.0 so never sampled_out
     assert out[0]["reason"] in (None, "repetition")
+
+
+def test_cycle_graph_converges(spark):
+    """Cycles must not prevent convergence detection."""
+    cc = connected_components(
+        _edges(spark, [(0, 1), (1, 2), (2, 0), (5, 6), (6, 5)]))
+    got = {r["node"]: r["comp"] for r in cc.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
