@@ -162,3 +162,50 @@ def test_staged_equals_fused_for_doc(spark):
               .extracted.select(cols).toPandas()
               .sort_values("url").reset_index(drop=True))
     assert fused.equals(staged)
+
+
+def _normalize_ref(raw: str) -> str:
+    """The original per-char loop, kept as the parity reference for
+    the regex+translate rewrite of doc_mini._normalize."""
+    out = []
+    in_field_instr = False
+    for ch in raw:
+        o = ord(ch)
+        if o == 0x13:
+            in_field_instr = True
+        elif o == 0x14:
+            in_field_instr = False
+        elif o == 0x15:
+            in_field_instr = False
+        elif in_field_instr:
+            continue
+        elif ch in ("\r", "\x07", "\x0b", "\x0c"):
+            out.append("\n")
+        elif o == 0x1E:
+            out.append("-")
+        elif o == 0x1F:
+            continue
+        elif o < 0x20 and ch not in ("\t", "\n"):
+            continue
+        else:
+            out.append(ch)
+    return "".join(out).rstrip("\n")
+
+
+def test_normalize_matches_reference_loop():
+    import random
+
+    from document_extractor_spark.functions.doc_mini import _normalize
+
+    alphabet = (
+        list("abc XYZ\t\n") + ["\r", "\x07", "\x0b", "\x0c", "\x13",
+                               "\x14", "\x15", "\x1e", "\x1f", "\x01",
+                               "\x7f", "é", "中"])
+    rng = random.Random(42)
+    cases = ["", "\x13", "\x13abc", "\x13a\x14kept\x15tail",
+             "a\x15b\x14c", "\x13\x13nested\x15x"]
+    cases += ["".join(rng.choice(alphabet)
+                      for _ in range(rng.randrange(0, 80)))
+              for _ in range(500)]
+    for s in cases:
+        assert _normalize(s) == _normalize_ref(s), repr(s)
