@@ -2464,6 +2464,45 @@ LEFT JOIN rep ON rep.doc_id = d.doc_id
 """
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Cross-snapshot incremental dedup: a new crawl batch keeps only
+    docs whose normalized content fingerprint is unseen in the
+    already-ingested corpus — THE operation every recurring crawl
+    runs. One left_anti equi-join on a 128-bit hash (uniform shuffle;
+    AQE's runtime bloom filter prunes the batch side against the
+    small distinct-fingerprint build). Snapshot split is an md5 slice
+    of doc_id, expressible identically in both engines."""
+    d = _docs(spark, sf_dir)
+    slice_char = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    seen = d.filter(slice_char < "8")
+    batch = d.filter(slice_char >= "8")
+    fp = TS.fingerprint(F.col("text"))
+    seen_fps = seen.select(fp.alias("fp")).distinct()
+    return (
+        batch.withColumn("fp", fp)
+        .join(seen_fps, "fp", "left_anti")
+        .select("doc_id", "fp")
+    )
+
+
+_ORACLE_INCREMENTAL = """
+WITH fps AS (
+  SELECT doc_id,
+    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS sl,
+    md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ',
+                            'g'))) AS fp
+  FROM documents)
+SELECT b.doc_id, b.fp
+FROM fps b
+WHERE b.sl >= '8'
+  -- NULL-text docs have a NULL fingerprint: Spark's left_anti keeps
+  -- them (NULL never equi-matches), so the twin must too
+  AND (b.fp IS NULL
+       OR b.fp NOT IN (SELECT fp FROM fps WHERE sl < '8'
+                       AND fp IS NOT NULL))
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_roundtrip": q_extract_html_roundtrip,
@@ -2515,6 +2554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "script_profile": q_script_profile,
         "training_corpus_build": q_training_corpus_build,
+        "incremental_dedup": q_incremental_dedup,
         # rows-only (no SQL twin)
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
@@ -2599,4 +2639,5 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _ORACLE_TFIDF,
         "script_profile": _script_oracle_sql(),
         "training_corpus_build": _corpus_build_oracle(),
+        "incremental_dedup": _ORACLE_INCREMENTAL,
     }

@@ -339,3 +339,28 @@ def test_lsh_build_once_query_many(spark, emb, monkeypatch):
     assert r0.vec_id.tolist() == one_shot.vec_id.tolist()
     assert len(r3) >= 1
     index.bucketed.unpersist()
+
+
+def test_incremental_dedup_semantics(spark):
+    """Cross-snapshot anti-join: batch docs whose normalized
+    fingerprint already exists in the seen corpus are dropped;
+    whitespace/case variants collapse; NULL-text batch docs are kept
+    (no fingerprint to match)."""
+    from pyspark.sql import functions as F
+
+    from document_extractor_spark.functions.textstats import fingerprint
+
+    seen = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "unique seen doc")],
+        "doc_id: long, text: string")
+    batch = spark.createDataFrame(
+        [(10, "hello world"),        # ws/case variant of seen 1 -> drop
+         (11, "genuinely new text"),  # keep
+         (12, None)],                 # NULL fp -> keep
+        "doc_id: long, text: string")
+    fp = fingerprint(F.col("text"))
+    seen_fps = seen.select(fp.alias("fp")).distinct()
+    out = (batch.withColumn("fp", fp)
+           .join(seen_fps, "fp", "left_anti"))
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [11, 12]
