@@ -43,14 +43,19 @@ IPV4_PATTERN = rf"\b{_OCT}\.{_OCT}\.{_OCT}\.{_OCT}\b"
 
 # Phone: NANP-shaped numbers (3-3-4 digit groups separated by
 # space/dash/dot, area code optionally parenthesized, optional +CC
-# prefix) — enough digits to be a number, not a year. \b on the
-# digit-run start alternative keeps the match from beginning inside
-# a longer digit run (no lookbehind in RE2, so the parenthesized and
-# +CC alternatives rely on their non-word openers instead).
+# prefix) — enough digits to be a number, not a year. Two top-level
+# alternatives because the run-start guard differs: with a +CC
+# prefix the literal '+' anchors the start (a \b between CC and a
+# sep-less area code would never match — '+1555 123-4567' is legal),
+# while the bare form \b-guards its leading digit run so a longer id
+# ('ref 99555 123-4567') can't get its tail redacted. No lookbehind
+# in RE2, so the guard must live inside each alternative.
+_PHONE_CORE = r"[0-9]{3}[ .-][0-9]{4}\b"
 PHONE_PATTERN = (
-    r"(\+[0-9]{1,3}[ .-]?)?"
-    r"(\([0-9]{3}\)[ .-]?|\b[0-9]{3}[ .-])"
-    r"[0-9]{3}[ .-][0-9]{4}\b"
+    r"\+[0-9]{1,3}[ .-]?(\([0-9]{3}\)[ .-]?|[0-9]{3}[ .-])"
+    + _PHONE_CORE
+    + r"|(\([0-9]{3}\)[ .-]?|\b[0-9]{3}[ .-])"
+    + _PHONE_CORE
 )
 
 EMAIL_TOKEN = "<EMAIL>"

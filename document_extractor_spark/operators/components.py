@@ -87,12 +87,17 @@ def connected_components(edges: DataFrame, a_col: str = "a",
     if not converged:
         # returning unconverged labels would silently split true
         # clusters (multiple "keepers" inside one duplicate group) —
-        # a correctness failure, not a perf knob. A component needs
-        # ~diameter rounds; near-dup clusters are short-diameter, so
-        # hitting the cap means the graph is not the expected shape.
+        # a correctness failure, not a perf knob. Note max_rounds
+        # counts DETECTION rounds: the fixpoint needs ~diameter
+        # rounds plus one final no-change round to prove itself, so
+        # the usable cap is max_rounds-1 propagation rounds. Labels
+        # that stabilized exactly on the last round still raise —
+        # correct-but-unproven is indistinguishable from wrong here.
         raise RuntimeError(
-            f"connected_components did not converge in {max_rounds} "
-            f"rounds; raise max_rounds (graph diameter exceeds it)")
+            f"connected_components did not converge within "
+            f"{max_rounds} rounds (diameter+1 rounds needed — the "
+            f"final round must observe zero changes); raise "
+            f"max_rounds")
     return labels.select("node", "comp")
 
 

@@ -31,6 +31,7 @@ BATTERY = [
     "MAILTO:ADMIN@EXAMPLE.ORG trailing dot 8.8.8.8.",
     "+999 123-456-7890 long country code",
     "ref 99555 123-4567 id-prefixed digit run",
+    "+1555 123-4567 CC abutting area code",
     "order 000555-123-4567x tail-guarded",
     "dots.and-dashes_ok%2@sub.domain-x.co.uk fine",
     "",

@@ -69,7 +69,9 @@ def test_stream_equals_batch(spark, tmp_path, gate_input):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # assert the drain actually finished: a False return means
+    # timeout, and reading out_dir then would diff partial output
+    assert q.awaitTermination(300)
     streamed = sorted(
         map(tuple, spark.read.parquet(out_dir).collect()))
     assert streamed == batch
