@@ -17,6 +17,14 @@ subset (character classes, bounded repetition, alternation, `\\b`) so
 the DuckDB oracle applies the *same* strings. No lookaround (RE2 has
 none), no possessive quantifiers, no `\\p{...}` classes.
 
+KNOWN DIALECT EDGE (pinned by test_pii.py): `\\b` itself is not fully
+portable — Java's \\b treats Unicode letters as word characters while
+RE2's is ASCII-only, so a non-ASCII letter glued directly to a
+redactable token ("é1.2.3.4") forms a boundary in RE2 but not in
+Java. Parity holds whenever the character adjacent to a match is
+ASCII or a separator — i.e. for real crawl text; fuzz coverage runs
+on an ASCII alphabet and a dedicated test documents the divergence.
+
 Order matters: IPv4 must be redacted BEFORE phone numbers, otherwise
 the phone pattern's digit-run alternative could swallow dotted octets
 partially. E-mail goes first of all, since an address like
