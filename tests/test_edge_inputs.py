@@ -1,0 +1,70 @@
+"""Degenerate-input probes for the round-3 operators: empty frames,
+empty edge sets, empty rate tables, single-row corpora. Every
+operator must return a well-formed (possibly empty) result, never
+throw, on the shapes a real pipeline hits at partition boundaries."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from document_extractor_spark.functions.sampling import (
+    stratified_hash_sample,
+)
+from document_extractor_spark.operators.components import (
+    connected_components,
+    dedup_decision,
+)
+from document_extractor_spark.operators.dedup import (
+    strip_boilerplate_lines,
+)
+from document_extractor_spark.operators.keywords import tfidf_topk
+from document_extractor_spark.operators.repetition import (
+    repetition_signals,
+)
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id: long, text: string")
+
+
+def test_empty_corpus_everywhere(spark):
+    e = _empty_docs(spark)
+    assert strip_boilerplate_lines(e).count() == 0
+    assert repetition_signals(e).count() == 0
+    assert tfidf_topk(e).count() == 0
+
+
+def test_empty_edge_set(spark):
+    edges = spark.createDataFrame([], "a: long, b: long")
+    assert connected_components(edges).count() == 0
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id: long")
+    pairs = spark.createDataFrame([], "id_a: long, id_b: long")
+    out = {r["doc_id"]: r for r in dedup_decision(docs, pairs).collect()}
+    assert out[1]["is_keeper"] and out[2]["is_keeper"]
+    assert out[1]["component"] == 1
+
+
+def test_single_doc_corpus(spark):
+    one = spark.createDataFrame([(7, "only doc in the corpus")],
+                                "doc_id: long, text: string")
+    sig = repetition_signals(one).first()
+    assert sig["dup_line_frac"] == 0.0
+    kw = tfidf_topk(one, k=2).collect()
+    assert len(kw) == 2
+    # idf = (1+1)/(1+1) = 1.0 -> score == tf
+    assert all(r["score"] == 1.0 for r in kw)
+
+
+def test_empty_rate_table_uses_default(spark):
+    df = spark.range(100).select(F.col("id").alias("k"),
+                                 F.lit("s").alias("grp"))
+    assert stratified_hash_sample(df, "k", "grp", {},
+                                  default_rate=1.0).count() == 100
+    assert stratified_hash_sample(df, "k", "grp", {},
+                                  default_rate=0.0).count() == 0
+
+
+def test_self_loop_edges(spark):
+    edges = spark.createDataFrame([(3, 3), (4, 5)], "a: long, b: long")
+    got = {r["node"]: r["comp"]
+           for r in connected_components(edges).collect()}
+    assert got == {3: 3, 4: 4, 5: 4}
