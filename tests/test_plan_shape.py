@@ -96,3 +96,35 @@ def test_partition_pruning_on_partitioned_output(spark, tmp_path):
     assert len(dirs) > 1  # the data has multiple langs to prune away
     n_en = q.count()
     assert 0 < n_en < docs.count()
+
+
+def test_round3_operator_plan_budgets(spark):
+    """Shuffle/Python-stage budgets for the round-3 operators, pinned
+    so a refactor can't silently regress the plan shape (SCALE.md is
+    generated per-round; this fails at pytest time instead)."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    budgets = {
+        # query: (max exchanges, max python stages)
+        "pii_redact": (0, 0),
+        "gopher_quality": (0, 0),
+        "script_profile": (0, 0),
+        "stratified_sample": (1, 0),
+        "line_boilerplate_strip": (4, 0),
+        "tfidf_topk": (4, 0),
+        "gopher_repetition": (5, 0),
+    }
+    qs = em.queries()
+    for name, (max_ex, max_py) in budgets.items():
+        plan = qs[name](spark, sf)._jdf.queryExecution() \
+            .executedPlan().toString()
+        n_ex = plan.count("Exchange hashpartitioning") + \
+            plan.count("Exchange rangepartitioning")
+        n_py = sum(plan.count(m) for m in
+                   ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                    "FlatMapGroupsInPandas"))
+        assert n_ex <= max_ex, f"{name}: {n_ex} exchanges > {max_ex}"
+        assert n_py <= max_py, f"{name}: {n_py} python stages > {max_py}"
+        for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            assert bad not in plan, f"{name}: {bad} in plan"
