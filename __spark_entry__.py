@@ -2503,6 +2503,70 @@ WHERE b.sl >= '8'
 """
 
 
+_BLOCKED_SITES = tuple(f"site{i}.example.com" for i in (3, 11, 19, 27, 35))
+
+
+def q_blocklist_filter(spark, sf_dir):
+    """URL blocklist filtering (the C4 badwords/blocklist slot): docs
+    whose canonical host is on a small deny table are dropped via an
+    EXPLICIT broadcast anti-join — the deny list is a dim table that
+    must never shuffle the corpus. Hosts synthesized from doc_id
+    (url_canonical_dedup's construction, same expression in SQL)."""
+    d = _docs(spark, sf_dir)
+    host = F.concat(F.lit("site"), (F.col("doc_id") % 40).cast("string"),
+                    F.lit(".example.com"))
+    block = spark.createDataFrame(
+        [(s,) for s in _BLOCKED_SITES], "host: string")
+    return (
+        d.select("doc_id", host.alias("host"))
+        .join(F.broadcast(block), "host", "left_anti")
+        .groupBy("host")
+        .agg(F.count("*").alias("n_docs"),
+             F.min("doc_id").alias("min_id"))
+    )
+
+
+_ORACLE_BLOCKLIST = f"""
+SELECT 'site' || CAST(doc_id % 40 AS VARCHAR) || '.example.com' AS host,
+       count(*) AS n_docs, min(doc_id) AS min_id
+FROM documents
+WHERE 'site' || CAST(doc_id % 40 AS VARCHAR) || '.example.com'
+      NOT IN ({', '.join(f"'{s}'" for s in _BLOCKED_SITES)})
+GROUP BY 1
+"""
+
+
+def q_domain_reputation_filter(spark, sf_dir):
+    """Domain-reputation two-pass filter (RefinedWeb-style URL-level
+    quality): pass 1 aggregates mean quality per domain (small dim),
+    pass 2 broadcasts it back onto the corpus and keeps docs from
+    reputable domains OR individually excellent docs. The classic
+    aggregate-then-rejoin shape: corpus shuffles once for the agg,
+    never for the rejoin."""
+    # quality_score is already 4dp-rounded (matching _SQL_QUALITY)
+    d = _docs(spark, sf_dir).withColumn(
+        "q", TS.quality_score(F.col("text")))
+    stats = d.groupBy("source").agg(
+        F.round(F.avg("q"), 6).alias("src_avg"))
+    return (
+        d.join(F.broadcast(stats), "source")
+        .filter((F.col("src_avg") >= 0.709) | (F.col("q") >= 0.78))
+        .select("doc_id", "source", "q", "src_avg")
+    )
+
+
+_ORACLE_DOMAIN_REP = f"""
+WITH scored AS (
+  SELECT doc_id, source, {_SQL_QUALITY} AS q FROM documents),
+stats AS (
+  SELECT source, round(avg(q), 6) AS src_avg
+  FROM scored GROUP BY source)
+SELECT s.doc_id, s.source, s.q, st.src_avg
+FROM scored s JOIN stats st USING (source)
+WHERE st.src_avg >= 0.709 OR s.q >= 0.78
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_roundtrip": q_extract_html_roundtrip,
@@ -2555,6 +2619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "training_corpus_build": q_training_corpus_build,
         "incremental_dedup": q_incremental_dedup,
+        "blocklist_filter": q_blocklist_filter,
+        "domain_reputation_filter": q_domain_reputation_filter,
         # rows-only (no SQL twin)
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
@@ -2640,4 +2706,6 @@ def oracle_sql() -> dict[str, str]:
         "script_profile": _script_oracle_sql(),
         "training_corpus_build": _corpus_build_oracle(),
         "incremental_dedup": _ORACLE_INCREMENTAL,
+        "blocklist_filter": _ORACLE_BLOCKLIST,
+        "domain_reputation_filter": _ORACLE_DOMAIN_REP,
     }
