@@ -2543,15 +2543,24 @@ def q_domain_reputation_filter(spark, sf_dir):
     reputable domains OR individually excellent docs. The classic
     aggregate-then-rejoin shape: corpus shuffles once for the agg,
     never for the rejoin."""
-    # quality_score is already 4dp-rounded (matching _SQL_QUALITY)
+    # quality_score is already 4dp-rounded (matching _SQL_QUALITY).
+    # The domain mean is carried as an EXACT integer pair
+    # (sum of q*10^4, count) rather than round(avg(q), 6): float
+    # summation order and round-half ties could otherwise flip a
+    # whole domain across the threshold in one engine only. The
+    # reputation gate avg >= 0.709 becomes the integer comparison
+    # sum_q_e4 >= 7090 * n_src — exact by construction.
     d = _docs(spark, sf_dir).withColumn(
-        "q", TS.quality_score(F.col("text")))
+        "q", TS.quality_score(F.col("text"))).withColumn(
+        "qi", F.round(F.col("q") * 10000).cast("long"))
     stats = d.groupBy("source").agg(
-        F.round(F.avg("q"), 6).alias("src_avg"))
+        F.sum("qi").alias("sum_q_e4"),
+        F.count("*").alias("n_src"))
     return (
         d.join(F.broadcast(stats), "source")
-        .filter((F.col("src_avg") >= 0.709) | (F.col("q") >= 0.78))
-        .select("doc_id", "source", "q", "src_avg")
+        .filter((F.col("sum_q_e4") >= 7090 * F.col("n_src"))
+                | (F.col("q") >= 0.78))
+        .select("doc_id", "source", "q", "sum_q_e4", "n_src")
     )
 
 
@@ -2559,11 +2568,14 @@ _ORACLE_DOMAIN_REP = f"""
 WITH scored AS (
   SELECT doc_id, source, {_SQL_QUALITY} AS q FROM documents),
 stats AS (
-  SELECT source, round(avg(q), 6) AS src_avg
+  SELECT source,
+         CAST(sum(CAST(round(q * 10000) AS BIGINT)) AS BIGINT)
+             AS sum_q_e4,
+         count(*) AS n_src
   FROM scored GROUP BY source)
-SELECT s.doc_id, s.source, s.q, st.src_avg
+SELECT s.doc_id, s.source, s.q, st.sum_q_e4, st.n_src
 FROM scored s JOIN stats st USING (source)
-WHERE st.src_avg >= 0.709 OR s.q >= 0.78
+WHERE st.sum_q_e4 >= 7090 * st.n_src OR s.q >= 0.78
 """
 
 

@@ -114,6 +114,8 @@ def test_round3_operator_plan_budgets(spark):
         "line_boilerplate_strip": (4, 0),
         "tfidf_topk": (4, 0),
         "gopher_repetition": (5, 0),
+        "blocklist_filter": (1, 0),
+        "domain_reputation_filter": (1, 0),
     }
     qs = em.queries()
     for name, (max_ex, max_py) in budgets.items():
@@ -128,3 +130,8 @@ def test_round3_operator_plan_budgets(spark):
         assert n_py <= max_py, f"{name}: {n_py} python stages > {max_py}"
         for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
             assert bad not in plan, f"{name}: {bad} in plan"
+        if name in ("blocklist_filter", "domain_reputation_filter"):
+            # the dim side must broadcast — a SortMergeJoin here
+            # means the corpus is being shuffled for a tiny table
+            assert "BroadcastHashJoin" in plan, f"{name}: no broadcast"
+            assert "SortMergeJoin" not in plan, f"{name}: SMJ crept in"
