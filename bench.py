@@ -98,8 +98,12 @@ def main() -> None:
     _run_extraction(spark, _corpus_dir(2000))
 
     # --- headline: extraction throughput at full parallelism ----------------
+    # min-of-5: the 32-wide run oversubscribes this shared host, so
+    # individual trials swing ~2x with neighbor load (BASELINE.md);
+    # more trials = better odds of sampling a quiet window, and min
+    # is the only statistic that converges under one-sided noise
     e2e = min(_run_extraction(spark, corpus_dir)
-              for _ in range(3))  # first trial pays page-cache warmup
+              for _ in range(5))  # first trial pays page-cache warmup
     docs_per_sec = round(n_docs / e2e, 2)
 
     # --- per-query timings on the sf tables ---------------------------------
