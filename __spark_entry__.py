@@ -2503,6 +2503,154 @@ WHERE b.sl >= '8'
 """
 
 
+def q_dup_window_spans(spark, sf_dir):
+    """Span-level exact substring dedup (Lee et al. 2022): merged
+    0-based token spans covered by any 13-token window whose hash
+    occurs in >= 2 distinct docs — the partial-overlap duplication
+    that doc-level dedup misses. 3 shuffles: dup-hash groupBy, mark
+    join on the same hash, gaps-and-islands span merge on doc_id."""
+    return DD.dup_window_spans(_docs(spark, sf_dir), k=13, seed=11)
+
+
+_ORACLE_DUP_SPANS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
+                     t -> t <> '') AS t
+  FROM documents WHERE text IS NOT NULL),
+w AS (
+  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+         CAST(('0x' || substring(md5(
+             array_to_string(t[CAST(u.i AS INT):CAST(u.i + 12 AS INT)], ' ')
+             || ':11'), 1, 15)) AS BIGINT) AS h
+  FROM toks, LATERAL unnest(range(1, len(t) - 11)) AS u(i)
+  WHERE len(t) >= 13),
+dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+m AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM dup)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + 13) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_span
+  FROM m),
+isl2 AS (
+  SELECT doc_id, pos, sum(new_span) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 13 AS BIGINT) AS span_end,
+       count(*) AS n_windows
+FROM isl2 GROUP BY doc_id, island
+"""
+
+
+def q_strip_dup_spans(spark, sf_dir):
+    """The rewrite pass over dup_window_spans: duplicated token spans
+    cut, survivors re-joined — Lee et al.'s actual dedup action. The
+    cut is a JVM positional-lambda filter (no explode, no Python);
+    span tables are doc-bounded collect_lists."""
+    return DD.strip_dup_spans(_docs(spark, sf_dir), k=13, seed=11)
+
+
+_ORACLE_STRIP_SPANS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
+                     t -> t <> '') AS t
+  FROM documents WHERE text IS NOT NULL),
+w AS (
+  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+         CAST(('0x' || substring(md5(
+             array_to_string(t[CAST(u.i AS INT):CAST(u.i + 12 AS INT)], ' ')
+             || ':11'), 1, 15)) AS BIGINT) AS h
+  FROM toks, LATERAL unnest(range(1, len(t) - 11)) AS u(i)
+  WHERE len(t) >= 13),
+dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+m AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM dup)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + 13) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_span
+  FROM m),
+isl2 AS (
+  SELECT doc_id, pos, sum(new_span) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl),
+spans AS (
+  SELECT doc_id, min(pos) AS lo, max(pos) + 13 AS hi
+  FROM isl2 GROUP BY doc_id, island),
+ptoks AS (
+  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, t[CAST(u.i AS INT)] AS tok
+  FROM toks, LATERAL unnest(range(1, len(t) + 1)) AS u(i)),
+keptp AS (
+  SELECT p.doc_id, p.pos, p.tok
+  FROM ptoks p LEFT JOIN spans s
+    ON p.doc_id = s.doc_id AND p.pos >= s.lo AND p.pos < s.hi
+  WHERE s.doc_id IS NULL),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned,
+         count(*) AS n_kept
+  FROM keptp GROUP BY doc_id)
+SELECT td.doc_id,
+       coalesce(a.cleaned, '') AS cleaned,
+       coalesce(a.n_kept, 0) AS n_tokens_kept,
+       td.n - coalesce(a.n_kept, 0) AS n_tokens_dropped
+FROM (SELECT doc_id, len(t) AS n FROM toks) td
+LEFT JOIN agg a ON td.doc_id = a.doc_id
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3 appendix-C 13-gram rule):
+    flag every doc sharing any 13-token n-gram with an eval set. The
+    "benchmark" is derived deterministically from the corpus itself —
+    docs with doc_id % 97 == 0 contribute their first 20 tokens as
+    eval items — so the oracle derives the identical set with no
+    external data. Bench grams broadcast; one corpus shuffle."""
+    from document_extractor_spark.operators import decontam as DC
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.array_join(F.slice(DD.tokens_col("text"), 1, 20), " ")
+        .alias("text"))
+    return DC.decontaminate_marks(d, DC.benchmark_ngram_set(bench))
+
+
+_ORACLE_DECONTAM = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
+                     t -> t <> '') AS t
+  FROM documents WHERE text IS NOT NULL),
+bg AS (
+  SELECT DISTINCT
+         CAST(('0x' || substring(md5(
+             array_to_string(t[CAST(u.i AS INT):CAST(u.i + 12 AS INT)], ' ')
+             || ':23'), 1, 15)) AS BIGINT) AS gram
+  FROM (SELECT t[1:20] AS t FROM toks WHERE doc_id % 97 = 0) b,
+       LATERAL unnest(range(1, len(t) - 11)) AS u(i)
+  WHERE len(t) >= 13),
+dg AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(
+             array_to_string(t[CAST(u.i AS INT):CAST(u.i + 12 AS INT)], ' ')
+             || ':23'), 1, 15)) AS BIGINT) AS gram
+  FROM toks, LATERAL unnest(range(1, len(t) - 11)) AS u(i)
+  WHERE len(t) >= 13),
+hits AS (
+  SELECT doc_id, count(DISTINCT gram) AS n_hits
+  FROM dg WHERE gram IN (SELECT gram FROM bg) GROUP BY 1)
+SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
 _BLOCKED_SITES = tuple(f"site{i}.example.com" for i in (3, 11, 19, 27, 35))
 
 
@@ -2631,6 +2779,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "training_corpus_build": q_training_corpus_build,
         "incremental_dedup": q_incremental_dedup,
+        "dup_window_spans": q_dup_window_spans,
+        "strip_dup_spans": q_strip_dup_spans,
+        "decontaminate": q_decontaminate,
         "blocklist_filter": q_blocklist_filter,
         "domain_reputation_filter": q_domain_reputation_filter,
         # rows-only (no SQL twin)
@@ -2718,6 +2869,9 @@ def oracle_sql() -> dict[str, str]:
         "script_profile": _script_oracle_sql(),
         "training_corpus_build": _corpus_build_oracle(),
         "incremental_dedup": _ORACLE_INCREMENTAL,
+        "dup_window_spans": _ORACLE_DUP_SPANS,
+        "strip_dup_spans": _ORACLE_STRIP_SPANS,
+        "decontaminate": _ORACLE_DECONTAM,
         "blocklist_filter": _ORACLE_BLOCKLIST,
         "domain_reputation_filter": _ORACLE_DOMAIN_REP,
     }

@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "gopher_repetition",
     "stratified_sample",
     "neardup_dedup_pipeline",
+    "dup_window_spans",
+    "decontaminate",
 ]
 
 

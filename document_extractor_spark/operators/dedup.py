@@ -30,7 +30,7 @@ import re
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
@@ -474,3 +474,114 @@ def strip_boilerplate_lines(docs: DataFrame, id_col: str = "doc_id",
                 F.col("n_kept").cast("long").alias("n_kept"),
                 F.col("n_dropped").cast("long").alias("n_dropped"))
     )
+
+
+# --------------------------------------------------------------------------
+def dup_window_spans(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 13,
+                     seed: int = 11, min_docs: int = 2) -> DataFrame:
+    """Span-level exact substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): mark, per document,
+    the merged token spans covered by any k-token window whose hash
+    occurs in >= `min_docs` DISTINCT documents. Doc-level dedup
+    (exact/minhash/jaccard above) misses the partial-overlap case —
+    two articles quoting the same press-release paragraph — which at
+    crawl scale is most of the duplication mass; this marks exactly
+    the shared substrings so a rewrite pass can cut them.
+
+    Returns (id_col, span_start, span_end, n_windows): 0-based token
+    offsets, span_start inclusive / span_end exclusive, one row per
+    MERGED maximal span (overlapping/adjacent duplicated windows
+    coalesce via gaps-and-islands), n_windows = duplicated windows
+    inside the span. Docs with no duplicated window are absent.
+
+    Scale shape (10^12 docs): stride-1 windows explode in place (no
+    shuffle); duplicated-hash detection is one groupBy on a uniform
+    60-bit md5 hash (a corpus-hot boilerplate window is ONE group —
+    partial countDistinct keeps it map-side); the mark join is equi
+    on the same hash with the dup side pre-aggregated to one row per
+    hash, so no output blowup; span merging is one window + groupBy
+    on the doc id. The window stream is traversed twice (dup
+    detection + mark join) rather than collected into per-hash
+    posting lists — a hot window in 10^7 docs would make a
+    posting-list row unbounded, while re-tokenizing is linear CPU.
+    3 shuffles, zero Python stages.
+    """
+    toks = widen_narrow_input(docs).select(
+        F.col(id_col), tokens_col(text_col).alias("t"))
+    wins = toks.select(
+        F.col(id_col),
+        F.posexplode(shingles_col(F.col("t"), k)).alias("p", "w")
+    ).select(F.col(id_col), F.col("p").cast("long").alias("pos"),
+             seed_hash(F.col("w"), seed).alias("h"))
+    dup = (wins.groupBy("h")
+           .agg(F.countDistinct(id_col).alias("nd"))
+           .filter(F.col("nd") >= min_docs)
+           .select("h"))
+    marked = wins.join(dup, "h").select(id_col, "pos")
+    w_ord = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.coalesce(
+        F.max(F.col("pos") + F.lit(k)).over(
+            w_ord.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(-1))
+    islands = (
+        marked
+        .withColumn("new_span",
+                    F.when(F.col("pos") > prev_end, 1).otherwise(0))
+        .withColumn("island", F.sum("new_span").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0))))
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(F.min("pos").alias("span_start"),
+             (F.max("pos") + k).alias("span_end"),
+             F.count(F.lit(1)).alias("n_windows"))
+        .select(F.col(id_col),
+                F.col("span_start").cast("long").alias("span_start"),
+                F.col("span_end").cast("long").alias("span_end"),
+                F.col("n_windows").cast("long").alias("n_windows")))
+
+
+def strip_dup_spans(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 13,
+                    seed: int = 11, min_docs: int = 2) -> DataFrame:
+    """The rewrite pass over `dup_window_spans`: cut every token
+    covered by a cross-doc duplicated window and re-join the
+    survivors with single spaces (Lee et al. 2022 cut the duplicated
+    substring and train on the remainder; like theirs, the rewrite is
+    on the TOKEN stream — original whitespace is not preserved).
+
+    Returns (id_col, cleaned, n_tokens_kept, n_tokens_dropped) for
+    every doc with non-NULL text; fully-duplicated docs come back
+    cleaned='' / n_tokens_kept=0 (present, so a corpus rewrite can
+    left-join the whole table).
+
+    Scale shape: the span table (already merged, tiny next to the
+    corpus) is collect_list-ed per doc — bounded by the doc's own
+    span count — and joined back onto the token projection (left
+    join on the doc id: AQE broadcasts the span side when it fits).
+    The cut itself is a JVM higher-order filter with the positional
+    lambda — no explode, no Python. Adds 1 shuffle + 1 join on top
+    of dup_window_spans' 3.
+    """
+    spans = (
+        dup_window_spans(docs, id_col, text_col, k, seed, min_docs)
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("span_start", "span_end"))
+             .alias("spans")))
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), tokens_col(text_col).alias("t"))
+    sp = F.coalesce(
+        F.col("spans"),
+        F.array().cast("array<struct<span_start:long,span_end:long>>"))
+    kept = F.filter(
+        F.col("t"),
+        lambda x, i: ~F.exists(
+            sp, lambda s: (i >= s["span_start"]) & (i < s["span_end"])))
+    return (
+        toks.join(spans, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.array_join(kept, " ").alias("cleaned"),
+            F.size(kept).cast("long").alias("n_tokens_kept"),
+            (F.size("t") - F.size(kept)).cast("long")
+            .alias("n_tokens_dropped")))

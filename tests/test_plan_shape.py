@@ -116,6 +116,9 @@ def test_round3_operator_plan_budgets(spark):
         "gopher_repetition": (5, 0),
         "blocklist_filter": (1, 0),
         "domain_reputation_filter": (1, 0),
+        "dup_window_spans": (3, 0),
+        "strip_dup_spans": (3, 0),
+        "decontaminate": (3, 0),
     }
     qs = em.queries()
     for name, (max_ex, max_py) in budgets.items():
