@@ -2651,6 +2651,47 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 """
 
 
+def q_token_budget_sample(spark, sf_dir):
+    """Quota sampling to an absolute token budget per source (the knob
+    a data-mixture spec states): docs kept in deterministic md5 walk
+    order until the stratum budget is exhausted. Distributed
+    prefix-sum shape — the heavy cumsum window partitions by
+    (stratum, hash-bucket), never by stratum alone."""
+    from document_extractor_spark.functions.sampling import (
+        token_budget_sample)
+
+    d = _docs(spark, sf_dir).withColumn(
+        "n_tokens",
+        F.when(F.col("text").isNull(), 0)
+        .otherwise(F.size(DD.tokens_col("text"))))
+    return token_budget_sample(
+        d, key_col="doc_id", strata_col="source",
+        n_tokens_col="n_tokens", budget=800, budgets={"src0": 1200})
+
+
+_ORACLE_TOKEN_BUDGET = """
+WITH d AS (
+  SELECT doc_id, source,
+         CASE WHEN text IS NULL THEN 0
+              ELSE len(list_filter(
+                  string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                  t -> t <> '')) END AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS hk
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY hk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens
+  FROM d)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens,
+       cum_tokens <= (CASE WHEN source = 'src0' THEN 1200 ELSE 800 END)
+           AS kept
+FROM c
+"""
+
+
 _BLOCKED_SITES = tuple(f"site{i}.example.com" for i in (3, 11, 19, 27, 35))
 
 
@@ -2782,6 +2823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_window_spans": q_dup_window_spans,
         "strip_dup_spans": q_strip_dup_spans,
         "decontaminate": q_decontaminate,
+        "token_budget_sample": q_token_budget_sample,
         "blocklist_filter": q_blocklist_filter,
         "domain_reputation_filter": q_domain_reputation_filter,
         # rows-only (no SQL twin)
@@ -2872,6 +2914,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_window_spans": _ORACLE_DUP_SPANS,
         "strip_dup_spans": _ORACLE_STRIP_SPANS,
         "decontaminate": _ORACLE_DECONTAM,
+        "token_budget_sample": _ORACLE_TOKEN_BUDGET,
         "blocklist_filter": _ORACLE_BLOCKLIST,
         "domain_reputation_filter": _ORACLE_DOMAIN_REP,
     }

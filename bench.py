@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "neardup_dedup_pipeline",
     "dup_window_spans",
     "decontaminate",
+    "token_budget_sample",
 ]
 
 

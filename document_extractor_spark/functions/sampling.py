@@ -21,7 +21,7 @@ stratum column.
 """
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -68,3 +68,65 @@ def stratified_hash_sample(df: DataFrame, key_col: str,
         thr = F.when(F.col(strata_col) == value,
                      F.lit(hash_threshold(rate, precision))).otherwise(thr)
     return df.filter(hash_bucket(F.col(key_col), precision) < thr)
+
+
+def token_budget_sample(df: DataFrame, key_col: str, strata_col: str,
+                        n_tokens_col: str, budget: int,
+                        budgets: dict[str, int] | None = None,
+                        bucket_chars: int = 2) -> DataFrame:
+    """Quota sampling to a TOKEN budget: within each stratum, walk the
+    docs in deterministic md5(key) order and keep them until the
+    stratum's cumulative token count exceeds the budget (inclusive:
+    a doc is kept iff the running total *through it* fits). This is
+    the budget-shaped companion to `stratified_hash_sample` — rates
+    rebalance proportions, budgets hit an absolute token target per
+    language/source (the knob a data-mixture spec actually states).
+
+    Returns (key_col, strata_col, n_tokens_col, cum_tokens, kept) for
+    every input row — the decision table; callers filter kept.
+    Deterministic on any cluster size / retry / engine: the walk
+    order is the md5 hex string, and keeping a prefix of that order
+    inherits hash_sample's nested-subset property (a smaller budget's
+    keep-set is a subset of a larger one's).
+
+    Scale shape (10^12 docs): the naive form is ONE window partitioned
+    by stratum — a dominant language would serialize on a single
+    task. Instead, a two-phase distributed prefix sum: bucket each
+    row by the first `bucket_chars` hex chars OF THE SAME sort hash
+    (so bucket order is consistent with walk order); per-(stratum,
+    bucket) token totals (one small groupBy) get per-bucket offsets
+    via a window over that TINY table (16^bucket_chars rows per
+    stratum); offsets broadcast back and the heavy cumsum window
+    partitions by (stratum, bucket) — 256x the parallelism at the
+    default, more by raising bucket_chars. 3 shuffles, of which only
+    two touch the corpus; zero Python stages.
+    """
+    h = F.md5(F.col(key_col).cast("string"))
+    d = df.select(
+        F.col(key_col), F.col(strata_col), F.col(n_tokens_col),
+        h.alias("_hk"), F.substring(h, 1, bucket_chars).alias("_bk"))
+    btot = (d.groupBy(strata_col, "_bk")
+            .agg(F.sum(n_tokens_col).alias("_btot")))
+    wb = Window.partitionBy(strata_col).orderBy("_bk")
+    offs = btot.withColumn(
+        "_boff",
+        F.coalesce(F.sum("_btot").over(
+            wb.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)))
+    thr = F.lit(int(budget))
+    for value, b in sorted((budgets or {}).items()):
+        thr = F.when(F.col(strata_col) == value,
+                     F.lit(int(b))).otherwise(thr)
+    ww = Window.partitionBy(strata_col, "_bk").orderBy("_hk")
+    return (
+        d.join(F.broadcast(offs.select(strata_col, "_bk", "_boff")),
+               [strata_col, "_bk"])
+        .withColumn(
+            "cum_tokens",
+            (F.col("_boff") + F.sum(n_tokens_col).over(
+                ww.rowsBetween(Window.unboundedPreceding, 0)))
+            .cast("long"))
+        .select(
+            F.col(key_col), F.col(strata_col),
+            F.col(n_tokens_col).cast("long").alias(n_tokens_col),
+            F.col("cum_tokens"),
+            (F.col("cum_tokens") <= thr).alias("kept")))

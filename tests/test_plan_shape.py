@@ -119,6 +119,7 @@ def test_round3_operator_plan_budgets(spark):
         "dup_window_spans": (3, 0),
         "strip_dup_spans": (3, 0),
         "decontaminate": (3, 0),
+        "token_budget_sample": (3, 0),
     }
     qs = em.queries()
     for name, (max_ex, max_py) in budgets.items():

@@ -74,3 +74,76 @@ def test_pure_filter_plan(spark):
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
                    "Join"):
         assert marker not in plan
+
+
+# ------------------------------------------------------- token budget ----
+def _budget_docs(spark, n=60):
+    import hashlib
+    rows = [(i, f"s{i % 3}", 10 + (i % 7)) for i in range(n)]
+    return spark.createDataFrame(
+        rows, "doc_id: long, source: string, n_tokens: long")
+
+
+def test_token_budget_inclusive_walk_order(spark):
+    from document_extractor_spark.functions.sampling import (
+        token_budget_sample)
+    import hashlib
+
+    d = _budget_docs(spark)
+    out = token_budget_sample(d, "doc_id", "source", "n_tokens",
+                              budget=50).collect()
+    # recompute expectation in plain Python: md5 walk order per
+    # stratum, inclusive cumsum <= budget
+    by_src: dict[str, list] = {}
+    for r in d.collect():
+        h = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()
+        by_src.setdefault(r["source"], []).append(
+            (h, r["doc_id"], r["n_tokens"]))
+    expect = {}
+    for src, items in by_src.items():
+        cum = 0
+        for h, did, nt in sorted(items):
+            cum += nt
+            expect[did] = (cum, cum <= 50)
+    got = {r["doc_id"]: (r["cum_tokens"], r["kept"]) for r in out}
+    assert got == expect
+
+
+def test_token_budget_two_phase_equals_naive_window(spark):
+    from pyspark.sql import Window
+    from document_extractor_spark.functions.sampling import (
+        token_budget_sample)
+
+    d = _budget_docs(spark, n=200)
+    two = token_budget_sample(d, "doc_id", "source", "n_tokens",
+                              budget=300, bucket_chars=1)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")))
+    naive = d.withColumn(
+        "cum_tokens",
+        F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).cast("long")
+    ).withColumn("kept", F.col("cum_tokens") <= 300)
+    a = sorted(tuple(r) for r in two.collect())
+    b = sorted(tuple(r) for r in
+               naive.select(*two.columns).collect())
+    assert a == b
+
+
+def test_token_budget_nested_subset_and_overrides(spark):
+    from document_extractor_spark.functions.sampling import (
+        token_budget_sample)
+
+    d = _budget_docs(spark)
+    small = {r["doc_id"] for r in token_budget_sample(
+        d, "doc_id", "source", "n_tokens", budget=40).collect()
+        if r["kept"]}
+    big = {r["doc_id"] for r in token_budget_sample(
+        d, "doc_id", "source", "n_tokens", budget=120).collect()
+        if r["kept"]}
+    assert small <= big  # nested-subset property
+    # per-stratum override: s1 budget 0 -> nothing kept from s1
+    z = token_budget_sample(d, "doc_id", "source", "n_tokens",
+                            budget=120, budgets={"s1": 0}).collect()
+    assert not any(r["kept"] for r in z if r["source"] == "s1")
+    assert any(r["kept"] for r in z if r["source"] == "s0")
