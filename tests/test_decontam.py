@@ -121,3 +121,47 @@ def test_strip_dup_spans_fully_duplicated_doc_present(spark):
     rows = {r["doc_id"]: tuple(r)[1:] for r in
             DD.strip_dup_spans(d, k=3).collect()}
     assert rows == {1: ("", 0, 3), 2: ("", 0, 3)}
+
+
+def test_fuzz_cross_engine_parity_seeded(spark):
+    """Seeded random corpora (tiny vocab -> dense window collisions)
+    through BOTH engines for dup_window_spans / strip_dup_spans /
+    token_budget_sample: the driver checks one fixed corpus; this
+    sweeps 4 adversarial ones (repeats, near-misses, short docs,
+    NULLs) against the exact oracle SQL the driver runs."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as em
+
+    oracles = em.oracle_sql()
+    qfns = em.queries()
+    vocab = ["alpha", "beta", "gamma", "delta", "x", "y9", "Z", "tok"]
+    for seed in (1, 7, 42, 20260817):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(40):
+            if i % 13 == 12:
+                text = None
+            else:
+                n = rng.randrange(0, 40)
+                text = " ".join(rng.choice(vocab) for _ in range(n))
+            rows.append((i, text, f"s{i % 3}", "en", len(text or "")))
+        pdf = pd.DataFrame(
+            rows, columns=["doc_id", "text", "source", "lang", "n_chars"])
+        sdir = f"/tmp/des_fuzz_{seed}"
+        sdf = spark.createDataFrame(
+            pdf, "doc_id: long, text: string, source: string, "
+                 "lang: string, n_chars: long")
+        sdf.write.mode("overwrite").parquet(f"{sdir}/documents.parquet")
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        for q in ("dup_window_spans", "strip_dup_spans",
+                  "token_budget_sample"):
+            got = sorted(tuple(r) for r in qfns[q](spark, sdir).collect())
+            want = sorted(tuple(r) for r in
+                          con.sql(oracles[q]).fetchall())
+            assert got == want, (q, seed)
+        con.close()
