@@ -2768,6 +2768,48 @@ WHERE st.sum_q_e4 >= 7090 * st.n_src OR s.q >= 0.78
 """
 
 
+def q_warc_ingest(spark, sf_dir):
+    """WARC source (SURVEY §2.1 scan family; north_star
+    "Common-Crawl-style web pages"): documents are packed into
+    synthetic per-record-gzip WARC files distributed-side
+    (applyInPandas), then exploded back into per-record rows by the
+    from-scratch Content-Length-driven parser (functions/warc_mini,
+    ISO 28500). Every output field is a pure function of doc_id/text,
+    so the oracle recomputes the expected parse arithmetically while
+    the Spark side must round-trip real bytes through serializer AND
+    parser. No shuffle beyond the pack grouping; at crawl scale the
+    WARC files arrive pre-built and the kernel is shuffle-free."""
+    from document_extractor_spark.operators.warc_source import (
+        docs_to_warc_blobs, warc_records)
+
+    blobs = docs_to_warc_blobs(
+        _docs(spark, sf_dir).select("doc_id", "text"), n_files=8)
+    return (
+        warc_records(blobs)
+        .filter(F.col("error").isNull())
+        .select(
+            "url", "warc_date", "http_status", "http_content_type",
+            F.length("payload").cast("long").alias("payload_len"),
+            F.md5("payload").alias("payload_md5"))
+    )
+
+
+_ORACLE_WARC = """
+SELECT 'http://site' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/doc/'
+           || CAST(doc_id AS VARCHAR) AS url,
+       strftime(TIMESTAMP '2026-01-01 00:00:00'
+                + doc_id * INTERVAL 1 MINUTE, '%Y-%m-%dT%H:%M:%SZ')
+           AS warc_date,
+       CAST(CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END AS INT)
+           AS http_status,
+       'text/plain; charset=utf-8' AS http_content_type,
+       CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+           AS payload_len,
+       md5(coalesce(text, '')) AS payload_md5
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_roundtrip": q_extract_html_roundtrip,
@@ -2840,6 +2882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "token_windows": q_token_windows,
         "streaming_dedup": q_streaming_dedup,
+        "warc_ingest": q_warc_ingest,
     }
 
 
@@ -2917,4 +2960,5 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_sample": _ORACLE_TOKEN_BUDGET,
         "blocklist_filter": _ORACLE_BLOCKLIST,
         "domain_reputation_filter": _ORACLE_DOMAIN_REP,
+        "warc_ingest": _ORACLE_WARC,
     }

@@ -1,0 +1,156 @@
+"""WARC source: from-scratch writer/parser round-trip + Spark explode.
+
+Framing is Content-Length-driven (ISO 28500), so a payload that
+contains the literal bytes ``WARC/1.0`` must not desynchronize the
+parser; malformed/truncated/bomb inputs degrade to error records,
+never exceptions (quarantine posture, process_run.py error branch).
+"""
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from document_extractor_spark.functions.warc_mini import (
+    build_response_record,
+    build_warc,
+    parse_warc,
+)
+from document_extractor_spark.operators.warc_source import (
+    docs_to_warc_blobs,
+    warc_pages,
+    warc_records,
+)
+
+_DATE = "2026-01-01T00:00:00Z"
+
+
+def _rec(uri: str, payload: bytes, status: int = 200) -> bytes:
+    return build_response_record(uri, _DATE, payload, http_status=status)
+
+
+class TestRoundTrip:
+    def test_plain_and_gzip_round_trip(self):
+        payloads = [b"hello world", b"", "café résumé".encode()]
+        recs = [_rec(f"http://a.example/{i}", p)
+                for i, p in enumerate(payloads)]
+        for gz in (False, True):
+            parsed = parse_warc(build_warc(recs, per_record_gzip=gz))
+            assert [r.payload for r in parsed] == payloads
+            assert [r.target_uri for r in parsed] == [
+                f"http://a.example/{i}" for i in range(3)]
+            assert all(r.error is None for r in parsed)
+            assert all(r.http_status == 200 for r in parsed)
+            assert all(r.warc_date == _DATE for r in parsed)
+
+    def test_payload_containing_warc_magic_does_not_desync(self):
+        # Content-Length framing is the only authority: a body that
+        # embeds a full fake record must be treated as opaque bytes.
+        trap = (b"WARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+                b"HTTP/1.1 200 OK\r\n\r\n")
+        recs = [_rec("http://a.example/trap", trap),
+                _rec("http://a.example/after", b"ok")]
+        parsed = parse_warc(build_warc(recs, per_record_gzip=False))
+        assert len(parsed) == 2
+        assert parsed[0].payload == trap
+        assert parsed[1].payload == b"ok"
+
+    def test_http_status_and_content_type_parsed(self):
+        r = build_response_record(
+            "http://a.example/x", _DATE, b"gone", http_status=404,
+            http_content_type="text/plain; charset=utf-8")
+        parsed = parse_warc(r)
+        assert parsed[0].http_status == 404
+        assert parsed[0].http_content_type == "text/plain; charset=utf-8"
+        assert parsed[0].warc_type == "response"
+        assert parsed[0].record_id.startswith("<urn:uuid:")
+
+    def test_header_names_case_insensitive(self):
+        raw = _rec("http://a.example/x", b"p")
+        mangled = raw.replace(b"WARC-Target-URI:", b"warc-target-uri:")
+        assert parse_warc(mangled)[0].target_uri == "http://a.example/x"
+
+    def test_deterministic_bytes(self):
+        recs = [_rec("http://a.example/0", b"p")]
+        assert build_warc(recs) == build_warc(recs)  # gzip mtime=0
+
+
+class TestMalformed:
+    def test_truncated_tail_keeps_prefix(self):
+        recs = [_rec("http://a.example/0", b"first"),
+                _rec("http://a.example/1", b"second")]
+        blob = build_warc(recs, per_record_gzip=False)
+        parsed = parse_warc(blob[:-20])  # cut into record 2's body
+        assert parsed[0].payload == b"first"
+        assert parsed[-1].error == "warc_truncated"
+
+    def test_bad_version_line(self):
+        parsed = parse_warc(b"NOPE/9.9\r\nContent-Length: 0\r\n\r\n")
+        assert parsed[0].error == "warc_bad_header"
+
+    def test_bad_content_length(self):
+        parsed = parse_warc(
+            b"WARC/1.0\r\nContent-Length: banana\r\n\r\n")
+        assert parsed[0].error == "warc_bad_length"
+
+    def test_gzip_bomb_bounded(self):
+        bomb = gzip.compress(b"\x00" * (80 * 1024 * 1024), mtime=0)
+        assert len(bomb) < 1024 * 1024  # high ratio going in
+        parsed = parse_warc(bomb)
+        assert parsed == [type(parsed[0])(error="warc_too_large")] or (
+            len(parsed) == 1 and parsed[0].error == "warc_too_large")
+
+    def test_corrupt_gzip_member(self):
+        blob = bytearray(build_warc([_rec("http://a.example/0", b"p")]))
+        blob[12] ^= 0xFF
+        parsed = parse_warc(bytes(blob))
+        assert len(parsed) == 1 and parsed[0].error == "warc_too_large"
+
+    def test_none_and_empty(self):
+        assert parse_warc(None) == []
+        assert parse_warc(b"") == []
+
+
+@pytest.mark.usefixtures("spark")
+class TestSparkExplode:
+    def test_docs_round_trip_through_spark(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"document body {i}") for i in range(20)],
+            "doc_id long, text string")
+        blobs = docs_to_warc_blobs(docs, n_files=4)
+        assert blobs.count() == 4
+        recs = warc_records(blobs).orderBy("url")
+        rows = recs.collect()
+        assert len(rows) == 20
+        assert all(r.error is None for r in rows)
+        by_id = {int(r.url.rsplit("/", 1)[1]): r for r in rows}
+        for i in range(20):
+            r = by_id[i]
+            assert r.payload == f"document body {i}".encode()
+            assert r.http_status == (404 if i % 13 == 0 else 200)
+            assert r.url == f"http://site{i % 40}.example.com/doc/{i}"
+        # rec_idx is the in-file ordinal, dense per warc_id
+        import collections
+        per_file = collections.defaultdict(list)
+        for r in rows:
+            per_file[r.warc_id].append(r.rec_idx)
+        for idxs in per_file.values():
+            assert sorted(idxs) == list(range(len(idxs)))
+
+    def test_warc_pages_shape_and_filtering(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "keep me")], "doc_id long, text string")
+        good = docs_to_warc_blobs(docs, n_files=1)
+        bad = spark.createDataFrame(
+            [(99, b"WARC/1.0\r\nContent-Length: banana\r\n\r\n")],
+            "warc_id long, warc binary")
+        pages = warc_pages(good.union(bad))
+        rows = pages.collect()
+        assert len(rows) == 1  # error record filtered out
+        r = rows[0]
+        assert r.url == "http://site0.example.com/doc/0"
+        assert r.html == b"keep me"
+        assert r.text is None and r.lang is None
+        assert r.warc_ts.year == 2026
+        assert [f.name for f in pages.schema.fields] == [
+            "url", "warc_ts", "html", "text", "lang"]
