@@ -2810,6 +2810,42 @@ FROM documents
 """
 
 
+def q_jsonl_shard_plan(spark, sf_dir):
+    """JSONL training-shard export plan (the modern corpus sink: one
+    .jsonl file per deterministic md5 shard, consumed by tokenizer /
+    training jobs). The checked surface is the exact line bytes —
+    Spark's JVM to_json is byte-identical to DuckDB's to_json
+    (standards escaping incl. \\u-escaped control chars; pinned in
+    test_jsonl_shards) — plus the md5-derived shard id. The real
+    file writer (artifacts.write_jsonl_shards) shuffles once on
+    shard; this plan stage is shuffle-free."""
+    from document_extractor_spark.artifacts import jsonl_shard_lines
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "lang", "text")
+    return jsonl_shard_lines(
+        d, key_col="doc_id", cols=["doc_id", "source", "lang", "text"],
+        n_shards=16,
+    ).select(
+        "shard", "doc_id",
+        F.octet_length("line").cast("long").alias("line_len"),
+        F.md5("line").alias("line_md5"))
+
+
+_ORACLE_JSONL = """
+WITH j AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+             AS hk,
+         to_json(struct_pack(doc_id := doc_id, source := source,
+                             lang := lang, text := text)) AS line
+  FROM documents)
+SELECT CAST(hk % 16 AS INT) AS shard, doc_id,
+       CAST(octet_length(encode(line)) AS BIGINT) AS line_len,
+       md5(line) AS line_md5
+FROM j
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_roundtrip": q_extract_html_roundtrip,
@@ -2883,6 +2919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_windows": q_token_windows,
         "streaming_dedup": q_streaming_dedup,
         "warc_ingest": q_warc_ingest,
+        "jsonl_shard_plan": q_jsonl_shard_plan,
     }
 
 
@@ -2961,4 +2998,5 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_filter": _ORACLE_BLOCKLIST,
         "domain_reputation_filter": _ORACLE_DOMAIN_REP,
         "warc_ingest": _ORACLE_WARC,
+        "jsonl_shard_plan": _ORACLE_JSONL,
     }

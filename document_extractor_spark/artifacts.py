@@ -191,3 +191,77 @@ def write_chunks(chunked: DataFrame, out_dir: str) -> None:
      .write.mode("overwrite")
      .partitionBy("run_id", "chunk_id")
      .text(out_dir))
+
+
+# ---------------------------------------------------------------------------
+# JSONL training-shard export (the modern training-corpus sink shape:
+# fixed shard count, one .jsonl file per shard, standards-compliant
+# JSON lines — what tokenizer/training jobs downstream consume)
+# ---------------------------------------------------------------------------
+def jsonl_shard_lines(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    cols: list[str] | None = None,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Assign every doc a deterministic shard and render its JSONL
+    line: `(shard int, <key_col>, line string)`.
+
+    - shard = first 16 md5 bits of the key, mod n_shards — content-
+      independent, uniform, and reproducible by any engine (the
+      driver oracle recomputes it in SQL via ('0x'||hex)::BIGINT).
+      Never hash text for sharding: re-extraction that changes one
+      byte would migrate the doc across shards and break resume.
+    - line = Spark's native `to_json` over the selected columns in
+      the given order. JVM-side, standards-compliant escaping
+      (verified byte-identical to DuckDB's to_json incl. \\u-escaped
+      control chars), no Python in the path.
+
+    Scale: one narrow projection, no shuffle here; the writer decides
+    the shuffle (exactly one, on `shard`).
+    """
+    cols = cols or [c for c in docs.columns]
+    shard = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4),
+               16, 10)
+        .cast("long") % n_shards
+    ).cast("int")
+    return docs.select(
+        shard.alias("shard"),
+        F.col(key_col),
+        F.to_json(F.struct(*[F.col(c) for c in cols])).alias("line"),
+    )
+
+
+def write_jsonl_shards(
+    docs: DataFrame,
+    out_dir: str,
+    key_col: str = "doc_id",
+    cols: list[str] | None = None,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Write `out_dir/shard=K/part-*.txt` JSONL shard files and
+    return a small manifest DataFrame `(shard, n_lines, n_bytes)`.
+
+    One shuffle total (`repartition(shard)`), lines sorted within a
+    shard by the md5 walk order of the key so output bytes are
+    deterministic regardless of input partitioning. At 100 TB,
+    n_shards is sized so a shard fits a downstream reader
+    (corpus_bytes / n_shards ≈ 1-4 GB); the manifest is the
+    byte-accounting a training job's data loader needs up front.
+    """
+    lines = jsonl_shard_lines(docs, key_col, cols, n_shards).withColumn(
+        "hk", F.md5(F.col(key_col).cast("string")))
+    sorted_lines = (
+        lines.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "hk")
+    )
+    (sorted_lines.select("shard", F.col("line").alias("value"))
+     .write.mode("overwrite").partitionBy("shard").text(out_dir))
+    return (
+        lines.groupBy("shard")
+        .agg(F.count("*").alias("n_lines"),
+             # +1 per line: the text sink's trailing '\n'
+             (F.sum(F.octet_length("line")) + F.count("*"))
+             .alias("n_bytes"))
+    )
