@@ -2846,6 +2846,44 @@ FROM j
 """
 
 
+def q_charlm_cross_entropy(spark, sf_dir):
+    """Perplexity-proxy quality scoring (the CCNet/KenLM filter slot):
+    a char-bigram LM estimated from the corpus itself (pass 1, one
+    low-cardinality shuffle), then per-doc cross-entropy in
+    bits/bigram under the BROADCAST LM (pass 2 — the corpus never
+    reshuffles on bigram). Pure JVM Column work end-to-end; Laplace
+    add-1 smoothing. Gibberish scores high, fluent corpus-language
+    text low."""
+    from document_extractor_spark.functions.charlm import (
+        bigram_cross_entropy, corpus_bigram_lm)
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    lm = corpus_bigram_lm(d)
+    return bigram_cross_entropy(d, lm)
+
+
+_ORACLE_CHARLM = """
+WITH base AS (SELECT doc_id, text FROM documents),
+pairs AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 2) AS bigram
+  FROM base, unnest(range(1, length(text))) AS t(i)
+  WHERE text IS NOT NULL AND length(text) >= 2),
+lm AS (SELECT bigram, count(*) AS c FROM pairs GROUP BY 1),
+tot AS (SELECT CAST(sum(c) + count(*) AS DOUBLE) AS denom FROM lm),
+db AS (SELECT doc_id, bigram, count(*) AS n_b FROM pairs GROUP BY 1, 2),
+sc AS (
+  SELECT db.doc_id,
+         CAST(sum(db.n_b) AS BIGINT) AS n_bigrams,
+         round(sum(db.n_b * -log2((lm.c + 1) / tot.denom))
+               / sum(db.n_b), 4) AS bits_per_bigram
+  FROM db JOIN lm USING (bigram) CROSS JOIN tot
+  GROUP BY db.doc_id)
+SELECT b.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+       sc.bits_per_bigram
+FROM base b LEFT JOIN sc USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_roundtrip": q_extract_html_roundtrip,
@@ -2920,6 +2958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "warc_ingest": q_warc_ingest,
         "jsonl_shard_plan": q_jsonl_shard_plan,
+        "charlm_cross_entropy": q_charlm_cross_entropy,
     }
 
 
@@ -2999,4 +3038,5 @@ def oracle_sql() -> dict[str, str]:
         "domain_reputation_filter": _ORACLE_DOMAIN_REP,
         "warc_ingest": _ORACLE_WARC,
         "jsonl_shard_plan": _ORACLE_JSONL,
+        "charlm_cross_entropy": _ORACLE_CHARLM,
     }

@@ -1,0 +1,68 @@
+"""Char-bigram LM scoring: decision surface + edge cases."""
+from __future__ import annotations
+
+import math
+
+from document_extractor_spark.functions.charlm import (
+    bigram_cross_entropy,
+    char_bigrams,
+    corpus_bigram_lm,
+)
+
+import pyspark.sql.functions as F
+
+
+def test_char_bigrams_edges(spark):
+    df = spark.createDataFrame(
+        [("abcd",), ("ab",), ("a",), ("",), (None,)], "t: string")
+    rows = df.select(char_bigrams("t").alias("b")).collect()
+    assert rows[0].b == ["ab", "bc", "cd"]
+    assert rows[1].b == ["ab"]
+    assert rows[2].b == []  # NOT the sequence(1,0)=[1,0] trap
+    assert rows[3].b == []
+    assert rows[4].b is None
+
+
+def _corpus(spark):
+    fluent = "the quick market report shows strong growth this quarter"
+    rows = [(i, fluent) for i in range(20)]
+    rows.append((100, "zx qj vk wq xz jq kv qw zzqqxxjj"))  # gibberish
+    rows.append((101, None))
+    rows.append((102, "a"))  # no bigrams
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_gibberish_scores_higher(spark):
+    d = _corpus(spark)
+    lm = corpus_bigram_lm(d)
+    out = {r.doc_id: r for r in bigram_cross_entropy(d, lm).collect()}
+    fluent_bits = out[0].bits_per_bigram
+    gib_bits = out[100].bits_per_bigram
+    assert gib_bits > fluent_bits + 1.0  # clearly separated
+    assert out[101].n_bigrams == 0 and out[101].bits_per_bigram is None
+    assert out[102].n_bigrams == 0 and out[102].bits_per_bigram is None
+    assert len(out) == 23  # every doc keeps a row
+
+
+def test_unseen_bigrams_finite_via_smoothing(spark):
+    train = spark.createDataFrame(
+        [(0, "aaaa bbbb")], "doc_id long, text string")
+    lm = corpus_bigram_lm(train)
+    probe = spark.createDataFrame(
+        [(1, "zzzz")], "doc_id long, text string")
+    r = bigram_cross_entropy(probe, lm).collect()[0]
+    assert r.n_bigrams == 3
+    assert r.bits_per_bigram is not None
+    assert math.isfinite(r.bits_per_bigram)
+    # unseen bigram probability is exactly 1/(N+V)
+    n_v = (lm.agg(F.sum("c")).collect()[0][0]
+           + lm.count())
+    assert abs(r.bits_per_bigram - round(-math.log2(1.0 / n_v), 4)) < 1e-9
+
+
+def test_no_python_stage_and_single_lm_broadcast(spark):
+    d = _corpus(spark)
+    lm = corpus_bigram_lm(d)
+    plan = bigram_cross_entropy(d, lm)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
