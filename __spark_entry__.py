@@ -2884,6 +2884,41 @@ FROM base b LEFT JOIN sc USING (doc_id)
 """
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-based data-mixture rebalancing (alpha=0.5): keep
+    probability per source proportional to sqrt(n_src), integer-exact
+    thresholds on the md5 16^4 lattice (no float pow/sum — last-ulp
+    order dependence can flip a threshold in exactly one engine).
+    One counts groupBy + one codegen filter over the corpus; the rate
+    table rides in a literal CASE, never a join."""
+    from document_extractor_spark.functions.sampling import (
+        temperature_mix_sample)
+
+    return temperature_mix_sample(
+        _docs(spark, sf_dir), key_col="doc_id", strata_col="source")
+
+
+_ORACLE_TEMPERATURE = """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+w AS (SELECT source, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE) * 1000000)) AS BIGINT)
+                 AS w
+      FROM c),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+               CAST(sum(w) AS BIGINT) AS s_sum FROM w),
+thr AS (
+  SELECT source, n,
+         least(65536,
+               (tot.n_total // 2) * w * 65536 // (tot.s_sum * n)) AS t
+  FROM w CROSS JOIN tot)
+SELECT d.doc_id, d.source, CAST(thr.n AS BIGINT) AS n_d,
+       CAST(thr.t AS BIGINT) AS keep_thr,
+       ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+           < thr.t AS kept
+FROM documents d JOIN thr USING (source)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_roundtrip": q_extract_html_roundtrip,
@@ -2959,6 +2994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "jsonl_shard_plan": q_jsonl_shard_plan,
         "charlm_cross_entropy": q_charlm_cross_entropy,
+        "temperature_mix_sample": q_temperature_mix,
     }
 
 
@@ -3039,4 +3075,5 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest": _ORACLE_WARC,
         "jsonl_shard_plan": _ORACLE_JSONL,
         "charlm_cross_entropy": _ORACLE_CHARLM,
+        "temperature_mix_sample": _ORACLE_TEMPERATURE,
     }

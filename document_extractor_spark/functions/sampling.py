@@ -130,3 +130,62 @@ def token_budget_sample(df: DataFrame, key_col: str, strata_col: str,
             F.col(n_tokens_col).cast("long").alias(n_tokens_col),
             F.col("cum_tokens"),
             (F.col("cum_tokens") <= thr).alias("kept")))
+
+
+def temperature_mix_sample(df: DataFrame, key_col: str, strata_col: str,
+                           target_frac_num: int = 1,
+                           target_frac_den: int = 2,
+                           weight_scale: int = 1000,
+                           precision: int = 4) -> DataFrame:
+    """Temperature-based mixture rebalancing at alpha = 0.5 (the
+    data-mixture standard: sample domain d with probability
+    proportional to n_d^alpha, so dominant domains are downweighted
+    and tail domains upweighted relative to their natural share).
+
+    Per-stratum keep threshold, ALL-INTEGER so every engine agrees
+    bit-for-bit (no float pow/sum whose last-ulp order dependence
+    could flip a threshold):
+
+        w_d  = isqrt(n_d * weight_scale^2)        # = floor(s*sqrt(n))
+        T    = N * target_frac_num // target_frac_den
+        t_d  = min(16^precision,
+                   T * w_d * 16^precision // (S * n_d)),  S = sum w_d
+
+    keep iff the first `precision` md5 hex chars of the key, as an
+    integer, are < t_d — the same deterministic, retry-stable,
+    engine-portable decision as `hash_sample`.
+
+    Returns the decision table (key, stratum, n_d, keep_thr, kept)
+    for every row. The stratum count table is collected to the
+    driver and re-emitted as one literal CASE expression, so the
+    corpus sees ONE groupBy (counts) and one codegen filter — no
+    join, no second shuffle. Strata are assumed dim-table-sized
+    (languages, sources, top-level domains); for open-ended
+    domain-level mixing, pre-bucket domains first.
+    """
+    import math
+
+    lattice = 16 ** precision
+    counts = sorted(
+        (r[0], int(r[1])) for r in
+        df.groupBy(strata_col).agg(F.count("*").alias("n")).collect())
+    n_total = sum(n for _, n in counts)
+    t_target = n_total * target_frac_num // target_frac_den
+    weights = {s: math.isqrt(n * weight_scale * weight_scale)
+               for s, n in counts}
+    s_sum = sum(weights.values())
+    thr = {s: min(lattice, t_target * weights[s] * lattice
+                  // (s_sum * n)) if s_sum else 0
+           for s, n in counts}
+    n_d = F.lit(0)
+    t_d = F.lit(0)
+    for s, n in counts:
+        n_d = F.when(F.col(strata_col) == s, F.lit(n)).otherwise(n_d)
+        t_d = F.when(F.col(strata_col) == s,
+                     F.lit(thr[s])).otherwise(t_d)
+    u = F.conv(hash_bucket(F.col(key_col), precision), 16, 10).cast("long")
+    return df.select(
+        F.col(key_col), F.col(strata_col),
+        n_d.cast("long").alias("n_d"),
+        t_d.cast("long").alias("keep_thr"),
+        (u < t_d).alias("kept"))

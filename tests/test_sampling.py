@@ -147,3 +147,60 @@ def test_token_budget_nested_subset_and_overrides(spark):
                             budget=120, budgets={"s1": 0}).collect()
     assert not any(r["kept"] for r in z if r["source"] == "s1")
     assert any(r["kept"] for r in z if r["source"] == "s0")
+
+
+def test_temperature_mix_rebalances_toward_tail(spark):
+    from document_extractor_spark.functions.sampling import (
+        temperature_mix_sample)
+
+    # dominant stratum 900 docs, tail stratum 100 docs
+    rows = ([(i, "big") for i in range(900)]
+            + [(1000 + i, "small") for i in range(100)])
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    dec = temperature_mix_sample(d, "doc_id", "source")
+    per = {r.source: r for r in
+           dec.groupBy("source").agg(
+               F.first("keep_thr").alias("t"),
+               F.sum(F.col("kept").cast("int")).alias("k"),
+               F.count("*").alias("n")).collect()}
+    # alpha=0.5: keep RATE for the tail stratum must exceed the
+    # dominant one's (sqrt re-weighting), and realized counts track
+    # the thresholds
+    assert (per["small"].t / 65536) > (per["big"].t / 65536)
+    assert per["small"].k / per["small"].n > per["big"].k / per["big"].n
+    # overall target ~ 1/2 of the corpus (lattice + hash noise)
+    kept = sum(p.k for p in per.values())
+    assert 380 <= kept <= 620
+    # exact integer thresholds: recompute in Python
+    import math
+    n_tot = 1000
+    w = {"big": math.isqrt(900 * 10**6), "small": math.isqrt(100 * 10**6)}
+    s = sum(w.values())
+    for src, n in [("big", 900), ("small", 100)]:
+        assert per[src].t == min(
+            65536, (n_tot // 2) * w[src] * 65536 // (s * n))
+
+
+def test_temperature_mix_determinism_and_single_stratum(spark):
+    from document_extractor_spark.functions.sampling import (
+        temperature_mix_sample)
+
+    d = spark.createDataFrame(
+        [(i, "only") for i in range(200)], "doc_id long, source string")
+    a = {r.doc_id: r.kept
+         for r in temperature_mix_sample(d, "doc_id", "source").collect()}
+    b = {r.doc_id: r.kept
+         for r in temperature_mix_sample(
+             d.repartition(7), "doc_id", "source").collect()}
+    assert a == b  # partitioning-independent
+    # single stratum degenerates to plain target_frac sampling
+    kept = sum(a.values())
+    assert 60 <= kept <= 140
+
+
+def test_temperature_mix_empty_input(spark):
+    from document_extractor_spark.functions.sampling import (
+        temperature_mix_sample)
+
+    d = spark.createDataFrame([], "doc_id long, source string")
+    assert temperature_mix_sample(d, "doc_id", "source").count() == 0
