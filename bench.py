@@ -57,6 +57,10 @@ BENCH_QUERIES = [
     "dup_window_spans",
     "decontaminate",
     "token_budget_sample",
+    "warc_ingest",
+    "jsonl_shard_plan",
+    "charlm_cross_entropy",
+    "temperature_mix_sample",
 ]
 
 

@@ -120,6 +120,13 @@ def test_round3_operator_plan_budgets(spark):
         "strip_dup_spans": (3, 0),
         "decontaminate": (3, 0),
         "token_budget_sample": (3, 0),
+        # continuation additions: WARC explode pays 1 shuffle + 2
+        # Arrow stages only because the fixture PACKS the files
+        # in-job; production input arrives pre-packed (scan + 1 stage)
+        "warc_ingest": (1, 2),
+        "jsonl_shard_plan": (0, 0),
+        "charlm_cross_entropy": (3, 0),
+        "temperature_mix_sample": (0, 0),
     }
     qs = em.queries()
     for name, (max_ex, max_py) in budgets.items():
