@@ -2919,6 +2919,49 @@ FROM documents d JOIN thr USING (source)
 """
 
 
+def q_nb_quality_classifier(spark, sf_dir):
+    """The CCNet/fastText classifier slot, trained in-engine: seed
+    labels from the rule-based quality score, one token-keyed groupBy
+    learns Laplace-smoothed class counts, weights are
+    integer-quantized likelihood ratios (div on the 4096 lattice —
+    integer sums are exact and order-independent in every engine),
+    scoring is explode + broadcast weight join + one doc groupBy."""
+    from document_extractor_spark.functions.nbquality import (
+        nb_score, seed_labels, train_nb_weights)
+
+    d = seed_labels(_docs(spark, sf_dir).select("doc_id", "text"))
+    return nb_score(d, train_nb_weights(d))
+
+
+_ORACLE_NB = f"""
+WITH d AS (
+  SELECT doc_id, text, ({_SQL_QUALITY}) >= 0.7 AS hiq FROM documents),
+tk AS (
+  SELECT doc_id, CAST(hiq AS INT) AS hi, t.tok AS token
+  FROM d, unnest(list_filter(string_split_regex(
+      lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+'),
+      x -> x <> '')) AS t(tok)),
+c AS (SELECT token, sum(hi) AS hi_t, count(*) - sum(hi) AS lo_t
+      FROM tk GROUP BY 1),
+tot AS (SELECT CAST(sum(hi_t) AS BIGINT) AS hi_tot,
+               CAST(sum(lo_t) AS BIGINT) AS lo_tot,
+               count(*) AS v FROM c),
+w AS (SELECT token,
+             CAST((hi_t + 1) * 4096 * (tot.lo_tot + tot.v)
+                  // ((lo_t + 1) * (tot.hi_tot + tot.v)) AS BIGINT) AS w
+      FROM c CROSS JOIN tot),
+sc AS (SELECT tk.doc_id, count(*) AS n_tokens,
+              CAST(sum(w.w) AS BIGINT) AS nb_score
+       FROM tk JOIN w USING (token) GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(sc.nb_score, 0) AS BIGINT) AS nb_score,
+       CASE WHEN COALESCE(sc.n_tokens, 0) > 0
+            THEN sc.nb_score >= sc.n_tokens * 4096 END AS pred_hi
+FROM d LEFT JOIN sc USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_roundtrip": q_extract_html_roundtrip,
@@ -2995,6 +3038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_shard_plan": q_jsonl_shard_plan,
         "charlm_cross_entropy": q_charlm_cross_entropy,
         "temperature_mix_sample": q_temperature_mix,
+        "nb_quality_classifier": q_nb_quality_classifier,
     }
 
 
@@ -3076,4 +3120,5 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_shard_plan": _ORACLE_JSONL,
         "charlm_cross_entropy": _ORACLE_CHARLM,
         "temperature_mix_sample": _ORACLE_TEMPERATURE,
+        "nb_quality_classifier": _ORACLE_NB,
     }

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "jsonl_shard_plan",
     "charlm_cross_entropy",
     "temperature_mix_sample",
+    "nb_quality_classifier",
 ]
 
 

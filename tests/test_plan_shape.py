@@ -127,6 +127,7 @@ def test_round3_operator_plan_budgets(spark):
         "jsonl_shard_plan": (0, 0),
         "charlm_cross_entropy": (3, 0),
         "temperature_mix_sample": (0, 0),
+        "nb_quality_classifier": (4, 0),
     }
     qs = em.queries()
     for name, (max_ex, max_py) in budgets.items():
