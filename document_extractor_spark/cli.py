@@ -36,7 +36,14 @@ from .config import PipelineConfig
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="document-extractor-spark")
     ap.add_argument("--input", required=True,
-                    help="pages table (parquet dir or file)")
+                    help="pages table (parquet dir or file), or a "
+                         "directory of .warc/.warc.gz files with "
+                         "--input-format warc")
+    ap.add_argument("--input-format", choices=["pages", "warc"],
+                    default="pages",
+                    help="'pages' = parquet pages table; 'warc' = "
+                         "Common-Crawl-style WARC files (each file "
+                         "exploded into response records)")
     ap.add_argument("--output", required=True, help="output root")
     ap.add_argument("--run-id", default=f"run-{int(time.time())}")
     ap.add_argument("--cores", type=int, default=0,
@@ -48,6 +55,11 @@ def main(argv: list[str] | None = None) -> int:
                          "(S7 tail: rendered blocks greedily packed, "
                          "one file per chunk)")
     ap.add_argument("--max-chunk-bytes", type=int, default=3_000_000)
+    ap.add_argument("--export-jsonl", metavar="DIR", default=None,
+                    help="also export successfully extracted docs as "
+                         "JSONL training shards (one dir per md5 "
+                         "shard + byte manifest)")
+    ap.add_argument("--jsonl-shards", type=int, default=16)
     args = ap.parse_args(argv)
 
     if args.cores > 0:
@@ -59,7 +71,22 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("WARN")
 
     cfg = PipelineConfig(run_id=args.run_id, url_hash_buckets=args.buckets)
-    pages = spark.read.parquet(args.input)
+    if args.input_format == "warc":
+        from pyspark.sql import functions as F
+
+        from .operators.warc_source import warc_pages
+
+        # one input row per WARC FILE (the crawl parallelism unit);
+        # binaryFile scans never split a file, matching WARC framing
+        raw = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.warc*")
+            .load(args.input)
+            .select(F.xxhash64("path").alias("warc_id"),
+                    F.col("content").alias("warc")))
+        pages = warc_pages(raw)
+    else:
+        pages = spark.read.parquet(args.input)
     t0 = time.time()
     result = run_and_commit(spark, pages, args.output, cfg)
     if result is None:
@@ -72,6 +99,17 @@ def main(argv: list[str] | None = None) -> int:
         rendered = rendered_docs(result.extracted)
         write_chunks(chunked_docs(rendered, args.max_chunk_bytes),
                      args.export_chunks)
+    if args.export_jsonl:
+        from pyspark.sql import functions as F
+
+        from .artifacts import write_jsonl_shards
+
+        ok_docs = result.extracted.filter(
+            (F.col("status") == "OK") & F.col("text").isNotNull())
+        write_jsonl_shards(
+            ok_docs, args.export_jsonl, key_col="url",
+            cols=["url", "text", "reliability"],
+            n_shards=args.jsonl_shards).collect()
     met = result.metrics.groupBy().sum(
         "docs_in", "docs_out", "parse_failures", "bytes_extracted"
     ).head()

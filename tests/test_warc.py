@@ -154,3 +154,59 @@ class TestSparkExplode:
         assert r.warc_ts.year == 2026
         assert [f.name for f in pages.schema.fields] == [
             "url", "warc_ts", "html", "text", "lang"]
+
+
+class TestCliWarcEndToEnd:
+    def test_warc_input_to_jsonl_shards(self, spark, tmp_path):
+        """--input-format warc: real .warc.gz files on disk in,
+        extracted table + JSONL training shards out."""
+        import glob
+        import json
+        import os
+
+        from document_extractor_spark.cli import main
+
+        html = (
+            "<!DOCTYPE html><html><head><title>T</title></head><body>"
+            "<nav><a href='/x'>nav</a></nav>"
+            "<main><article><h1>Headline</h1>"
+            "<p>The quick market report shows strong growth this "
+            "quarter across every region and sector overall.</p>"
+            "</article></main>"
+            "<footer>Copyright</footer></body></html>"
+        ).encode()
+        warc_dir = tmp_path / "crawl"
+        warc_dir.mkdir()
+        for f in range(2):
+            recs = [build_response_record(
+                f"http://w{f}.example.com/p/{i}", _DATE, html)
+                for i in range(3)]
+            (warc_dir / f"part-{f}.warc.gz").write_bytes(
+                build_warc(recs, per_record_gzip=True))
+
+        out = tmp_path / "out"
+        jsonl = tmp_path / "jsonl"
+        rc = main([
+            "--input", str(warc_dir), "--input-format", "warc",
+            "--output", str(out), "--run-id", "warc-e2e",
+            "--export-jsonl", str(jsonl), "--jsonl-shards", "2",
+        ])
+        assert rc == 0
+        extracted = spark.read.parquet(str(out / "extracted"))
+        ok = extracted.filter("status = 'OK'")
+        assert ok.count() == 6
+        urls = {r.url for r in ok.select("url").collect()}
+        assert "http://w0.example.com/p/0" in urls
+        # boilerplate stripped, content kept
+        sample = ok.filter("url = 'http://w0.example.com/p/0'") \
+            .select("text").head().text
+        assert "quick market report" in sample
+        assert "nav" not in sample and "Copyright" not in sample
+        # jsonl shards exist and hold all 6 docs
+        lines = []
+        for f in glob.glob(os.path.join(str(jsonl), "shard=*", "part-*")):
+            lines += open(f, encoding="utf-8").read().splitlines()
+        recs = [json.loads(ln) for ln in lines]
+        assert len(recs) == 6
+        assert {r["url"] for r in recs} == urls
+        assert all("quick market report" in r["text"] for r in recs)
