@@ -222,3 +222,62 @@ def dedup_pages_stream(
                    F.md5(F.encode(F.col("url"), "UTF-8"))),
     ).withWatermark("warc_ts", watermark)
     return keyed.dropDuplicatesWithinWatermark(["content_hash"])
+
+
+# ---------------------------------------------------------------------------
+# WARC watcher: the crawl-facing variant of the S1 loop. The watched
+# directory holds raw .warc/.warc.gz files (Common Crawl delivery
+# format) instead of a parquet pages table; each micro-batch explodes
+# the newly-arrived files' response records into the pages shape and
+# runs the same foreachBatch three-table sink.
+# ---------------------------------------------------------------------------
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, "
+    "content binary")
+
+
+def read_warc_stream(spark: SparkSession, warc_dir: str,
+                     max_files_per_trigger: int | None = None
+                     ) -> DataFrame:
+    """Streaming pages DataFrame from a directory of WARC files.
+
+    binaryFile is a valid streaming file source but requires the
+    schema to be supplied explicitly (streams cannot infer). One row
+    per FILE per micro-batch — the file is the unit of exactly-once
+    tracking, matching the reference's per-file accounting
+    (entrypoint.sh snapshot loop); maxFilesPerTrigger bounds the
+    bytes a micro-batch materializes.
+    """
+    from .operators.warc_source import warc_pages
+
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", "*.warc*")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(warc_dir).select(
+        F.xxhash64("path").alias("warc_id"),
+        F.col("content").alias("warc"))
+    return warc_pages(raw)
+
+
+def run_warc_watcher_once(
+    spark: SparkSession,
+    warc_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    cfg: PipelineConfig | None = None,
+) -> StreamingQuery:
+    """Drain all currently-present WARC files through the full
+    pipeline exactly once (Trigger.AvailableNow); restarting with the
+    same checkpoint skips files already committed."""
+    cfg = cfg or PipelineConfig()
+    return (
+        read_warc_stream(spark, warc_dir)
+        .writeStream.foreachBatch(_make_batch_writer(output_dir, cfg))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

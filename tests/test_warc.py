@@ -210,3 +210,48 @@ class TestCliWarcEndToEnd:
         assert len(recs) == 6
         assert {r["url"] for r in recs} == urls
         assert all("quick market report" in r["text"] for r in recs)
+
+
+class TestStreamingWarcWatcher:
+    def test_warc_watcher_exactly_once_and_late_files(self, spark, tmp_path):
+        """AvailableNow drain over a dir of .warc.gz files: first
+        cycle extracts the present files, a rerun on the same
+        checkpoint is a no-op, a late-arriving file is picked up by
+        the next cycle only."""
+        import os
+
+        from document_extractor_spark.config import PipelineConfig
+        from document_extractor_spark.streaming import (
+            run_warc_watcher_once)
+
+        html = (
+            "<html><body><main><article><h1>H</h1>"
+            "<p>Strong growth in the regional market report today "
+            "with stable revenue and rising margins overall.</p>"
+            "</article></main></body></html>").encode()
+        wdir = tmp_path / "crawl"
+        wdir.mkdir()
+        wdir.joinpath("f0.warc.gz").write_bytes(build_warc(
+            [_rec(f"http://s.example.com/a/{i}", html) for i in range(4)]))
+
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        cfg = PipelineConfig(run_id="warc-stream")
+        q = run_warc_watcher_once(spark, str(wdir), out, ckpt, cfg)
+        q.awaitTermination(120)
+        ext = os.path.join(out, "extracted")
+        n1 = spark.read.parquet(ext).count()
+        assert n1 == 4
+
+        # rerun, nothing new -> no duplicates (checkpoint tracking)
+        q = run_warc_watcher_once(spark, str(wdir), out, ckpt, cfg)
+        q.awaitTermination(120)
+        assert spark.read.parquet(ext).count() == n1
+
+        # late file -> only its records are appended
+        wdir.joinpath("f1.warc.gz").write_bytes(build_warc(
+            [_rec("http://s.example.com/b/0", html)]))
+        q = run_warc_watcher_once(spark, str(wdir), out, ckpt, cfg)
+        q.awaitTermination(120)
+        df = spark.read.parquet(ext)
+        assert df.count() == n1 + 1
+        assert df.filter("url = 'http://s.example.com/b/0'").count() == 1
