@@ -255,3 +255,60 @@ class TestStreamingWarcWatcher:
         df = spark.read.parquet(ext)
         assert df.count() == n1 + 1
         assert df.filter("url = 'http://s.example.com/b/0'").count() == 1
+
+
+class TestFuzz:
+    """Property fuzz: the parser never raises, keeps every record
+    ahead of a corruption point, and round-trips arbitrary payloads."""
+
+    def test_round_trip_arbitrary_payloads(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(st.binary(max_size=400), min_size=1, max_size=6),
+               st.booleans())
+        def prop(payloads, gz):
+            recs = [_rec(f"http://f.example/{i}", p)
+                    for i, p in enumerate(payloads)]
+            parsed = parse_warc(build_warc(recs, per_record_gzip=gz))
+            assert [r.payload for r in parsed] == payloads
+            assert all(r.error is None for r in parsed)
+
+        prop()
+
+    def test_never_raises_on_corruption(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        base = build_warc(
+            [_rec(f"http://f.example/{i}", b"x" * i) for i in range(3)],
+            per_record_gzip=False)
+
+        @settings(max_examples=120, deadline=None)
+        @given(st.integers(0, len(base) - 1), st.integers(0, 255),
+               st.integers(0, len(base)))
+        def prop(pos, byte, cut):
+            blob = bytearray(base)
+            blob[pos] = byte
+            out = parse_warc(bytes(blob[:cut]))  # corrupt + truncate
+            # never raises; at most one trailing error record; every
+            # non-error record's payload framing stayed intact
+            errs = [r for r in out if r.error is not None]
+            assert len(errs) <= 1
+            if errs:
+                assert out[-1].error is not None
+
+        prop()
+
+    def test_arbitrary_garbage_never_raises(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=120, deadline=None)
+        @given(st.binary(max_size=600))
+        def prop(blob):
+            out = parse_warc(blob)
+            assert isinstance(out, list)
+
+        prop()
