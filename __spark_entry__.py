@@ -2870,14 +2870,13 @@ pairs AS (
   WHERE text IS NOT NULL AND length(text) >= 2),
 lm AS (SELECT bigram, count(*) AS c FROM pairs GROUP BY 1),
 tot AS (SELECT CAST(sum(c) + count(*) AS DOUBLE) AS denom FROM lm),
-db AS (SELECT doc_id, bigram, count(*) AS n_b FROM pairs GROUP BY 1, 2),
 sc AS (
-  SELECT db.doc_id,
-         CAST(sum(db.n_b) AS BIGINT) AS n_bigrams,
-         round(sum(db.n_b * -log2((lm.c + 1) / tot.denom))
-               / sum(db.n_b), 4) AS bits_per_bigram
-  FROM db JOIN lm USING (bigram) CROSS JOIN tot
-  GROUP BY db.doc_id)
+  SELECT pairs.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(sum(-log2((lm.c + 1) / tot.denom))
+               / count(*), 4) AS bits_per_bigram
+  FROM pairs JOIN lm USING (bigram) CROSS JOIN tot
+  GROUP BY pairs.doc_id)
 SELECT b.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
        sc.bits_per_bigram
 FROM base b LEFT JOIN sc USING (doc_id)

@@ -77,27 +77,31 @@ def bigram_cross_entropy(
     reshuffles on bigram; the only wide exchange is the per-doc
     groupBy, which reuses the extraction pipeline's doc partitioning.
     """
+    # the LM is consumed twice (totals scalar + broadcast join) and
+    # is charset^2-bounded — persist it so the corpus-wide bigram
+    # explode behind it runs ONCE, not once per consumer
+    lm = lm.persist()
     totals = lm.agg(
         F.sum("c").alias("n_total"), F.count("*").alias("v")).collect()[0]
     n_total = int(totals.n_total or 0)
     vocab = int(totals.v or 0)
     denom = float(max(n_total + vocab, 1))  # empty-LM guard
 
-    doc_bigrams = (
-        docs.select(key_col, F.explode_outer(
-            char_bigrams(text_col)).alias("bigram"))
-        .groupBy(key_col, "bigram")
-        .agg(F.count("*").alias("n_b"))
-    )
-    joined = doc_bigrams.join(F.broadcast(lm), "bigram", "left")
+    # one occurrence row per bigram, summed per doc directly: the
+    # intermediate (doc, bigram) count table would cost a second
+    # full-corpus shuffle for nothing — Σ_occurrences bits ==
+    # Σ_b n_b·bits_b, and the broadcast LM join happens map-side
+    occurrences = docs.select(key_col, F.explode_outer(
+        char_bigrams(text_col)).alias("bigram"))
+    joined = occurrences.join(F.broadcast(lm), "bigram", "left")
     bits = -F.log2((F.coalesce(F.col("c"), F.lit(0)) + 1) / denom)
     return (
         joined.groupBy(key_col)
         .agg(
+            F.sum(F.when(F.col("bigram").isNotNull(), 1)
+                  .otherwise(0)).alias("n_bigrams"),
             F.sum(F.when(F.col("bigram").isNotNull(),
-                         F.col("n_b")).otherwise(0)).alias("n_bigrams"),
-            F.sum(F.when(F.col("bigram").isNotNull(),
-                         F.col("n_b") * bits)).alias("_total_bits"))
+                         bits)).alias("_total_bits"))
         .select(
             key_col,
             F.col("n_bigrams").cast("long").alias("n_bigrams"),
