@@ -66,6 +66,9 @@ def train_nb_weights(labeled: DataFrame, text_col: str = "text",
     counts = toks.groupBy("token").agg(
         F.sum("_hi").alias("hi_t"),
         (F.count("*") - F.sum("_hi")).alias("lo_t"))
+    # consumed twice (totals scalar + weight projection): persist so
+    # the corpus-wide token explode behind it runs once
+    counts = counts.persist()
     t = counts.agg(
         F.sum("hi_t").alias("hi_tot"), F.sum("lo_t").alias("lo_tot"),
         F.count("*").alias("v")).collect()[0]
