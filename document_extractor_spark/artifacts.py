@@ -203,9 +203,10 @@ def jsonl_shard_lines(
     key_col: str = "doc_id",
     cols: list[str] | None = None,
     n_shards: int = 16,
+    with_sort_key: bool = False,
 ) -> DataFrame:
     """Assign every doc a deterministic shard and render its JSONL
-    line: `(shard int, <key_col>, line string)`.
+    line: `(shard int, <key_col>, line string[, hk string])`.
 
     - shard = first 16 md5 bits of the key, mod n_shards — content-
       independent, uniform, and reproducible by any engine (the
@@ -213,24 +214,31 @@ def jsonl_shard_lines(
       Never hash text for sharding: re-extraction that changes one
       byte would migrate the doc across shards and break resume.
     - line = Spark's native `to_json` over the selected columns in
-      the given order. JVM-side, standards-compliant escaping
-      (verified byte-identical to DuckDB's to_json incl. \\u-escaped
-      control chars), no Python in the path.
+      the given order, with ignoreNullFields=false so a NULL field
+      renders as `"field":null` — required both for byte-identity
+      with DuckDB's to_json (verified incl. \\u-escaped control
+      chars) and for schema-stable lines downstream (the default
+      silently DROPS null fields per row).
+    - `with_sort_key` also emits the full md5 (the writer's
+      within-shard sort key) so shard and sort key come from one
+      hash evaluation.
 
     Scale: one narrow projection, no shuffle here; the writer decides
     the shuffle (exactly one, on `shard`).
     """
     cols = cols or [c for c in docs.columns]
-    shard = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4),
-               16, 10)
-        .cast("long") % n_shards
-    ).cast("int")
-    return docs.select(
+    hk = F.md5(F.col(key_col).cast("string"))
+    shard = (F.conv(F.substring(hk, 1, 4), 16, 10)
+             .cast("long") % n_shards).cast("int")
+    out = [
         shard.alias("shard"),
         F.col(key_col),
-        F.to_json(F.struct(*[F.col(c) for c in cols])).alias("line"),
-    )
+        F.to_json(F.struct(*[F.col(c) for c in cols]),
+                  {"ignoreNullFields": "false"}).alias("line"),
+    ]
+    if with_sort_key:
+        out.append(hk.alias("hk"))
+    return docs.select(*out)
 
 
 def write_jsonl_shards(
@@ -250,18 +258,23 @@ def write_jsonl_shards(
     (corpus_bytes / n_shards ≈ 1-4 GB); the manifest is the
     byte-accounting a training job's data loader needs up front.
     """
-    lines = jsonl_shard_lines(docs, key_col, cols, n_shards).withColumn(
-        "hk", F.md5(F.col(key_col).cast("string")))
-    sorted_lines = (
-        lines.repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", "hk")
-    )
-    (sorted_lines.select("shard", F.col("line").alias("value"))
-     .write.mode("overwrite").partitionBy("shard").text(out_dir))
-    return (
-        lines.groupBy("shard")
-        .agg(F.count("*").alias("n_lines"),
-             # +1 per line: the text sink's trailing '\n'
-             (F.sum(F.octet_length("line")) + F.count("*"))
-             .alias("n_bytes"))
-    )
+    lines = jsonl_shard_lines(
+        docs, key_col, cols, n_shards, with_sort_key=True).persist()
+    try:
+        (lines.repartition(n_shards, "shard")
+         .sortWithinPartitions("shard", "hk")
+         .select("shard", F.col("line").alias("value"))
+         .write.mode("overwrite").partitionBy("shard").text(out_dir))
+        manifest = (
+            lines.groupBy("shard")
+            .agg(F.count("*").alias("n_lines"),
+                 # +1 per line: the text sink's trailing '\n'
+                 (F.sum(F.octet_length("line")) + F.count("*"))
+                 .alias("n_bytes"))
+            .collect())
+    finally:
+        lines.unpersist()
+    # n_shards rows, materialized — the caller gets a driver-local
+    # DataFrame and the corpus lineage is scanned exactly once
+    return docs.sparkSession.createDataFrame(
+        manifest, "shard int, n_lines long, n_bytes long")

@@ -99,6 +99,7 @@ def main(argv: list[str] | None = None) -> int:
         rendered = rendered_docs(result.extracted)
         write_chunks(chunked_docs(rendered, args.max_chunk_bytes),
                      args.export_chunks)
+    jsonl_summary = {}
     if args.export_jsonl:
         from pyspark.sql import functions as F
 
@@ -106,10 +107,13 @@ def main(argv: list[str] | None = None) -> int:
 
         ok_docs = result.extracted.filter(
             (F.col("status") == "OK") & F.col("text").isNotNull())
-        write_jsonl_shards(
+        manifest = write_jsonl_shards(
             ok_docs, args.export_jsonl, key_col="url",
             cols=["url", "text", "reliability"],
-            n_shards=args.jsonl_shards).collect()
+            n_shards=args.jsonl_shards)
+        tot = manifest.groupBy().sum("n_lines", "n_bytes").head()
+        jsonl_summary = {"jsonl_lines": tot[0] or 0,
+                         "jsonl_bytes": tot[1] or 0}
     met = result.metrics.groupBy().sum(
         "docs_in", "docs_out", "parse_failures", "bytes_extracted"
     ).head()
@@ -119,6 +123,7 @@ def main(argv: list[str] | None = None) -> int:
         "wall_sec": round(time.time() - t0, 2),
         "docs_in": met[0], "docs_out": met[1],
         "parse_failures": met[2], "bytes_extracted": met[3],
+        **jsonl_summary,
     }))
     return 0
 

@@ -78,14 +78,17 @@ def bigram_cross_entropy(
     groupBy, which reuses the extraction pipeline's doc partitioning.
     """
     # the LM is consumed twice (totals scalar + broadcast join) and
-    # is charset^2-bounded — persist it so the corpus-wide bigram
-    # explode behind it runs ONCE, not once per consumer
-    lm = lm.persist()
-    totals = lm.agg(
-        F.sum("c").alias("n_total"), F.count("*").alias("v")).collect()[0]
-    n_total = int(totals.n_total or 0)
-    vocab = int(totals.v or 0)
+    # is charset^2-bounded: collect it ONCE and rebuild a
+    # driver-local frame, so the corpus-wide bigram explode behind
+    # it runs exactly one time and nothing stays persisted for the
+    # session lifetime (a .persist() here leaked a cached table per
+    # invocation in long-lived bench/driver sessions)
+    lm_rows = [(r.bigram, int(r.c)) for r in lm.collect()]
+    n_total = sum(c for _, c in lm_rows)
+    vocab = len(lm_rows)
     denom = float(max(n_total + vocab, 1))  # empty-LM guard
+    lm = docs.sparkSession.createDataFrame(
+        lm_rows, "bigram string, c long") if lm_rows else lm
 
     # one occurrence row per bigram, summed per doc directly: the
     # intermediate (doc, bigram) count table would cost a second

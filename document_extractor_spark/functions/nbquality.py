@@ -67,19 +67,36 @@ def train_nb_weights(labeled: DataFrame, text_col: str = "text",
         F.sum("_hi").alias("hi_t"),
         (F.count("*") - F.sum("_hi")).alias("lo_t"))
     # consumed twice (totals scalar + weight projection): persist so
-    # the corpus-wide token explode behind it runs once
+    # the corpus-wide token explode behind it runs once; released
+    # below once the weight table is materialized
     counts = counts.persist()
     t = counts.agg(
         F.sum("hi_t").alias("hi_tot"), F.sum("lo_t").alias("lo_tot"),
         F.count("*").alias("v")).collect()[0]
     hi_tot, lo_tot, v = (int(t.hi_tot or 0), int(t.lo_tot or 0),
                          int(t.v or 0))
-    return counts.select(
+    # DECIMAL(38,0) arithmetic: the numerator is hi_t * SCALE *
+    # (lo_tot + V) ≈ 1e13 * 4e3 * 2e13 ≈ 1e30 at the 100 TB token
+    # scale — far past the 9.2e18 BIGINT ceiling (ANSI mode would
+    # crash the job; legacy mode would silently wrap and diverge
+    # from the HUGEINT oracle). Decimal div is exact integer floor
+    # division with 1e38 of headroom; the result always fits a long
+    # (it is a ratio near SCALE).
+    weights = counts.select(
         "token",
         F.expr(
-            f"(hi_t + 1) * {SCALE} * {lo_tot + v}"
-            f" div ((lo_t + 1) * {hi_tot + v})"
-        ).cast("long").alias("w"))
+            f"cast((cast(hi_t as decimal(38,0)) + 1) * {SCALE}"
+            f" * {lo_tot + v}"
+            f" div ((cast(lo_t as decimal(38,0)) + 1) * {hi_tot + v})"
+            f" as long)"
+        ).alias("w")).persist()
+    weights.count()  # materialize the model from the cached counts
+    counts.unpersist()  # release the big intermediate immediately
+    # the returned weight table IS the trained model and stays
+    # persisted (it feeds one or many scoring joins); the caller
+    # owns its lifecycle — weights.unpersist() when done (same
+    # contract as similarity.ivf_build / lsh_build)
+    return weights
 
 
 def nb_score(docs: DataFrame, weights: DataFrame,

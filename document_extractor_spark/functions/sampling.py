@@ -166,9 +166,13 @@ def temperature_mix_sample(df: DataFrame, key_col: str, strata_col: str,
     import math
 
     lattice = 16 ** precision
+    # null-safe sort + eqNullSafe below: a NULL stratum (missing
+    # source/lang) is a legitimate bucket, and a bare sorted() would
+    # TypeError comparing None against str on the driver
     counts = sorted(
-        (r[0], int(r[1])) for r in
-        df.groupBy(strata_col).agg(F.count("*").alias("n")).collect())
+        ((r[0], int(r[1])) for r in
+         df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()),
+        key=lambda sn: (sn[0] is None, sn[0]))
     n_total = sum(n for _, n in counts)
     t_target = n_total * target_frac_num // target_frac_den
     weights = {s: math.isqrt(n * weight_scale * weight_scale)
@@ -180,8 +184,9 @@ def temperature_mix_sample(df: DataFrame, key_col: str, strata_col: str,
     n_d = F.lit(0)
     t_d = F.lit(0)
     for s, n in counts:
-        n_d = F.when(F.col(strata_col) == s, F.lit(n)).otherwise(n_d)
-        t_d = F.when(F.col(strata_col) == s,
+        n_d = F.when(F.col(strata_col).eqNullSafe(s),
+                     F.lit(n)).otherwise(n_d)
+        t_d = F.when(F.col(strata_col).eqNullSafe(s),
                      F.lit(thr[s])).otherwise(t_d)
     u = F.conv(hash_bucket(F.col(key_col), precision), 16, 10).cast("long")
     return df.select(

@@ -124,27 +124,32 @@ def build_warc(records: list[bytes], per_record_gzip: bool = True) -> bytes:
 # ---------------------------------------------------------------------------
 # reader
 # ---------------------------------------------------------------------------
-def _gunzip_members(data: bytes) -> list[bytes] | None:
-    """Split a multi-member gzip stream into decompressed members.
+def _gunzip_members(data: bytes):
+    """Yield decompressed members of a multi-member gzip stream, then
+    ``(None, error)`` if a member is corrupt/truncated/over budget.
 
-    Returns None on a budget overrun or corrupt member; bounded by
-    ``_MAX_MEMBER_BYTES`` per member via incremental decompression.
+    Generator of ``(member_bytes, None)`` tuples — members AHEAD of a
+    bad one are always yielded (the bad member's boundary is
+    unrecoverable, so parsing must stop there, but never by
+    discarding the good prefix). Bounded by ``_MAX_MEMBER_BYTES``
+    per member via incremental decompression.
     """
-    members: list[bytes] = []
     rest = data
     while rest:
         d = zlib.decompressobj(wbits=31)
         try:
             out = d.decompress(rest, _MAX_MEMBER_BYTES)
         except zlib.error:
-            return None
+            yield None, "warc_gzip_corrupt"
+            return
         if d.unconsumed_tail:  # member exceeded the budget
-            return None
+            yield None, "warc_too_large"
+            return
         if not d.eof:  # truncated member
-            return None
-        members.append(out)
+            yield None, "warc_gzip_truncated"
+            return
+        yield out, None
         rest = d.unused_data
-    return members
 
 
 def _parse_headers(block: bytes) -> dict[str, str] | None:
@@ -250,11 +255,13 @@ def parse_warc(data: bytes | None) -> list[WarcRecord]:
     if not data:
         return []
     if data[:2] == b"\x1f\x8b":
-        members = _gunzip_members(data)
-        if members is None:
-            return [WarcRecord(error="warc_too_large")]
         out: list[WarcRecord] = []
-        for m in members:
+        for m, err in _gunzip_members(data):
+            if err is not None:
+                # records from the good members ahead of the bad one
+                # are kept; the bad member's boundary is unrecoverable
+                out.append(WarcRecord(error=err))
+                break
             out.extend(_parse_concatenated(m))
         return out
     return _parse_concatenated(data)

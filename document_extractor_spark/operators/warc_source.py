@@ -15,11 +15,13 @@ Design points for 100 TB:
   kernel is embarrassingly parallel: no shuffle is introduced —
   rows explode inside the scan stage and downstream dispatch
   (functions/sniff.py) consumes them directly.
-- ``spark.sql.execution.arrow.maxRecordsPerBatch`` should be small
-  (the pipeline default handles it) since each input row is a whole
-  file; the kernel itself streams records out per file, so peak
-  memory is one decompressed record, not one decompressed file,
-  for per-record-gzip archives.
+- the kernel yields one output frame per input FILE (never
+  accumulating a whole Arrow batch of files), so peak Python memory
+  is one file's decompressed records — bounded by the per-member
+  decompression budget times the file's record count — plus the one
+  compressed input row Arrow hands over. Files, not batches, are
+  the memory unit; ``maxFilesPerTrigger``/``maxPartitionBytes``
+  bound how many files a task holds.
 - Malformed records become quarantine rows (``error`` set) instead
   of failing the task — one bad record in a 1 GB file must not
   re-run the partition. Mirrors the reference's per-file quarantine
@@ -52,27 +54,24 @@ WARC_ROWS_SCHEMA = (
 def _explode_kernel(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
+    cols = ["warc_id", "rec_idx", "url", "warc_date", "warc_type",
+            "http_status", "http_content_type", "payload", "error"]
     for b in batches:
-        rows = []
+        # one yielded frame per FILE: a batch-wide row list would hold
+        # every file's decompressed records at once (see module doc)
         for r in b.itertuples(index=False):
-            for i, rec in enumerate(parse_warc(r.warc)):
-                rows.append({
-                    "warc_id": r.warc_id,
-                    "rec_idx": i,
-                    "url": rec.target_uri,
-                    "warc_date": rec.warc_date,
-                    "warc_type": rec.warc_type,
-                    "http_status": rec.http_status,
-                    "http_content_type": rec.http_content_type,
-                    "payload": rec.payload,
-                    "error": rec.error,
-                })
-        yield pd.DataFrame(
-            rows,
-            columns=["warc_id", "rec_idx", "url", "warc_date",
-                     "warc_type", "http_status", "http_content_type",
-                     "payload", "error"],
-        )
+            rows = [{
+                "warc_id": r.warc_id,
+                "rec_idx": i,
+                "url": rec.target_uri,
+                "warc_date": rec.warc_date,
+                "warc_type": rec.warc_type,
+                "http_status": rec.http_status,
+                "http_content_type": rec.http_content_type,
+                "payload": rec.payload,
+                "error": rec.error,
+            } for i, rec in enumerate(parse_warc(r.warc))]
+            yield pd.DataFrame(rows, columns=cols)
 
 
 def docs_to_warc_blobs(docs: DataFrame, n_files: int = 8) -> DataFrame:

@@ -96,3 +96,22 @@ def test_empty_input(spark, tmp_path):
     empty = spark.createDataFrame([], "doc_id long, text string")
     out = str(tmp_path / "empty")
     assert _mod().write_jsonl_shards(empty, out, n_shards=2).count() == 0
+
+
+def test_null_fields_render_as_json_null(spark):
+    """ignoreNullFields=false: a NULL column renders as "field":null,
+    matching DuckDB byte-for-byte and keeping line schema stable
+    (Spark's default silently DROPS null fields per row)."""
+    docs = spark.createDataFrame(
+        [(1, None, "x"), (2, "de", None), (3, None, None)],
+        "doc_id long, lang string, text string")
+    lines = {r.doc_id: r.line for r in _mod().jsonl_shard_lines(
+        docs, cols=["doc_id", "lang", "text"], n_shards=2).collect()}
+    con = duckdb.connect()
+    for i, lang, text in [(1, None, "x"), (2, "de", None),
+                          (3, None, None)]:
+        exp = con.execute(
+            "select to_json(struct_pack(doc_id := ?::BIGINT, "
+            "lang := ?, text := ?))", [i, lang, text]).fetchone()[0]
+        assert lines[i] == exp
+        assert '"lang"' in lines[i] and '"text"' in lines[i]

@@ -204,3 +204,21 @@ def test_temperature_mix_empty_input(spark):
 
     d = spark.createDataFrame([], "doc_id long, source string")
     assert temperature_mix_sample(d, "doc_id", "source").count() == 0
+
+
+def test_temperature_mix_null_stratum(spark):
+    from document_extractor_spark.functions.sampling import (
+        temperature_mix_sample)
+
+    rows = [(i, "a" if i % 2 else None) for i in range(100)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    dec = temperature_mix_sample(d, "doc_id", "source")
+    out = dec.collect()
+    assert len(out) == 100
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # the NULL stratum is a real bucket: counted and thresholded
+    assert len(by_src[None]) == 50
+    assert all(r.n_d == 50 for r in by_src[None])
+    assert all(r.keep_thr > 0 for r in out)

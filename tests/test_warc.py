@@ -100,11 +100,25 @@ class TestMalformed:
         assert parsed == [type(parsed[0])(error="warc_too_large")] or (
             len(parsed) == 1 and parsed[0].error == "warc_too_large")
 
-    def test_corrupt_gzip_member(self):
-        blob = bytearray(build_warc([_rec("http://a.example/0", b"p")]))
-        blob[12] ^= 0xFF
-        parsed = parse_warc(bytes(blob))
-        assert len(parsed) == 1 and parsed[0].error == "warc_too_large"
+    def test_corrupt_gzip_member_keeps_good_prefix(self):
+        # the production layout: one member per record; a corrupt
+        # middle member must not discard the good records before it
+        import gzip as _gzip
+
+        recs = [_rec(f"http://a.example/{i}", f"p{i}".encode())
+                for i in range(3)]
+        members = [_gzip.compress(r, mtime=0) for r in recs]
+        bad = bytearray(members[1])
+        bad[12] ^= 0xFF
+        parsed = parse_warc(members[0] + bytes(bad) + members[2])
+        assert parsed[0].payload == b"p0"
+        assert parsed[-1].error == "warc_gzip_corrupt"
+        assert len(parsed) == 2  # member 2's boundary is unrecoverable
+
+    def test_truncated_gzip_member(self):
+        blob = build_warc([_rec("http://a.example/0", b"p")])
+        parsed = parse_warc(blob[:-5])
+        assert parsed[-1].error == "warc_gzip_truncated"
 
     def test_none_and_empty(self):
         assert parse_warc(None) == []
