@@ -2961,6 +2961,119 @@ FROM d LEFT JOIN sc USING (doc_id)
 """
 
 
+def _link_fixture_pages(spark, sf_dir):
+    """Deterministic link fixtures: each doc's page carries one
+    fragment link (dropped), one relative link (resolves to its own
+    domain) and (doc_id % 4)+1 absolute links to site (doc_id*7+k)
+    % 40 — every edge recomputable arithmetically by the oracle.
+    Built JVM-side (concat/transform), no Python."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    own = F.concat(
+        F.lit("http://site"), (F.col("doc_id") % 40).cast("string"),
+        F.lit(".example.com/doc/"), F.col("doc_id").cast("string"))
+    html = F.concat(
+        F.lit('<a href="#top">t</a><a href="/about">a</a>'),
+        F.array_join(F.transform(
+            F.sequence(F.lit(1).cast("long"),
+                       F.col("doc_id") % 4 + 1),
+            lambda k: F.concat(
+                F.lit('<a href="http://site'),
+                ((F.col("doc_id") * 7 + k) % 40).cast("string"),
+                F.lit('.example.com/page">x</a>'))), ""))
+    return d.select(own.alias("url"), html.alias("html_text"))
+
+
+_SQL_LINK_EDGES = """
+d AS (SELECT doc_id,
+             'site' || CAST(doc_id % 40 AS VARCHAR) || '.example.com'
+                 AS src
+      FROM documents),
+abs_links AS (
+  SELECT src, 'site' || CAST((doc_id * 7 + k) % 40 AS VARCHAR)
+              || '.example.com' AS dst
+  FROM d, unnest(range(1, CAST(doc_id % 4 AS BIGINT) + 2)) AS t(k)),
+all_links AS (
+  SELECT src, dst FROM abs_links
+  UNION ALL SELECT src, src AS dst FROM d),
+e AS (SELECT src, dst, count(*) AS w FROM all_links GROUP BY 1, 2)
+"""
+
+
+def q_domain_link_graph(spark, sf_dir):
+    """Domain-level link graph (the reputation/frontier signal a web
+    corpus already holds): href extraction is a pure Column
+    regexp_extract_all (Java∩RE2 pattern, zero shuffle), relative
+    links resolve to the source's own domain, and the edge groupBy is
+    the only shuffle — the edge table is #domains²-bounded, orders
+    smaller than the corpus."""
+    from document_extractor_spark.operators.linkgraph import (
+        domain_edges, extract_outlinks)
+
+    pages = _link_fixture_pages(spark, sf_dir)
+    return domain_edges(extract_outlinks(pages))
+
+
+_ORACLE_LINK_GRAPH = f"""
+WITH {_SQL_LINK_EDGES}
+SELECT src AS src_domain, dst AS dst_domain,
+       CAST(w AS BIGINT) AS n_links
+FROM e
+"""
+
+
+def q_link_pagerank(spark, sf_dir):
+    """PageRank over the domain link graph, 3 power iterations with
+    standard damping + dangling-mass redistribution. Each iteration
+    is one edge⋈rank join + one groupBy on the DIM-SIZED domain
+    graph (never the corpus); lineage cut via localCheckpoint. The
+    oracle unrolls the same three iterations expression-for-
+    expression; ranks compared at 6 dp."""
+    from document_extractor_spark.operators.linkgraph import (
+        domain_edges, extract_outlinks, pagerank)
+
+    pages = _link_fixture_pages(spark, sf_dir)
+    edges = domain_edges(extract_outlinks(pages)).persist()
+    try:
+        ranks = pagerank(edges, iterations=3)
+        return ranks.select(
+            "domain", F.round("rank", 6).alias("rank"))
+    finally:
+        edges.unpersist(blocking=False)
+
+
+_ORACLE_PAGERANK = f"""
+WITH {_SQL_LINK_EDGES},
+nodes AS (SELECT DISTINCT dom FROM (
+    SELECT src AS dom FROM e UNION SELECT dst AS dom FROM e)),
+nn AS (SELECT count(*) AS n FROM nodes),
+wt AS (SELECT src, sum(w) AS wt FROM e GROUP BY 1),
+r0 AS (SELECT dom AS domain, 1.0 / nn.n AS rank
+       FROM nodes CROSS JOIN nn),
+c1 AS (SELECT e.dst AS domain, sum(r0.rank * e.w / wt.wt) AS c
+       FROM e JOIN r0 ON e.src = r0.domain
+       JOIN wt ON e.src = wt.src GROUP BY 1),
+r1 AS (SELECT nodes.dom AS domain,
+              (1 - 0.85) / nn.n + 0.85 * COALESCE(c1.c, 0) AS rank
+       FROM nodes CROSS JOIN nn
+       LEFT JOIN c1 ON c1.domain = nodes.dom),
+c2 AS (SELECT e.dst AS domain, sum(r1.rank * e.w / wt.wt) AS c
+       FROM e JOIN r1 ON e.src = r1.domain
+       JOIN wt ON e.src = wt.src GROUP BY 1),
+r2 AS (SELECT nodes.dom AS domain,
+              (1 - 0.85) / nn.n + 0.85 * COALESCE(c2.c, 0) AS rank
+       FROM nodes CROSS JOIN nn
+       LEFT JOIN c2 ON c2.domain = nodes.dom),
+c3 AS (SELECT e.dst AS domain, sum(r2.rank * e.w / wt.wt) AS c
+       FROM e JOIN r2 ON e.src = r2.domain
+       JOIN wt ON e.src = wt.src GROUP BY 1),
+r3 AS (SELECT nodes.dom AS domain,
+              (1 - 0.85) / nn.n + 0.85 * COALESCE(c3.c, 0) AS rank
+       FROM nodes CROSS JOIN nn
+       LEFT JOIN c3 ON c3.domain = nodes.dom)
+SELECT domain, round(rank, 6) AS rank FROM r3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_roundtrip": q_extract_html_roundtrip,
@@ -3038,6 +3151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charlm_cross_entropy": q_charlm_cross_entropy,
         "temperature_mix_sample": q_temperature_mix,
         "nb_quality_classifier": q_nb_quality_classifier,
+        "domain_link_graph": q_domain_link_graph,
+        "link_pagerank": q_link_pagerank,
     }
 
 
@@ -3120,4 +3235,6 @@ def oracle_sql() -> dict[str, str]:
         "charlm_cross_entropy": _ORACLE_CHARLM,
         "temperature_mix_sample": _ORACLE_TEMPERATURE,
         "nb_quality_classifier": _ORACLE_NB,
+        "domain_link_graph": _ORACLE_LINK_GRAPH,
+        "link_pagerank": _ORACLE_PAGERANK,
     }

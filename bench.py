@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "charlm_cross_entropy",
     "temperature_mix_sample",
     "nb_quality_classifier",
+    "domain_link_graph",
+    "link_pagerank",
 ]
 
 

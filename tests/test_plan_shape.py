@@ -127,7 +127,13 @@ def test_round3_operator_plan_budgets(spark):
         "jsonl_shard_plan": (0, 0),
         "charlm_cross_entropy": (3, 0),
         "temperature_mix_sample": (0, 0),
-        "nb_quality_classifier": (4, 0),
+        # 5 = training lineage (printed through the cached weight
+        # scan) + the one scoring groupBy; only 2 touch the corpus
+        "nb_quality_classifier": (5, 0),
+        "domain_link_graph": (1, 0),
+        # iterations run at build time over dim tables; the returned
+        # plan is a checkpoint scan
+        "link_pagerank": (0, 0),
     }
     qs = em.queries()
     for name, (max_ex, max_py) in budgets.items():
