@@ -2979,7 +2979,8 @@ def _link_fixture_pages(spark, sf_dir):
             lambda k: F.concat(
                 F.lit('<a href="http://site'),
                 ((F.col("doc_id") * 7 + k) % 40).cast("string"),
-                F.lit('.example.com/page">x</a>'))), ""))
+                F.lit('.example.com/page">link '),
+                k.cast("string"), F.lit("</a>"))), ""))
     return d.select(own.alias("url"), html.alias("html_text"))
 
 
@@ -2996,6 +2997,40 @@ all_links AS (
   SELECT src, dst FROM abs_links
   UNION ALL SELECT src, src AS dst FROM d),
 e AS (SELECT src, dst, count(*) AS w FROM all_links GROUP BY 1, 2)
+"""
+
+
+def q_anchor_text_index(spark, sf_dir):
+    """Anchor-text profile per target domain (the weak-supervision
+    label signal a crawl carries for free): (href, anchor) pairs
+    extracted positionally from two aligned regexp_extract_all group
+    lists (pure Column, zero shuffle), then one domain-bounded
+    groupBy — counts, distinct anchors, lexicographic-min
+    representative."""
+    from document_extractor_spark.operators.linkgraph import (
+        anchor_text_index, extract_anchors)
+
+    pages = _link_fixture_pages(spark, sf_dir)
+    return anchor_text_index(extract_anchors(pages))
+
+
+_ORACLE_ANCHORS = """
+WITH d AS (SELECT doc_id,
+                  'site' || CAST(doc_id % 40 AS VARCHAR)
+                      || '.example.com' AS src
+           FROM documents),
+abs_a AS (
+  SELECT 'site' || CAST((doc_id * 7 + k) % 40 AS VARCHAR)
+             || '.example.com' AS dst,
+         'link ' || CAST(k AS VARCHAR) AS anchor
+  FROM documents,
+       unnest(range(1, CAST(doc_id % 4 AS BIGINT) + 2)) AS t(k)),
+rel_a AS (SELECT src AS dst, 'a' AS anchor FROM d)
+SELECT dst AS dst_domain, count(*) AS n_anchors,
+       CAST(count(DISTINCT anchor) AS BIGINT) AS n_distinct_anchors,
+       min(anchor) AS top_anchor
+FROM (SELECT * FROM abs_a UNION ALL SELECT * FROM rel_a)
+GROUP BY 1
 """
 
 
@@ -3153,6 +3188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_quality_classifier": q_nb_quality_classifier,
         "domain_link_graph": q_domain_link_graph,
         "link_pagerank": q_link_pagerank,
+        "anchor_text_index": q_anchor_text_index,
     }
 
 
@@ -3237,4 +3273,5 @@ def oracle_sql() -> dict[str, str]:
         "nb_quality_classifier": _ORACLE_NB,
         "domain_link_graph": _ORACLE_LINK_GRAPH,
         "link_pagerank": _ORACLE_PAGERANK,
+        "anchor_text_index": _ORACLE_ANCHORS,
     }

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "nb_quality_classifier",
     "domain_link_graph",
     "link_pagerank",
+    "anchor_text_index",
 ]
 
 

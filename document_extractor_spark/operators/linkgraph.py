@@ -174,3 +174,53 @@ def pagerank(edges: DataFrame, iterations: int = 3,
             out_w.unpersist(blocking=False)
         except NameError:
             pass
+
+
+ANCHOR_PATTERN = r'href="([^"]*)"[^>]*>([^<]*)<'
+
+
+def extract_anchors(pages: DataFrame, url_col: str = "url",
+                    html_col: str = "html_text") -> DataFrame:
+    """`(url, href, anchor)` — href plus its anchor text, per `<a>`
+    occurrence. Anchor text is the label the linking page assigns
+    the target — a classic weak-supervision signal for training
+    data (title/summary pairs) and for target-domain reputation.
+
+    Pure Column: `regexp_extract_all` is evaluated once per capture
+    group over the SAME pattern, and the two aligned match lists are
+    zipped — Spark's extract_all returns one group at a time, but
+    both calls see identical match boundaries, so pairing by
+    position is exact (the DuckDB twin does the same). Zero shuffle.
+    """
+    pairs = F.arrays_zip(
+        F.expr(f"regexp_extract_all({html_col}, "
+               f"'{ANCHOR_PATTERN}', 1)").alias("href"),
+        F.expr(f"regexp_extract_all({html_col}, "
+               f"'{ANCHOR_PATTERN}', 2)").alias("anchor"))
+    return (
+        pages.select(F.col(url_col).alias("url"),
+                     F.explode(pairs).alias("p"))
+        .select("url", F.col("p.href").alias("href"),
+                F.col("p.anchor").alias("anchor"))
+    )
+
+
+def anchor_text_index(anchors: DataFrame) -> DataFrame:
+    """`(dst_domain, n_anchors, n_distinct_anchors, top_anchor)` —
+    the anchor-text profile per target domain. `top_anchor` is the
+    lexicographic min (a deterministic representative, engine-
+    portable; a frequency argmax would need a second shuffle).
+    Relative hrefs resolve to the source's own domain. One shuffle
+    over the anchor rows; output is domain-bounded."""
+    src = _host_of(F.col("url"))
+    dst = F.coalesce(_host_of(F.col("href")), src)
+    return (
+        anchors
+        .filter((F.col("href") != "") & ~F.col("href").startswith("#"))
+        .select(dst.alias("dst_domain"), "anchor")
+        .filter(F.col("dst_domain").isNotNull())
+        .groupBy("dst_domain")
+        .agg(F.count("*").alias("n_anchors"),
+             F.countDistinct("anchor").alias("n_distinct_anchors"),
+             F.min("anchor").alias("top_anchor"))
+    )

@@ -91,3 +91,25 @@ def test_pagerank_empty_edges(spark):
     edges = spark.createDataFrame(
         [], "src_domain string, dst_domain string, n_links long")
     assert pagerank(edges, iterations=1).count() == 0
+
+
+def test_extract_anchors_positional_pairing(spark):
+    from document_extractor_spark.operators.linkgraph import (
+        anchor_text_index, extract_anchors)
+
+    pages = spark.createDataFrame(
+        [("http://a.example.com/p",
+          '<a href="http://b.example.com/1">first</a>'
+          '<a class="x" href="http://b.example.com/2">second</a>'
+          '<a href="/rel">third</a>')],
+        "url string, html_text string")
+    got = {(r.href, r.anchor) for r in extract_anchors(pages).collect()}
+    assert got == {("http://b.example.com/1", "first"),
+                   ("http://b.example.com/2", "second"),
+                   ("/rel", "third")}
+    idx = {r.dst_domain: r for r in
+           anchor_text_index(extract_anchors(pages)).collect()}
+    assert idx["b.example.com"].n_anchors == 2
+    assert idx["b.example.com"].n_distinct_anchors == 2
+    assert idx["b.example.com"].top_anchor == "first"
+    assert idx["a.example.com"].top_anchor == "third"  # rel -> self

@@ -131,6 +131,9 @@ def test_round3_operator_plan_budgets(spark):
         # scan) + the one scoring groupBy; only 2 touch the corpus
         "nb_quality_classifier": (5, 0),
         "domain_link_graph": (1, 0),
+        # 2: count(DISTINCT anchor) pays the standard two-phase
+        # distinct-aggregate exchange on the domain-bounded rows
+        "anchor_text_index": (2, 0),
         # iterations run at build time over dim tables; the returned
         # plan is a checkpoint scan
         "link_pagerank": (0, 0),
