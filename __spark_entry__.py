@@ -49,19 +49,24 @@ def _ratio():
 # ===========================================================================
 # flagship: HTML wrap -> full extraction pipeline -> byte-identical text
 # ===========================================================================
-def _wrap_documents_as_pages(docs: DataFrame) -> DataFrame:
-    """Render each document into boilerplate-laden HTML, JVM-side."""
-    html = F.concat(
+def _boilerplate_html(text_col) -> F.Column:
+    """Boilerplate-laden HTML around `text_col`, JVM-side."""
+    return F.concat(
         F.lit(
             "<!DOCTYPE html>\n<html><head><title>Doc | Site</title></head>\n"
             "<body>\n<nav><ul><li><a href=\"/\">Home</a></li>"
             "<li><a href=\"/about\">About us page</a></li></ul></nav>\n"
             "<main><article>\n<p>"),
-        F.col("text"),
+        text_col,
         F.lit(
             "</p>\n</article></main>\n<footer><p>Copyright 2026 Example "
             "Corp. All rights reserved.</p></footer>\n</body></html>"),
     )
+
+
+def _wrap_documents_as_pages(docs: DataFrame) -> DataFrame:
+    """Render each document into boilerplate-laden HTML, JVM-side."""
+    html = _boilerplate_html(F.col("text"))
     return docs.select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
         .alias("url"),
@@ -3109,6 +3114,76 @@ SELECT domain, round(rank, 6) AS rank FROM r3
 """
 
 
+def q_crawl_to_corpus(spark, sf_dir):
+    """The full crawl→corpus capstone in one query: docs rendered to
+    boilerplate HTML (JVM), packed into per-record-gzip WARC files
+    (distributed), parsed back by the from-scratch WARC reader, 404
+    records dropped, the survivors run through the REAL extraction
+    pipeline (sniff → DOM block scoring → gate), and each extracted
+    doc annotated with its training-corpus decision: token count,
+    quality score, keep verdict, and JSONL shard. The oracle
+    recomputes every field from `documents` arithmetically — the
+    Spark side must survive WARC serialization, parsing, AND
+    byte-exact boilerplate stripping to match."""
+    from document_extractor_spark.config import PipelineConfig
+    from document_extractor_spark.operators.warc_source import (
+        docs_to_warc_blobs, warc_records)
+    from document_extractor_spark.pipeline import run_extraction
+
+    d = _docs(spark, sf_dir)
+    payload_docs = d.select(
+        "doc_id",
+        F.encode(_boilerplate_html(F.col("text")), "UTF-8")
+        .alias("payload"))
+    blobs = docs_to_warc_blobs(
+        payload_docs, n_files=8, payload_col="payload",
+        content_type="text/html; charset=utf-8")
+    pages = (
+        warc_records(blobs)
+        .filter(F.col("error").isNull()
+                & (F.col("warc_type") == "response")
+                & (F.col("http_status") == 200))
+        .select(
+            "url",
+            F.to_timestamp(F.col("warc_date"),
+                           "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
+            F.col("payload").alias("html"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("lang")))
+    res = run_extraction(spark, pages, PipelineConfig())
+    q = TS.quality_score(F.col("text"))
+    shard = (F.conv(F.substring(F.md5("url"), 1, 4), 16, 10)
+             .cast("long") % 8).cast("int")
+    return res.extracted.select(
+        "url",
+        F.size(DD.tokens_col("text")).cast("long").alias("n_tokens"),
+        q.alias("quality"),
+        (q >= 0.7).alias("kept"),
+        shard.alias("shard"),
+        F.md5("text").alias("text_md5"))
+
+
+_ORACLE_CRAWL_CORPUS = f"""
+WITH src AS (
+  SELECT doc_id,
+         'http://site' || CAST(doc_id % 40 AS VARCHAR)
+             || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+  FROM documents
+  WHERE doc_id % 13 <> 0)
+SELECT url,
+       CAST(len(list_filter(
+           string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
+           t -> t <> '')) AS BIGINT) AS n_tokens,
+       {_SQL_QUALITY} AS quality,
+       ({_SQL_QUALITY}) >= 0.7 AS kept,
+       CAST(('0x' || substr(md5(url), 1, 4))::BIGINT % 8 AS INT)
+           AS shard,
+       md5(text) AS text_md5
+FROM src
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_roundtrip": q_extract_html_roundtrip,
@@ -3189,6 +3264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_link_graph": q_domain_link_graph,
         "link_pagerank": q_link_pagerank,
         "anchor_text_index": q_anchor_text_index,
+        "crawl_to_corpus": q_crawl_to_corpus,
     }
 
 
@@ -3274,4 +3350,5 @@ def oracle_sql() -> dict[str, str]:
         "domain_link_graph": _ORACLE_LINK_GRAPH,
         "link_pagerank": _ORACLE_PAGERANK,
         "anchor_text_index": _ORACLE_ANCHORS,
+        "crawl_to_corpus": _ORACLE_CRAWL_CORPUS,
     }

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "domain_link_graph",
     "link_pagerank",
     "anchor_text_index",
+    "crawl_to_corpus",
 ]
 
 

@@ -74,18 +74,25 @@ def _explode_kernel(
             yield pd.DataFrame(rows, columns=cols)
 
 
-def docs_to_warc_blobs(docs: DataFrame, n_files: int = 8) -> DataFrame:
+def docs_to_warc_blobs(docs: DataFrame, n_files: int = 8,
+                       payload_col: str | None = None,
+                       content_type: str = "text/plain; charset=utf-8",
+                       ) -> DataFrame:
     """Deterministically pack `documents(doc_id, text)` into synthetic
     WARC files: `(warc_id long, warc binary)`, one gzip member per
     record (the Common Crawl layout).
 
     Fixture synthesis for tests and the driver oracle — every field
     is a pure function of ``doc_id`` (uri, capture date, HTTP status)
-    or of ``text`` (payload), so a SQL oracle can recompute the
-    expected parse output arithmetically without ever seeing the
-    bytes; the Spark side must round-trip through the real
-    serializer AND the real parser to match it. Distributed build
-    (``applyInPandas`` per warc_id group), no driver collection.
+    or of the payload, so a SQL oracle can recompute the expected
+    parse output arithmetically without ever seeing the bytes; the
+    Spark side must round-trip through the real serializer AND the
+    real parser to match it. Distributed build (``applyInPandas``
+    per warc_id group), no driver collection.
+
+    ``payload_col`` names a BINARY column to carry as the HTTP body
+    (e.g. pre-rendered HTML for a full crawl→extraction fixture);
+    default is the utf-8 bytes of ``text``.
     """
     from ..functions.warc_mini import build_response_record, build_warc
 
@@ -98,16 +105,20 @@ def docs_to_warc_blobs(docs: DataFrame, n_files: int = 8) -> DataFrame:
                 datetime(2026, 1, 1) + timedelta(minutes=doc_id)
             ).strftime("%Y-%m-%dT%H:%M:%SZ")
             status = 404 if doc_id % 13 == 0 else 200
-            payload = (r.text or "").encode("utf-8")
+            if payload_col is not None:
+                payload = bytes(getattr(r, payload_col) or b"")
+            else:
+                payload = (r.text or "").encode("utf-8")
             recs.append(build_response_record(
                 uri, date, payload, http_status=status,
-                http_content_type="text/plain; charset=utf-8"))
+                http_content_type=content_type))
         return pd.DataFrame(
             {"warc_id": [int(key[0])],
              "warc": [build_warc(recs, per_record_gzip=True)]})
 
+    carry = payload_col if payload_col is not None else "text"
     return (
-        docs.select("doc_id", "text",
+        docs.select("doc_id", carry,
                     (F.col("doc_id") % n_files).alias("warc_id"))
         .groupBy("warc_id")
         .applyInPandas(_pack, "warc_id long, warc binary")

@@ -134,6 +134,10 @@ def test_round3_operator_plan_budgets(spark):
         # 2: count(DISTINCT anchor) pays the standard two-phase
         # distinct-aggregate exchange on the domain-bounded rows
         "anchor_text_index": (2, 0),
+        # 3 Arrow stages = WARC pack (fixture-only) + WARC parse +
+        # the ONE extraction kernel; 2 exchanges = pack grouping +
+        # the pipeline's url-hash bucketing
+        "crawl_to_corpus": (2, 3),
         # iterations run at build time over dim tables; the returned
         # plan is a checkpoint scan
         "link_pagerank": (0, 0),
