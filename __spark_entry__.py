@@ -3184,6 +3184,80 @@ FROM src
 """
 
 
+def q_robots_filter(spark, sf_dir):
+    """Crawl-politeness filter (RFC 9309): deterministic robots.txt
+    bodies are synthesized per site (JVM concat), parsed by the REAL
+    from-scratch parser into a rules table, and the corpus URL set is
+    filtered by longest-prefix match (tie → Allow, $-anchor exact,
+    unlisted domain allowed) with ZERO corpus shuffles — one
+    broadcast of the per-domain rule arrays, decision as a per-row
+    JVM aggregate. The oracle evaluates the same match semantics
+    over directly-generated rule rows, so the parser must agree with
+    the spec to pass."""
+    from document_extractor_spark.functions.robots import (
+        filter_allowed, robots_rules_table)
+
+    s = F.col("id")
+    rules_part = F.concat(
+        F.when(s % 5 == 0,
+               F.lit("Disallow: /doc/\nAllow: /doc/1\n"))
+        .otherwise(F.lit("")),
+        F.when(s % 7 == 0,
+               F.concat(F.lit("Disallow: /doc/"), s.cast("string"),
+                        F.lit("$\n")))
+        .otherwise(F.lit("")))
+    robots = spark.range(40).select(
+        F.concat(F.lit("site"), s.cast("string"),
+                 F.lit(".example.com")).alias("domain"),
+        F.when(F.length(rules_part) > 0,
+               F.concat(F.lit("User-agent: *\n"), rules_part))
+        .otherwise(F.lit("")).alias("robots_txt"))
+    urls = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("http://site"),
+                 (F.col("doc_id") % 40).cast("string"),
+                 F.lit(".example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    return filter_allowed(urls, robots_rules_table(robots))
+
+
+_ORACLE_ROBOTS = """
+WITH sites AS (SELECT CAST(g AS BIGINT) AS s FROM range(0, 40) t(g)),
+rules AS (
+  SELECT 'site' || CAST(s AS VARCHAR) || '.example.com' AS domain,
+         '/doc/' AS prefix, false AS allow
+  FROM sites WHERE s % 5 = 0
+  UNION ALL
+  SELECT 'site' || CAST(s AS VARCHAR) || '.example.com',
+         '/doc/1', true
+  FROM sites WHERE s % 5 = 0
+  UNION ALL
+  SELECT 'site' || CAST(s AS VARCHAR) || '.example.com',
+         '/doc/' || CAST(s AS VARCHAR) || '$', false
+  FROM sites WHERE s % 7 = 0),
+urls AS (
+  SELECT doc_id,
+         'http://site' || CAST(doc_id % 40 AS VARCHAR)
+             || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         'site' || CAST(doc_id % 40 AS VARCHAR) || '.example.com'
+             AS dom,
+         '/doc/' || CAST(doc_id AS VARCHAR) AS path
+  FROM documents),
+m AS (
+  SELECT u.doc_id, u.url,
+         max(CASE WHEN (CASE WHEN r.prefix LIKE '%$'
+                        THEN u.path = substr(r.prefix, 1,
+                                             len(r.prefix) - 1)
+                        ELSE starts_with(u.path, r.prefix) END)
+             THEN len(r.prefix) * 2 + CAST(r.allow AS INT)
+             ELSE -1 END) AS best
+  FROM urls u LEFT JOIN rules r ON u.dom = r.domain
+  GROUP BY 1, 2)
+SELECT doc_id, url FROM m
+WHERE best IS NULL OR best < 0 OR best % 2 = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_roundtrip": q_extract_html_roundtrip,
@@ -3265,6 +3339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": q_link_pagerank,
         "anchor_text_index": q_anchor_text_index,
         "crawl_to_corpus": q_crawl_to_corpus,
+        "robots_filter": q_robots_filter,
     }
 
 
@@ -3351,4 +3426,5 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": _ORACLE_PAGERANK,
         "anchor_text_index": _ORACLE_ANCHORS,
         "crawl_to_corpus": _ORACLE_CRAWL_CORPUS,
+        "robots_filter": _ORACLE_ROBOTS,
     }

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "link_pagerank",
     "anchor_text_index",
     "crawl_to_corpus",
+    "robots_filter",
 ]
 
 

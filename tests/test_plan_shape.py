@@ -138,6 +138,9 @@ def test_round3_operator_plan_budgets(spark):
         # the ONE extraction kernel; 2 exchanges = pack grouping +
         # the pipeline's url-hash bucketing
         "crawl_to_corpus": (2, 3),
+        # 1 = the dim-side rules groupBy; the corpus side is
+        # shuffle-free (broadcast rule arrays + per-row aggregate)
+        "robots_filter": (1, 1),
         # iterations run at build time over dim tables; the returned
         # plan is a checkpoint scan
         "link_pagerank": (0, 0),

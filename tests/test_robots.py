@@ -1,0 +1,95 @@
+"""robots.txt parsing + politeness filtering (RFC 9309 subset)."""
+from __future__ import annotations
+
+from document_extractor_spark.functions.robots import (
+    filter_allowed,
+    parse_robots,
+    robots_rules_table,
+)
+
+_BODY = """
+# comment line
+User-agent: googlebot
+Disallow: /private/
+
+User-agent: *
+Disallow: /tmp/
+Allow: /tmp/public/
+Disallow: /exact$
+Disallow: /wild*/deep
+Disallow:
+Unknown-directive: ignored
+"""
+
+
+class TestParse:
+    def test_star_group_and_agent_fallback(self):
+        star = parse_robots(_BODY, "*")
+        assert ("/tmp/", False) in star
+        assert ("/tmp/public/", True) in star
+        # agent with its own group gets ONLY that group
+        goog = parse_robots(_BODY, "googlebot")
+        assert goog == [("/private/", False)]
+        # unknown agent falls back to *
+        assert parse_robots(_BODY, "mybot") == star
+
+    def test_wildcard_conservative_prefix(self):
+        star = parse_robots(_BODY, "*")
+        assert ("/wild", False) in star  # cut at the first '*'
+
+    def test_empty_disallow_and_garbage(self):
+        assert parse_robots("", "*") == []
+        assert parse_robots(None, "*") == []
+        assert parse_robots("random garbage\nno colons here", "*") == []
+        assert parse_robots("Disallow: /orphan\n", "*") == []  # no UA
+
+    def test_consecutive_user_agents_share_group(self):
+        body = "User-agent: a\nUser-agent: b\nDisallow: /x\n"
+        assert parse_robots(body, "a") == [("/x", False)]
+        assert parse_robots(body, "b") == [("/x", False)]
+
+
+class TestSparkFilter:
+    def _rules(self, spark):
+        robots = spark.createDataFrame(
+            [("site.example.com", _BODY),
+             ("open.example.com", "")],
+            "domain string, robots_txt string")
+        return robots_rules_table(robots, agent="*")
+
+    def test_longest_match_and_anchors(self, spark):
+        urls = spark.createDataFrame(
+            [("http://site.example.com/tmp/secret",),      # disallow
+             ("http://site.example.com/tmp/public/x",),    # allow (longer)
+             ("http://site.example.com/exact",),           # $ exact: block
+             ("http://site.example.com/exactly",),         # not exact: ok
+             ("http://site.example.com/wildcard/deep",),   # prefix cut
+             ("http://site.example.com/",),                # no match
+             ("http://open.example.com/anything",),        # empty robots
+             ("http://unlisted.example.com/x",)],          # unlisted
+            "url string")
+        kept = {r.url for r in
+                filter_allowed(urls, self._rules(spark)).collect()}
+        assert kept == {
+            "http://site.example.com/tmp/public/x",
+            "http://site.example.com/exactly",
+            "http://site.example.com/",
+            "http://open.example.com/anything",
+            "http://unlisted.example.com/x",
+        }
+
+    def test_no_corpus_shuffle_and_no_row_collapse(self, spark):
+        urls = spark.createDataFrame(
+            [("http://unlisted.example.com/x", 1),
+             ("http://unlisted.example.com/x", 2)],  # duplicate url
+            "url string, payload int")
+        out = filter_allowed(urls, self._rules(spark))
+        assert out.count() == 2  # duplicates survive (no groupBy)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # corpus side: zero hash/range exchanges (the rules groupBy is
+        # on the dim side of the broadcast)
+        import re
+        corpus_exchanges = len(re.findall(
+            r"Exchange (hash|range)partitioning", plan))
+        assert corpus_exchanges <= 1  # only the dim-side rules groupBy
+        assert "BroadcastHashJoin" in plan
