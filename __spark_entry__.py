@@ -3258,6 +3258,20 @@ WHERE best IS NULL OR best < 0 OR best % 2 = 1
 """
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (gear-hash boundaries that survive
+    edits — the chunk-level dedup enabler across crawl snapshots).
+    Rows-only by design: a 64-term rolling hash + greedy boundary
+    enforcement is not reasonably SQL-expressible (same class as the
+    HLL sketch internals); correctness is pinned in tests/test_cdc.py
+    by an independent gear-recurrence reference, reconstruction and
+    bounds invariants, and the boundary-resync property test."""
+    from document_extractor_spark.operators.cdc import cdc_chunks
+
+    return cdc_chunks(_docs(spark, sf_dir),
+                      min_size=16, avg_size=64, max_size=256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_roundtrip": q_extract_html_roundtrip,
@@ -3340,6 +3354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_index": q_anchor_text_index,
         "crawl_to_corpus": q_crawl_to_corpus,
         "robots_filter": q_robots_filter,
+        "cdc_chunks": q_cdc_chunks,
     }
 
 

@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "anchor_text_index",
     "crawl_to_corpus",
     "robots_filter",
+    "cdc_chunks",
 ]
 
 

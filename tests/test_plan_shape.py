@@ -141,6 +141,7 @@ def test_round3_operator_plan_budgets(spark):
         # 1 = the dim-side rules groupBy; the corpus side is
         # shuffle-free (broadcast rule arrays + per-row aggregate)
         "robots_filter": (1, 1),
+        "cdc_chunks": (0, 1),
         # iterations run at build time over dim tables; the returned
         # plan is a checkpoint scan
         "link_pagerank": (0, 0),
