@@ -3066,8 +3066,11 @@ def q_link_pagerank(spark, sf_dir):
     standard damping + dangling-mass redistribution. Each iteration
     is one edge⋈rank join + one groupBy on the DIM-SIZED domain
     graph (never the corpus); lineage cut via localCheckpoint. The
-    oracle unrolls the same three iterations expression-for-
-    expression; ranks compared at 6 dp."""
+    oracle unrolls the same three iterations (incl. the dangling
+    term) expression-for-expression; ranks compared at 6 dp — the
+    same accepted float-comparison class as charlm's 4 dp bits (a
+    value within ~1e-15 of a rounding boundary could in principle
+    round apart; probability ~1e-9 per value)."""
     from document_extractor_spark.operators.linkgraph import (
         domain_edges, extract_outlinks, pagerank)
 
@@ -3089,26 +3092,35 @@ nn AS (SELECT count(*) AS n FROM nodes),
 wt AS (SELECT src, sum(w) AS wt FROM e GROUP BY 1),
 r0 AS (SELECT dom AS domain, 1.0 / nn.n AS rank
        FROM nodes CROSS JOIN nn),
+d1 AS (SELECT COALESCE(sum(rank), 0) AS m FROM r0
+       WHERE domain NOT IN (SELECT src FROM wt)),
 c1 AS (SELECT e.dst AS domain, sum(r0.rank * e.w / wt.wt) AS c
        FROM e JOIN r0 ON e.src = r0.domain
        JOIN wt ON e.src = wt.src GROUP BY 1),
 r1 AS (SELECT nodes.dom AS domain,
-              (1 - 0.85) / nn.n + 0.85 * COALESCE(c1.c, 0) AS rank
-       FROM nodes CROSS JOIN nn
+              ((1 - 0.85) / nn.n + 0.85 * d1.m / nn.n)
+                  + 0.85 * COALESCE(c1.c, 0) AS rank
+       FROM nodes CROSS JOIN nn CROSS JOIN d1
        LEFT JOIN c1 ON c1.domain = nodes.dom),
+d2 AS (SELECT COALESCE(sum(rank), 0) AS m FROM r1
+       WHERE domain NOT IN (SELECT src FROM wt)),
 c2 AS (SELECT e.dst AS domain, sum(r1.rank * e.w / wt.wt) AS c
        FROM e JOIN r1 ON e.src = r1.domain
        JOIN wt ON e.src = wt.src GROUP BY 1),
 r2 AS (SELECT nodes.dom AS domain,
-              (1 - 0.85) / nn.n + 0.85 * COALESCE(c2.c, 0) AS rank
-       FROM nodes CROSS JOIN nn
+              ((1 - 0.85) / nn.n + 0.85 * d2.m / nn.n)
+                  + 0.85 * COALESCE(c2.c, 0) AS rank
+       FROM nodes CROSS JOIN nn CROSS JOIN d2
        LEFT JOIN c2 ON c2.domain = nodes.dom),
+d3 AS (SELECT COALESCE(sum(rank), 0) AS m FROM r2
+       WHERE domain NOT IN (SELECT src FROM wt)),
 c3 AS (SELECT e.dst AS domain, sum(r2.rank * e.w / wt.wt) AS c
        FROM e JOIN r2 ON e.src = r2.domain
        JOIN wt ON e.src = wt.src GROUP BY 1),
 r3 AS (SELECT nodes.dom AS domain,
-              (1 - 0.85) / nn.n + 0.85 * COALESCE(c3.c, 0) AS rank
-       FROM nodes CROSS JOIN nn
+              ((1 - 0.85) / nn.n + 0.85 * d3.m / nn.n)
+                  + 0.85 * COALESCE(c3.c, 0) AS rank
+       FROM nodes CROSS JOIN nn CROSS JOIN d3
        LEFT JOIN c3 ON c3.domain = nodes.dom)
 SELECT domain, round(rank, 6) AS rank FROM r3
 """
@@ -3125,9 +3137,10 @@ def q_crawl_to_corpus(spark, sf_dir):
     recomputes every field from `documents` arithmetically — the
     Spark side must survive WARC serialization, parsing, AND
     byte-exact boilerplate stripping to match."""
+    from document_extractor_spark.artifacts import md5_shard
     from document_extractor_spark.config import PipelineConfig
     from document_extractor_spark.operators.warc_source import (
-        docs_to_warc_blobs, warc_records)
+        docs_to_warc_blobs, warc_pages)
     from document_extractor_spark.pipeline import run_extraction
 
     d = _docs(spark, sf_dir)
@@ -3138,22 +3151,10 @@ def q_crawl_to_corpus(spark, sf_dir):
     blobs = docs_to_warc_blobs(
         payload_docs, n_files=8, payload_col="payload",
         content_type="text/html; charset=utf-8")
-    pages = (
-        warc_records(blobs)
-        .filter(F.col("error").isNull()
-                & (F.col("warc_type") == "response")
-                & (F.col("http_status") == 200))
-        .select(
-            "url",
-            F.to_timestamp(F.col("warc_date"),
-                           "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
-            F.col("payload").alias("html"),
-            F.lit(None).cast("string").alias("text"),
-            F.lit(None).cast("string").alias("lang")))
+    pages = warc_pages(blobs, require_status=200)
     res = run_extraction(spark, pages, PipelineConfig())
     q = TS.quality_score(F.col("text"))
-    shard = (F.conv(F.substring(F.md5("url"), 1, 4), 16, 10)
-             .cast("long") % 8).cast("int")
+    shard = md5_shard("url", 8)
     return res.extracted.select(
         "url",
         F.size(DD.tokens_col("text")).cast("long").alias("n_tokens"),

@@ -198,6 +198,16 @@ def write_chunks(chunked: DataFrame, out_dir: str) -> None:
 # fixed shard count, one .jsonl file per shard, standards-compliant
 # JSON lines — what tokenizer/training jobs downstream consume)
 # ---------------------------------------------------------------------------
+def md5_shard(key, n_shards: int) -> F.Column:
+    """The canonical shard expression: first 16 md5 bits of the key,
+    mod n_shards — the one lattice every shard assignment in this
+    repo uses (jsonl_shard_lines derives the same value from its
+    single hash evaluation)."""
+    k = F.col(key) if isinstance(key, str) else key
+    return (F.conv(F.substring(F.md5(k.cast("string")), 1, 4), 16, 10)
+            .cast("long") % n_shards).cast("int")
+
+
 def jsonl_shard_lines(
     docs: DataFrame,
     key_col: str = "doc_id",

@@ -81,14 +81,21 @@ def parse_robots(body: str | None, agent: str = "*") -> list[tuple[str, bool]]:
             rules_of_open.append((prefix, key == "allow"))
         else:
             expecting_ua = False
+    # RFC 9309 §2.2.1: ALL groups matching the agent are combined —
+    # real robots.txt files routinely repeat `User-agent: *` blocks,
+    # and returning only the first would silently drop the later
+    # rules (erring toward crawling disallowed paths)
     agent = agent.lower()
-    fallback: list[tuple[str, bool]] = []
+    own: list[tuple[str, bool]] = []
+    star: list[tuple[str, bool]] = []
     for agents, rules in groups:
-        if agent in agents:
-            return rules
-        if "*" in agents and not fallback:
-            fallback = rules
-    return fallback
+        if agent != "*" and agent in agents:
+            own.extend(rules)
+        if "*" in agents:
+            star.extend(rules)
+    if agent != "*" and own:
+        return own
+    return star
 
 
 def _rules_kernel(agent: str):
@@ -123,14 +130,20 @@ def filter_allowed(urls: DataFrame, rules: DataFrame,
     (ties at equal length break toward Allow for free). ZERO corpus
     shuffles, no row collapsing, `$`-anchored rules match exactly.
     """
+    from .urlnorm import host_of
+
     u = F.col(url_col)
-    domain = F.lower(F.regexp_extract(
-        u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    domain = host_of(u)
     path = F.regexp_extract(
         u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^#]*)?", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    per_domain = rules.groupBy("domain").agg(
-        F.collect_list(F.struct("prefix", "allow")).alias("_rules"))
+    # hostnames are case-insensitive: normalize the rules side too,
+    # or a mixed-case domain row would match nothing and its
+    # Disallow rules would be silently ignored
+    per_domain = (
+        rules.withColumn("domain", F.lower(F.col("domain")))
+        .groupBy("domain")
+        .agg(F.collect_list(F.struct("prefix", "allow")).alias("_rules")))
     with_dom = urls.withColumn("_dom", domain).withColumn("_path", path)
     joined = with_dom.join(F.broadcast(per_domain),
                            with_dom._dom == per_domain.domain, "left")

@@ -74,3 +74,28 @@ def canonical_url_py(url: str) -> str:
     rest = re.sub(r"[?&]+$", "", rest)
     rest = re.sub(r"(.)/(\?|$)", r"\1\2", rest)
     return f"{scheme}://{host}{rest}"
+
+
+def host_of(col: Column) -> Column:
+    """Lowercased host of an absolute (`scheme://host/...`) or
+    protocol-relative (`//host/...`) URL; NULL for anything else
+    (relative paths, fragments, and scheme-without-authority links
+    like `mailto:` / `javascript:` / `tel:`).
+
+    The ONE host parser shared by the link graph, the anchor index,
+    and the robots filter — keep host semantics in a single place
+    (review finding: three drifting copies of this regex).
+    """
+    abs_host = F.regexp_extract(
+        col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    rel_host = F.regexp_extract(col, r"^//([^/?#]*)", 1)
+    return (F.when(abs_host != "", F.lower(abs_host))
+             .when(rel_host != "", F.lower(rel_host)))
+
+
+def has_opaque_scheme(col: Column) -> Column:
+    """True for hrefs with a scheme but NO authority (`mailto:x`,
+    `javascript:void(0)`, `tel:+1...`) — non-fetchable links that
+    must never resolve to the source domain."""
+    return (col.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+            & host_of(col).isNull())

@@ -57,26 +57,24 @@ def extract_outlinks(pages: DataFrame, url_col: str = "url",
     )
 
 
-def _host_of(col: F.Column) -> F.Column:
-    """Host of an absolute or protocol-relative URL, else NULL."""
-    abs_host = F.regexp_extract(
-        col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-    rel_host = F.regexp_extract(col, r"^//([^/?#]*)", 1)
-    return F.when(abs_host != "", F.lower(abs_host)) \
-            .when(rel_host != "", F.lower(rel_host))
+# the ONE shared host parser (functions/urlnorm.py) — do not fork it
+from ..functions.urlnorm import has_opaque_scheme, host_of as _host_of
 
 
 def domain_edges(outlinks: DataFrame, url_col: str = "url",
                  href_col: str = "href") -> DataFrame:
     """`(src_domain, dst_domain, n_links)` — the domain-level edge
-    list. Relative hrefs (no scheme) stay on the source domain; the
-    fragment-only/empty href is dropped. One shuffle."""
+    list. Relative hrefs (no scheme) stay on the source domain;
+    fragment-only/empty hrefs AND scheme-without-authority links
+    (`mailto:` / `javascript:` / `tel:`) are dropped — coalescing
+    those to the source would fabricate self-edges. One shuffle."""
     src = _host_of(F.col(url_col))
     dst = F.coalesce(_host_of(F.col(href_col)), src)
     return (
         outlinks
         .filter((F.col(href_col) != "")
-                & ~F.col(href_col).startswith("#"))
+                & ~F.col(href_col).startswith("#")
+                & ~has_opaque_scheme(F.col(href_col)))
         .select(src.alias("src_domain"), dst.alias("dst_domain"))
         .filter(F.col("src_domain").isNotNull())
         .groupBy("src_domain", "dst_domain")
@@ -125,8 +123,14 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     # persist them (dim-sized) so the corpus-side extraction behind
     # `edges` runs once, and cut the FINAL plan with an eager
     # checkpoint so none of the per-iteration lineage survives into
-    # the caller's plan (the internals are released before return)
-    edges = edges.persist()
+    # the caller's plan. Only caches WE created are released — a
+    # caller-persisted `edges` must come back still cached
+    # (unpersist is not a no-op the way re-persist is).
+    from pyspark import StorageLevel
+
+    own_edges = edges.storageLevel == StorageLevel.NONE
+    if own_edges:
+        edges = edges.persist()
     nodes = (
         edges.select(F.col("src_domain").alias("domain"))
         .union(edges.select(F.col("dst_domain").alias("domain")))
@@ -168,8 +172,9 @@ def pagerank(edges: DataFrame, iterations: int = 3,
                 ranks = ranks.localCheckpoint(eager=True)
         return ranks.localCheckpoint(eager=True)
     finally:
-        for df in (edges, nodes):
-            df.unpersist(blocking=False)
+        if own_edges:
+            edges.unpersist(blocking=False)
+        nodes.unpersist(blocking=False)
         try:
             out_w.unpersist(blocking=False)
         except NameError:
@@ -210,13 +215,15 @@ def anchor_text_index(anchors: DataFrame) -> DataFrame:
     the anchor-text profile per target domain. `top_anchor` is the
     lexicographic min (a deterministic representative, engine-
     portable; a frequency argmax would need a second shuffle).
-    Relative hrefs resolve to the source's own domain. One shuffle
-    over the anchor rows; output is domain-bounded."""
+    Relative hrefs resolve to the source's own domain; fragment-only
+    and scheme-without-authority (`mailto:` etc.) links are dropped.
+    One shuffle over the anchor rows; output is domain-bounded."""
     src = _host_of(F.col("url"))
     dst = F.coalesce(_host_of(F.col("href")), src)
     return (
         anchors
-        .filter((F.col("href") != "") & ~F.col("href").startswith("#"))
+        .filter((F.col("href") != "") & ~F.col("href").startswith("#")
+                & ~has_opaque_scheme(F.col("href")))
         .select(dst.alias("dst_domain"), "anchor")
         .filter(F.col("dst_domain").isNotNull())
         .groupBy("dst_domain")

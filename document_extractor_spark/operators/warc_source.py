@@ -134,21 +134,26 @@ def warc_records(warc_files: DataFrame) -> DataFrame:
     return warc_files.mapInPandas(_explode_kernel, WARC_ROWS_SCHEMA)
 
 
-def warc_pages(warc_files: DataFrame) -> DataFrame:
+def warc_pages(warc_files: DataFrame,
+               require_status: int | None = None) -> DataFrame:
     """WARC files → the pipeline's `pages` input shape.
 
     Keeps only well-formed `response` records (the reference extracts
     documents, not request/metadata records), maps the HTTP body to
     the ``html`` binary column and the WARC capture date to
     ``warc_ts``. ``lang``/``text`` start NULL — the pipeline fills
-    them.
+    them. ``require_status`` additionally keeps only records with
+    that HTTP status (e.g. 200 to drop 404/5xx captures).
     """
     recs = warc_records(warc_files)
+    keep = (F.col("error").isNull()
+            & (F.col("warc_type") == "response")
+            & F.col("url").isNotNull())
+    if require_status is not None:
+        keep = keep & (F.col("http_status") == require_status)
     return (
         recs
-        .filter(F.col("error").isNull()
-                & (F.col("warc_type") == "response")
-                & F.col("url").isNotNull())
+        .filter(keep)
         .select(
             F.col("url"),
             F.to_timestamp(

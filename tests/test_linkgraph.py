@@ -113,3 +113,43 @@ def test_extract_anchors_positional_pairing(spark):
     assert idx["b.example.com"].n_distinct_anchors == 2
     assert idx["b.example.com"].top_anchor == "first"
     assert idx["a.example.com"].top_anchor == "third"  # rel -> self
+
+
+def test_opaque_scheme_links_do_not_become_self_edges(spark):
+    from document_extractor_spark.operators.linkgraph import (
+        anchor_text_index, domain_edges, extract_outlinks)
+
+    pages = spark.createDataFrame(
+        [("http://a.example.com/p",
+          '<a href="mailto:x@y.com">contact</a>'
+          '<a href="javascript:void(0)">js</a>'
+          '<a href="tel:+15551234">call</a>'
+          '<a href="/real">real</a>')],
+        "url string, html_text string")
+    links = extract_outlinks(pages)
+    edges = {(r.src_domain, r.dst_domain): r.n_links
+             for r in domain_edges(links).collect()}
+    # only the genuine relative link survives
+    assert edges == {("a.example.com", "a.example.com"): 1}
+    idx = {r.dst_domain: r.n_anchors
+           for r in anchor_text_index(
+               __import__("document_extractor_spark.operators.linkgraph",
+                          fromlist=["extract_anchors"])
+               .extract_anchors(pages)).collect()}
+    assert idx == {"a.example.com": 1}
+
+
+def test_pagerank_preserves_caller_persisted_edges(spark):
+    from pyspark import StorageLevel
+
+    from document_extractor_spark.operators.linkgraph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1)], "src_domain string, dst_domain string, "
+                         "n_links long").persist()
+    try:
+        edges.count()
+        pagerank(edges, iterations=1)
+        assert edges.storageLevel != StorageLevel.NONE  # still cached
+    finally:
+        edges.unpersist()

@@ -93,3 +93,26 @@ class TestSparkFilter:
             r"Exchange (hash|range)partitioning", plan))
         assert corpus_exchanges <= 1  # only the dim-side rules groupBy
         assert "BroadcastHashJoin" in plan
+
+
+class TestReviewRegressions:
+    def test_multiple_star_groups_are_merged(self):
+        body = ("User-agent: *\nDisallow: /a\n\n"
+                "User-agent: *\nDisallow: /b\n")
+        rules = parse_robots(body, "*")
+        assert ("/a", False) in rules and ("/b", False) in rules
+        # an agent's own groups merge too, and exclude the * group
+        body2 = ("User-agent: bot\nDisallow: /x\n\n"
+                 "User-agent: *\nDisallow: /star\n\n"
+                 "User-agent: bot\nDisallow: /y\n")
+        own = parse_robots(body2, "bot")
+        assert set(own) == {("/x", False), ("/y", False)}
+
+    def test_mixed_case_rules_domain_still_blocks(self, spark):
+        robots = spark.createDataFrame(
+            [("Site.Example.COM", "User-agent: *\nDisallow: /\n")],
+            "domain string, robots_txt string")
+        urls = spark.createDataFrame(
+            [("http://site.example.com/x",)], "url string")
+        kept = filter_allowed(urls, robots_rules_table(robots)).count()
+        assert kept == 0
