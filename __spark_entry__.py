@@ -2860,11 +2860,13 @@ def q_charlm_cross_entropy(spark, sf_dir):
     add-1 smoothing. Gibberish scores high, fluent corpus-language
     text low."""
     from document_extractor_spark.functions.charlm import (
-        bigram_cross_entropy, corpus_bigram_lm)
+        bigram_cross_entropy)
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    lm = corpus_bigram_lm(d)
-    return bigram_cross_entropy(d, lm)
+    # self-scoring fused mode: ONE corpus pass (the LM derives from
+    # the per-(doc,bigram) pairs table), result checkpointed, cache
+    # released
+    return bigram_cross_entropy(d)
 
 
 _ORACLE_CHARLM = """
@@ -2875,13 +2877,15 @@ pairs AS (
   WHERE text IS NOT NULL AND length(text) >= 2),
 lm AS (SELECT bigram, count(*) AS c FROM pairs GROUP BY 1),
 tot AS (SELECT CAST(sum(c) + count(*) AS DOUBLE) AS denom FROM lm),
+db AS (SELECT doc_id, bigram, count(*) AS n_b
+       FROM pairs GROUP BY 1, 2),
 sc AS (
-  SELECT pairs.doc_id,
-         CAST(count(*) AS BIGINT) AS n_bigrams,
-         round(sum(-log2((lm.c + 1) / tot.denom))
-               / count(*), 4) AS bits_per_bigram
-  FROM pairs JOIN lm USING (bigram) CROSS JOIN tot
-  GROUP BY pairs.doc_id)
+  SELECT db.doc_id,
+         CAST(sum(db.n_b) AS BIGINT) AS n_bigrams,
+         round(sum(db.n_b * -log2((lm.c + 1) / tot.denom))
+               / sum(db.n_b), 4) AS bits_per_bigram
+  FROM db JOIN lm USING (bigram) CROSS JOIN tot
+  GROUP BY db.doc_id)
 SELECT b.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
        sc.bits_per_bigram
 FROM base b LEFT JOIN sc USING (doc_id)

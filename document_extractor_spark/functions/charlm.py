@@ -63,48 +63,70 @@ def corpus_bigram_lm(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def bigram_cross_entropy(
     docs: DataFrame,
-    lm: DataFrame,
+    lm: DataFrame | None = None,
     key_col: str = "doc_id",
     text_col: str = "text",
     round_dp: int = 4,
+    checkpoint_result: bool = True,
 ) -> DataFrame:
-    """Pass 2: per-doc cross-entropy in bits/bigram under `lm`.
+    """Per-doc cross-entropy in bits/bigram:
+    `(key_col, n_bigrams, bits_per_bigram)`.
 
-    `(key_col, n_bigrams, bits_per_bigram)`. Laplace add-1 smoothing
-    over the observed vocab V: p(b) = (c_b + 1) / (N + V). Docs with
-    no bigrams (empty/NULL text) come back with n_bigrams=0 and NULL
-    bits. The LM join is an explicit broadcast — the corpus never
-    reshuffles on bigram; the only wide exchange is the per-doc
-    groupBy, which reuses the extraction pipeline's doc partitioning.
+    Laplace add-1 smoothing over the observed vocab V:
+    p(b) = (c_b + 1) / (N + V). Docs with no bigrams (empty/NULL
+    text) come back with n_bigrams=0 and NULL bits.
+
+    Two modes:
+
+    - ``lm=None`` (self-scoring, the common corpus-filter case):
+      ONE pass over the corpus — explode bigrams, aggregate
+      per-(doc, bigram) counts, and derive the LM from that SAME
+      pairs table (it is docs×vocab-bounded, orders smaller than the
+      occurrence stream), then broadcast-join the driver-local LM
+      back onto the cached pairs. With ``checkpoint_result`` the
+      small per-doc result is materialized eagerly and the pairs
+      cache is released before returning — no session-lifetime cache
+      leak, no second corpus scan. (At 10^12 docs pass
+      ``checkpoint_result=False`` and manage the write yourself —
+      localCheckpoint would spill the full result to local disk.)
+    - explicit ``lm`` (cross-corpus: score probe docs under a model
+      estimated elsewhere): the LM is collected (charset^2-bounded)
+      and broadcast; the probe corpus is exploded once.
     """
-    # the LM is consumed twice (totals scalar + broadcast join) and
-    # is charset^2-bounded: collect it ONCE and rebuild a
-    # driver-local frame, so the corpus-wide bigram explode behind
-    # it runs exactly one time and nothing stays persisted for the
-    # session lifetime (a .persist() here leaked a cached table per
-    # invocation in long-lived bench/driver sessions)
-    lm_rows = [(r.bigram, int(r.c)) for r in lm.collect()]
+    pairs = (
+        docs.select(key_col, F.explode_outer(
+            char_bigrams(text_col)).alias("bigram"))
+        .groupBy(key_col, "bigram")
+        .agg(F.count("*").alias("n_b"))
+    )
+    own_pairs = False
+    if lm is None:
+        # self-scoring: LM comes from the pairs table itself, so the
+        # corpus is exploded exactly once; persisting pairs makes the
+        # LM aggregation below the materializing action
+        pairs = pairs.persist()
+        own_pairs = True
+        lm_src = pairs.filter(F.col("bigram").isNotNull()) \
+            .groupBy("bigram").agg(F.sum("n_b").alias("c"))
+    else:
+        lm_src = lm
+    lm_rows = [(r.bigram, int(r.c)) for r in lm_src.collect()]
     n_total = sum(c for _, c in lm_rows)
     vocab = len(lm_rows)
     denom = float(max(n_total + vocab, 1))  # empty-LM guard
-    lm = docs.sparkSession.createDataFrame(
-        lm_rows, "bigram string, c long") if lm_rows else lm
+    lm_local = docs.sparkSession.createDataFrame(
+        lm_rows, "bigram string, c long")
 
-    # one occurrence row per bigram, summed per doc directly: the
-    # intermediate (doc, bigram) count table would cost a second
-    # full-corpus shuffle for nothing — Σ_occurrences bits ==
-    # Σ_b n_b·bits_b, and the broadcast LM join happens map-side
-    occurrences = docs.select(key_col, F.explode_outer(
-        char_bigrams(text_col)).alias("bigram"))
-    joined = occurrences.join(F.broadcast(lm), "bigram", "left")
+    joined = pairs.join(F.broadcast(lm_local), "bigram", "left") \
+        if lm_rows else pairs.withColumn("c", F.lit(None).cast("long"))
     bits = -F.log2((F.coalesce(F.col("c"), F.lit(0)) + 1) / denom)
-    return (
+    result = (
         joined.groupBy(key_col)
         .agg(
-            F.sum(F.when(F.col("bigram").isNotNull(), 1)
-                  .otherwise(0)).alias("n_bigrams"),
             F.sum(F.when(F.col("bigram").isNotNull(),
-                         bits)).alias("_total_bits"))
+                         F.col("n_b")).otherwise(0)).alias("n_bigrams"),
+            F.sum(F.when(F.col("bigram").isNotNull(),
+                         F.col("n_b") * bits)).alias("_total_bits"))
         .select(
             key_col,
             F.col("n_bigrams").cast("long").alias("n_bigrams"),
@@ -113,3 +135,9 @@ def bigram_cross_entropy(
                 F.round(F.col("_total_bits") / F.col("n_bigrams"),
                         round_dp)).alias("bits_per_bigram"))
     )
+    if own_pairs:
+        if checkpoint_result:
+            result = result.localCheckpoint(eager=True)
+            pairs.unpersist(blocking=False)
+        # else: caller owns the pairs cache lifecycle via the plan
+    return result

@@ -66,3 +66,19 @@ def test_no_python_stage_and_single_lm_broadcast(spark):
     plan = bigram_cross_entropy(d, lm)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_fused_self_scoring_equals_explicit_lm(spark):
+    d = _corpus(spark)
+    lm = corpus_bigram_lm(d)
+    explicit = {r.doc_id: (r.n_bigrams, r.bits_per_bigram)
+                for r in bigram_cross_entropy(d, lm).collect()}
+    fused = {r.doc_id: (r.n_bigrams, r.bits_per_bigram)
+             for r in bigram_cross_entropy(d).collect()}
+    assert fused == explicit
+    # fused result is a checkpoint scan: no lingering cached pairs
+    from pyspark import StorageLevel
+    # (indirect check: a second fused call still works and matches)
+    assert {r.doc_id: r.bits_per_bigram
+            for r in bigram_cross_entropy(d).collect()} \
+        == {k: v[1] for k, v in fused.items()}
