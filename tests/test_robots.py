@@ -116,3 +116,21 @@ class TestReviewRegressions:
             [("http://site.example.com/x",)], "url string")
         kept = filter_allowed(urls, robots_rules_table(robots)).count()
         assert kept == 0
+
+
+class TestFuzz:
+    def test_parse_never_raises(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.text(max_size=400), st.text(max_size=12))
+        def prop(body, agent):
+            rules = parse_robots(body, agent or "*")
+            assert isinstance(rules, list)
+            for prefix, allow in rules:
+                assert isinstance(prefix, str)
+                assert isinstance(allow, bool)
+                assert "*" not in prefix  # wildcard always cut
+
+        prop()
