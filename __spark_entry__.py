@@ -3277,6 +3277,36 @@ def q_cdc_chunks(spark, sf_dir):
                       min_size=16, avg_size=64, max_size=256)
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Distributed Space-Saving top-k tokens (the heavy-hitters
+    sketch that replaces the open-vocabulary groupBy at 10^12 rows:
+    one shuffle-free capacity-bounded pass per partition, then a
+    dim-sized summary merge with the Metwally absent-partition
+    bound). Run here with capacity >= the vocabulary so no sketch
+    ever evicts — est is exact, err 0, the merge penalty vanishes,
+    and the result equals the exact count top-k (the same
+    degenerate-exact oracle trick as IVF nprobe == n_cells); the
+    lossy regime's bounds are pinned in tests/test_heavyhitters."""
+    from document_extractor_spark.operators.heavyhitters import (
+        heavy_hitters)
+
+    return heavy_hitters(
+        _docs(spark, sf_dir), capacity=65536, k=20
+    ).select("token", "upper", "lower")
+
+
+_ORACLE_HEAVY = """
+WITH toks AS (
+  SELECT t.tok AS token
+  FROM documents, unnest(list_filter(string_split_regex(
+      lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+'),
+      x -> x <> '')) AS t(tok)),
+c AS (SELECT token, count(*) AS n FROM toks GROUP BY 1)
+SELECT token, CAST(n AS BIGINT) AS upper, CAST(n AS BIGINT) AS lower
+FROM c ORDER BY n DESC, token LIMIT 20
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_roundtrip": q_extract_html_roundtrip,
@@ -3360,6 +3390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_to_corpus": q_crawl_to_corpus,
         "robots_filter": q_robots_filter,
         "cdc_chunks": q_cdc_chunks,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -3447,4 +3478,5 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text_index": _ORACLE_ANCHORS,
         "crawl_to_corpus": _ORACLE_CRAWL_CORPUS,
         "robots_filter": _ORACLE_ROBOTS,
+        "heavy_hitters": _ORACLE_HEAVY,
     }

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "crawl_to_corpus",
     "robots_filter",
     "cdc_chunks",
+    "heavy_hitters",
 ]
 
 

@@ -1,0 +1,146 @@
+"""Distributed heavy hitters: the Space-Saving sketch, merged.
+
+The exact `groupBy(token).count()` answer needs a full shuffle whose
+key cardinality is the open vocabulary — at 10^12 docs that is the
+single biggest exchange in a corpus-profiling job, and usually all
+anyone wants from it is the top few thousand tokens. Space-Saving
+(Metwally et al., "Efficient computation of frequent and top-k
+elements in data streams") keeps a capacity-bounded counter set with
+a per-item overestimation bound; summaries MERGE, so the distributed
+shape is:
+
+  phase 1  per input partition, one capacity-k Space-Saving pass
+           (Arrow-batched kernel, pure Python dict — no shuffle)
+  phase 2  merge the P·k summary rows (dim-sized) by token: the
+           merged estimate for a token is the sum of its per-
+           partition estimates PLUS, for every partition where it
+           was absent, that partition's minimum counter (the classic
+           merge bound — an absent token could have been evicted
+           with up to min_est mass). Lower bound = sum of
+           (est - err) where present.
+
+Guarantees (pinned in tests/test_heavyhitters.py):
+- upper >= true count >= lower, always;
+- any token with true count > N/k is in the summary;
+- with capacity >= the partition's distinct-token count the sketch
+  NEVER evicts: est is EXACT and err = 0, so the merged result
+  equals the exact groupBy — which is how the driver oracle
+  value-checks the whole pipeline (the same degenerate-exact trick
+  as IVF's nprobe == n_cells).
+
+Scale: phase 1 touches the corpus once with zero shuffles; phase 2
+shuffles only P·k summary rows (dim-sized).
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SUMMARY_SCHEMA = ("part_id long, token string, est long, err long, "
+                  "part_min long")
+
+
+def space_saving(counts: dict, capacity: int):
+    """One Space-Saving update pass driver: `counts` maps token ->
+    (est, err). Returns the update function."""
+    def update(token: str) -> None:
+        if token in counts:
+            est, err = counts[token]
+            counts[token] = (est + 1, err)
+        elif len(counts) < capacity:
+            counts[token] = (1, 0)
+        else:
+            # evict the min counter; the newcomer inherits its mass
+            # as overestimation error
+            victim = min(counts, key=lambda t: counts[t][0])
+            v_est, _ = counts.pop(victim)
+            counts[token] = (v_est + 1, v_est)
+    return update
+
+
+def _phase1_kernel(text_col: str, capacity: int, tokenize):
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+
+        # one sketch per TASK (all Arrow batches of the partition)
+        counts: dict = {}
+        update = space_saving(counts, capacity)
+        part_id = None
+        for b in batches:
+            if part_id is None:
+                from pyspark import TaskContext
+                ctx = TaskContext.get()
+                part_id = ctx.partitionId() if ctx else os.getpid()
+            for text in b[text_col]:
+                if text is None:
+                    continue
+                for tok in tokenize(text):
+                    update(tok)
+        if part_id is None or not counts:
+            return  # empty partition: emit nothing
+        part_min = min(est for est, _ in counts.values()) \
+            if len(counts) >= capacity else 0
+        yield pd.DataFrame([
+            {"part_id": part_id, "token": t, "est": est, "err": err,
+             "part_min": part_min}
+            for t, (est, err) in counts.items()])
+    return kernel
+
+
+def _default_tokenize(text: str):
+    # the repo's ONE pinned whitespace class (dedup.py) — str.split()
+    # would also split on \xa0 etc. and diverge from the SQL twins
+    from .dedup import _WS_SPLIT_RE
+
+    return [t for t in _WS_SPLIT_RE.split(text.lower()) if t]
+
+
+def heavy_hitters(docs: DataFrame, text_col: str = "text",
+                  capacity: int = 4096, k: int = 20,
+                  tokenize=_default_tokenize) -> DataFrame:
+    """Top-k tokens with bounds:
+    `(token, upper, lower, n_parts_present)`.
+
+    `upper` orders the result (desc, then token asc for a
+    deterministic tie-break), truncated to k rows. When no partition
+    ever evicted (capacity >= per-partition vocab), upper == lower
+    == the exact count.
+
+    NB: `part_min` is only nonzero for partitions whose sketch
+    filled; the absent-partition penalty sums those mins, so the
+    exact regime is penalty-free by construction.
+    """
+    summaries = docs.select(text_col).mapInPandas(
+        _phase1_kernel(text_col, capacity, tokenize), SUMMARY_SCHEMA)
+    summaries = summaries.persist()
+    try:
+        total_min = (summaries.groupBy("part_id")
+                     .agg(F.first("part_min").alias("m"))
+                     .agg(F.sum("m")).collect()[0][0]) or 0
+        merged = (
+            summaries.groupBy("token")
+            .agg(F.sum("est").alias("est_sum"),
+                 F.sum(F.col("est") - F.col("err")).alias("lower"),
+                 F.sum("part_min").alias("present_min"),
+                 F.count("*").alias("n_parts_present"))
+            # absent-partition penalty: total of all partition mins
+            # minus the mins of partitions where the token IS present
+            .select(
+                "token",
+                (F.col("est_sum") + (total_min - F.col("present_min")))
+                .cast("long").alias("upper"),
+                F.col("lower").cast("long").alias("lower"),
+                F.col("n_parts_present").cast("long")
+                .alias("n_parts_present"))
+        )
+        w = Window.orderBy(F.col("upper").desc(), F.col("token"))
+        out = (merged.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") <= k).drop("_rn")
+               .localCheckpoint(eager=True))
+        return out
+    finally:
+        summaries.unpersist(blocking=False)

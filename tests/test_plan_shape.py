@@ -142,6 +142,9 @@ def test_round3_operator_plan_budgets(spark):
         # shuffle-free (broadcast rule arrays + per-row aggregate)
         "robots_filter": (1, 1),
         "cdc_chunks": (0, 1),
+        # 2 = summary merge + top-k window, both over the DIM-sized
+        # P*k summary rows; the corpus pass itself is shuffle-free
+        "heavy_hitters": (2, 1),
         # iterations run at build time over dim tables; the returned
         # plan is a checkpoint scan
         "link_pagerank": (0, 0),
