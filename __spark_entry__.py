@@ -3307,6 +3307,48 @@ FROM c ORDER BY n DESC, token LIMIT 20
 """
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective filters on BOTH sides of a
+    fact-fact join (lineitem x orders; filters reach the parquet
+    scans), broadcast customer dim, revenue agg, deterministic
+    top-10 (rounded revenue desc, then keys — ordering on the
+    ROUNDED value keeps the cutoff engine-identical)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    d = "1998-07-01"
+    return (
+        li.filter(F.col("l_shipdate") > d)
+        .join(orders.filter(F.col("o_orderdate") < d),
+              li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.filter(
+            F.col("c_mktsegment") == "BUILDING")),
+            orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+_ORACLE_Q3 = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_shipdate > TIMESTAMP '1998-07-01'
+  AND o_orderdate < TIMESTAMP '1998-07-01'
+  AND c_mktsegment = 'BUILDING'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_roundtrip": q_extract_html_roundtrip,
@@ -3391,6 +3433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "cdc_chunks": q_cdc_chunks,
         "heavy_hitters": q_heavy_hitters,
+        "shipping_priority": q_shipping_priority,
     }
 
 
@@ -3479,4 +3522,5 @@ def oracle_sql() -> dict[str, str]:
         "crawl_to_corpus": _ORACLE_CRAWL_CORPUS,
         "robots_filter": _ORACLE_ROBOTS,
         "heavy_hitters": _ORACLE_HEAVY,
+        "shipping_priority": _ORACLE_Q3,
     }

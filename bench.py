@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "robots_filter",
     "cdc_chunks",
     "heavy_hitters",
+    "shipping_priority",
 ]
 
 
