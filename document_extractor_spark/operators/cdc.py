@@ -73,20 +73,9 @@ def gear_hashes(codepoints: np.ndarray) -> np.ndarray:
     return h
 
 
-def cdc_boundaries(text: str, min_size: int = 64, avg_size: int = 256,
-                   max_size: int = 1024) -> list[int]:
-    """Chunk end positions (exclusive, char offsets) for `text`.
-
-    avg_size must be a power of two (mask = avg_size - 1). The final
-    position is always a boundary.
-    """
-    n = len(text)
-    if n == 0:
-        return []
-    mask = np.uint64(avg_size - 1)
-    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
-    h = gear_hashes(cps)
-    candidates = np.nonzero((h & mask) == 0)[0]
+def _select_boundaries(candidates, n: int, min_size: int,
+                       max_size: int) -> list[int]:
+    """Greedy min/max enforcement over sorted candidate cut points."""
     out: list[int] = []
     start = 0
     ci = 0
@@ -103,20 +92,80 @@ def cdc_boundaries(text: str, min_size: int = 64, avg_size: int = 256,
     return out
 
 
+def cdc_boundaries(text: str, min_size: int = 64, avg_size: int = 256,
+                   max_size: int = 1024) -> list[int]:
+    """Chunk end positions (exclusive, char offsets) for `text`.
+
+    avg_size must be a power of two (mask = avg_size - 1). The final
+    position is always a boundary.
+    """
+    n = len(text)
+    if n == 0:
+        return []
+    mask = np.uint64(avg_size - 1)
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    h = gear_hashes(cps)
+    candidates = np.nonzero((h & mask) == 0)[0]
+    return _select_boundaries(candidates, n, min_size, max_size)
+
+
+def batch_cdc_boundaries(texts: list[str], min_size: int = 64,
+                         avg_size: int = 256,
+                         max_size: int = 1024) -> list[list[int]]:
+    """cdc_boundaries for many texts in ONE vectorized hash pass.
+
+    Per-doc numpy calls dominate the naive kernel (64 tiny shifted
+    adds per document); instead the docs are concatenated with
+    64-codepoint gaps and hashed once. The window never reaches a
+    previous doc for positions >= 64, and positions < 64 (whose
+    window would cross the gap) are overwritten with the standalone
+    prefix hash — `gear_hashes(cps[:64])` is exact there because a
+    position-t window only looks back at 0..t. Identical output to
+    per-doc `cdc_boundaries` (pinned in tests).
+    """
+    arrays = [np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+              for t in texts]
+    if not arrays:
+        return []
+    gap = np.zeros(_WINDOW, dtype=np.uint32)
+    parts: list[np.ndarray] = []
+    for a in arrays:
+        parts.append(a)
+        parts.append(gap)
+    big = np.concatenate(parts)
+    h_all = gear_hashes(big)
+    mask = np.uint64(avg_size - 1)
+    out: list[list[int]] = []
+    offset = 0
+    for a in arrays:
+        n = len(a)
+        if n == 0:
+            out.append([])
+            offset += _WINDOW
+            continue
+        h = h_all[offset:offset + n].copy()
+        head = min(n, _WINDOW)
+        h[:head] = gear_hashes(a[:head])
+        candidates = np.nonzero((h & mask) == 0)[0]
+        out.append(_select_boundaries(candidates, n, min_size, max_size))
+        offset += n + _WINDOW
+    return out
+
+
 def _cdc_kernel(key_col: str, text_col: str, min_size: int,
                 avg_size: int, max_size: int):
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["key", "chunk_idx", "start", "length", "chunk_hash"]
         for b in batches:
             rows = []
-            for r in b.itertuples(index=False):
-                text = getattr(r, text_col)
-                if text is None:
-                    continue
-                key = int(getattr(r, key_col))
+            present = [(int(getattr(r, key_col)), getattr(r, text_col))
+                       for r in b.itertuples(index=False)
+                       if getattr(r, text_col) is not None]
+            all_bounds = batch_cdc_boundaries(
+                [t for _, t in present], min_size, avg_size, max_size)
+            for (key, text), bounds in zip(present, all_bounds):
                 start = 0
-                for i, end in enumerate(cdc_boundaries(
-                        text, min_size, avg_size, max_size)):
+                for i, end in enumerate(bounds):
                     chunk = text[start:end]
                     rows.append({
                         "key": key, "chunk_idx": i, "start": start,

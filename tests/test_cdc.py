@@ -131,3 +131,12 @@ def test_spark_kernel_matches_local(spark):
                 piece.encode()).hexdigest()
     with pytest.raises(ValueError):
         cdc_chunks(docs, avg_size=300)  # not a power of two
+
+
+def test_batch_boundaries_equal_per_doc():
+    from document_extractor_spark.operators.cdc import (
+        batch_cdc_boundaries)
+
+    texts = [_text(50 + 137 * i, seed=i) for i in range(8)] + ["", "ab"]
+    batched = batch_cdc_boundaries(texts)
+    assert batched == [cdc_boundaries(t) for t in texts]
