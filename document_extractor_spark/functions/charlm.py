@@ -88,28 +88,46 @@ def bigram_cross_entropy(
       cache is released before returning — no session-lifetime cache
       leak, no second corpus scan. (At 10^12 docs pass
       ``checkpoint_result=False`` and manage the write yourself —
-      localCheckpoint would spill the full result to local disk.)
+      localCheckpoint would spill the full result to local disk;
+      that mode keeps NOTHING persisted, so consuming the live plan
+      twice re-explodes the corpus — the price of leaving the caller
+      a leak-free plan.)
     - explicit ``lm`` (cross-corpus: score probe docs under a model
       estimated elsewhere): the LM is collected (charset^2-bounded)
       and broadcast; the probe corpus is exploded once.
     """
-    pairs = (
-        docs.select(key_col, F.explode_outer(
-            char_bigrams(text_col)).alias("bigram"))
-        .groupBy(key_col, "bigram")
-        .agg(F.count("*").alias("n_b"))
-    )
-    own_pairs = False
+    own_pairs = None
     if lm is None:
-        # self-scoring: LM comes from the pairs table itself, so the
-        # corpus is exploded exactly once; persisting pairs makes the
-        # LM aggregation below the materializing action
-        pairs = pairs.persist()
-        own_pairs = True
+        # self-scoring: per-(doc, bigram) counts drive BOTH the LM
+        # and the scoring, so the corpus is exploded once. The pairs
+        # table is persisted ONLY when the result will be
+        # checkpointed (then the cache is released before return);
+        # with checkpoint_result=False nothing may stay persisted —
+        # the caller has no handle to release it — so the second
+        # evaluation simply re-explodes the corpus (documented cost
+        # of keeping a live plan).
+        pairs = (
+            docs.select(key_col, F.explode_outer(
+                char_bigrams(text_col)).alias("bigram"))
+            .groupBy(key_col, "bigram")
+            .agg(F.count("*").alias("n_b"))
+        )
+        if checkpoint_result:
+            pairs = pairs.persist()
+            own_pairs = pairs
         lm_src = pairs.filter(F.col("bigram").isNotNull()) \
             .groupBy("bigram").agg(F.sum("n_b").alias("c"))
+        scored_src = pairs
+        weight = F.col("n_b")
     else:
+        # explicit LM (cross-corpus probe scoring): sum bits per
+        # OCCURRENCE straight into the doc groupBy — a (doc, bigram)
+        # pre-aggregation here would add a full-corpus shuffle for
+        # nothing (Σ_occurrences bits == Σ_b n_b·bits_b)
         lm_src = lm
+        scored_src = docs.select(key_col, F.explode_outer(
+            char_bigrams(text_col)).alias("bigram"))
+        weight = F.lit(1)
     lm_rows = [(r.bigram, int(r.c)) for r in lm_src.collect()]
     n_total = sum(c for _, c in lm_rows)
     vocab = len(lm_rows)
@@ -117,16 +135,17 @@ def bigram_cross_entropy(
     lm_local = docs.sparkSession.createDataFrame(
         lm_rows, "bigram string, c long")
 
-    joined = pairs.join(F.broadcast(lm_local), "bigram", "left") \
-        if lm_rows else pairs.withColumn("c", F.lit(None).cast("long"))
+    joined = scored_src.join(F.broadcast(lm_local), "bigram", "left") \
+        if lm_rows else scored_src.withColumn(
+            "c", F.lit(None).cast("long"))
     bits = -F.log2((F.coalesce(F.col("c"), F.lit(0)) + 1) / denom)
     result = (
         joined.groupBy(key_col)
         .agg(
             F.sum(F.when(F.col("bigram").isNotNull(),
-                         F.col("n_b")).otherwise(0)).alias("n_bigrams"),
+                         weight).otherwise(0)).alias("n_bigrams"),
             F.sum(F.when(F.col("bigram").isNotNull(),
-                         F.col("n_b") * bits)).alias("_total_bits"))
+                         weight * bits)).alias("_total_bits"))
         .select(
             key_col,
             F.col("n_bigrams").cast("long").alias("n_bigrams"),
@@ -135,9 +154,7 @@ def bigram_cross_entropy(
                 F.round(F.col("_total_bits") / F.col("n_bigrams"),
                         round_dp)).alias("bits_per_bigram"))
     )
-    if own_pairs:
-        if checkpoint_result:
-            result = result.localCheckpoint(eager=True)
-            pairs.unpersist(blocking=False)
-        # else: caller owns the pairs cache lifecycle via the plan
+    if own_pairs is not None:
+        result = result.localCheckpoint(eager=True)
+        own_pairs.unpersist(blocking=False)
     return result

@@ -97,13 +97,20 @@ def compact_table(spark: SparkSession, name: str, root: str,
     ``rewrite_data_files`` procedure (snapshot-atomic, concurrent
     readers unaffected).
 
-    Parquet fallback: read → repartition to ceil(bytes/target) →
-    write to a sibling ``<name>.__compact_tmp`` directory → ATOMIC
-    directory swap (rename old out of the way, rename tmp in, drop
-    old). A crash before the first rename leaves the table untouched
-    (stale tmp dirs are cleaned on the next call); after it, the
-    compacted directory is already complete. Readers mid-swap on a
-    POSIX fs see one directory or the other, never a mix.
+    Parquet fallback (EXCLUSIVE-WRITER maintenance window required —
+    a plain parquet directory has no transaction log, so compaction
+    must not race concurrent appends; Iceberg is the concurrent-safe
+    path): read → repartition to ceil(bytes/target) → write to a
+    sibling ``<name>.__compact_tmp`` directory → two-rename swap.
+    Crash-safe at every point: recovery on the next call completes
+    or rolls back an interrupted swap (it NEVER deletes the only
+    surviving copy — a tmp/old dir is removed only while the live
+    table directory exists). Readers can hit a brief not-found
+    window between the two renames; retry or schedule compaction in
+    the same exclusive window.
+
+    Local-filesystem roots only (the swap uses os.rename); an
+    hdfs://-or-s3:// root raises — use the Iceberg backend there.
 
     Returns {"files_before", "files_after", "bytes", "rows"}.
     """
@@ -120,11 +127,33 @@ def compact_table(spark: SparkSession, name: str, root: str,
             f"'{int(target_bytes)}'))")
         return {"backend": "iceberg", "table": f"{cat}.{name}"}
 
+    if "://" in root and not root.startswith("file:"):
+        raise ValueError(
+            "compact_table's parquet fallback needs a driver-local "
+            f"root (got {root!r}); configure an Iceberg catalog for "
+            "remote storage")
+
     path = f"{root}/{name}"
     tmp = f"{root}/{name}.__compact_tmp"
     old = f"{root}/{name}.__compact_old"
-    for stale in (tmp, old):  # crash leftovers from a prior attempt
-        shutil.rmtree(stale, ignore_errors=True)
+    # recovery-first: finish or roll back an interrupted prior swap.
+    # Invariant: tmp/old are deleted ONLY when `path` exists (they
+    # are then redundant); if `path` is missing, whatever survives
+    # IS the table and gets renamed back into place.
+    if not os.path.exists(path):
+        if os.path.exists(old):
+            # crashed between the two renames: the original is in
+            # `old`; restore it (the tmp copy, complete or not, is
+            # redundant once the original is back)
+            os.rename(old, path)
+            shutil.rmtree(tmp, ignore_errors=True)
+        elif os.path.exists(tmp):
+            # old already promoted/removed in a prior recovery but
+            # the rename of tmp never happened — finish the swap
+            os.rename(tmp, path)
+    else:
+        for stale in (tmp, old):
+            shutil.rmtree(stale, ignore_errors=True)
 
     def _scan(p):
         files = bytes_ = 0

@@ -109,20 +109,46 @@ def cdc_boundaries(text: str, min_size: int = 64, avg_size: int = 256,
     return _select_boundaries(candidates, n, min_size, max_size)
 
 
+_MAX_BATCH_CHARS = 8 * 1024 * 1024  # ~0.5 GB transient numpy peak
+
+
 def batch_cdc_boundaries(texts: list[str], min_size: int = 64,
                          avg_size: int = 256,
                          max_size: int = 1024) -> list[list[int]]:
-    """cdc_boundaries for many texts in ONE vectorized hash pass.
+    """cdc_boundaries for many texts in few vectorized hash passes.
 
     Per-doc numpy calls dominate the naive kernel (64 tiny shifted
     adds per document); instead the docs are concatenated with
-    64-codepoint gaps and hashed once. The window never reaches a
-    previous doc for positions >= 64, and positions < 64 (whose
+    64-codepoint gaps and hashed together. The window never reaches
+    a previous doc for positions >= 64, and positions < 64 (whose
     window would cross the gap) are overwritten with the standalone
     prefix hash — `gear_hashes(cps[:64])` is exact there because a
     position-t window only looks back at 0..t. Identical output to
     per-doc `cdc_boundaries` (pinned in tests).
+
+    Peak memory is BOUNDED: texts are processed in greedy sub-groups
+    of at most ``_MAX_BATCH_CHARS`` total codepoints (an Arrow batch
+    of large documents would otherwise materialize ~30 bytes of
+    transient numpy arrays per char of the WHOLE batch at once).
     """
+    out_all: list[list[int]] = []
+    group: list[str] = []
+    group_chars = 0
+    for t in texts:
+        if group and group_chars + len(t) > _MAX_BATCH_CHARS:
+            out_all.extend(_batch_group(group, min_size, avg_size,
+                                        max_size))
+            group, group_chars = [], 0
+        group.append(t)
+        group_chars += len(t)
+    if group:
+        out_all.extend(_batch_group(group, min_size, avg_size,
+                                    max_size))
+    return out_all
+
+
+def _batch_group(texts: list[str], min_size: int, avg_size: int,
+                 max_size: int) -> list[list[int]]:
     arrays = [np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
               for t in texts]
     if not arrays:

@@ -43,38 +43,80 @@ from pyspark.sql import functions as F
 SUMMARY_SCHEMA = ("part_id long, token string, est long, err long, "
                   "part_min long")
 
+# unique fallback part ids for kernels running without a TaskContext
+# (pid alone collides across reused workers)
+import itertools as _itertools
+import os as _os
+
+_LOCAL_PART_COUNTER = _itertools.count(1 << 19)
+
+
+def _next_local_part_id() -> int:
+    # pid-qualified + monotonically unique within the process (a
+    # bare generator here would break cloudpickle of the kernel)
+    return (_os.getpid() << 20) + next(_LOCAL_PART_COUNTER)
+
 
 def space_saving(counts: dict, capacity: int):
     """One Space-Saving update pass driver: `counts` maps token ->
-    (est, err). Returns the update function."""
+    (est, err). Returns `(update, evicted)` where `evicted()` reports
+    whether ANY eviction ever happened (a full-but-never-evicting
+    sketch is still exact — the merge penalty must stay 0 for it).
+
+    Eviction is O(log capacity) amortized via a lazy-deletion heap
+    (stale entries skipped on pop; rebuilt when the heap outgrows
+    4x capacity) — a per-eviction linear min-scan would make the
+    lossy regime quadratic in the stream at real vocabularies.
+    """
+    import heapq
+
+    heap: list = []  # (est, token) — may hold stale entries
+    state = {"evicted": False}
+
     def update(token: str) -> None:
         if token in counts:
             est, err = counts[token]
             counts[token] = (est + 1, err)
+            heapq.heappush(heap, (est + 1, token))
         elif len(counts) < capacity:
             counts[token] = (1, 0)
+            heapq.heappush(heap, (1, token))
         else:
-            # evict the min counter; the newcomer inherits its mass
-            # as overestimation error
-            victim = min(counts, key=lambda t: counts[t][0])
+            state["evicted"] = True
+            while True:
+                est, victim = heap[0]
+                cur = counts.get(victim)
+                if cur is not None and cur[0] == est:
+                    break
+                heapq.heappop(heap)  # stale
+            heapq.heappop(heap)
             v_est, _ = counts.pop(victim)
             counts[token] = (v_est + 1, v_est)
-    return update
+            heapq.heappush(heap, (v_est + 1, token))
+        if len(heap) > 4 * capacity:  # amortized size bound
+            heap[:] = [(e, t) for t, (e, _) in counts.items()]
+            heapq.heapify(heap)
+
+    return update, lambda: state["evicted"]
 
 
 def _phase1_kernel(text_col: str, capacity: int, tokenize):
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import os
-
         # one sketch per TASK (all Arrow batches of the partition)
         counts: dict = {}
-        update = space_saving(counts, capacity)
+        update, evicted = space_saving(counts, capacity)
         part_id = None
         for b in batches:
             if part_id is None:
                 from pyspark import TaskContext
                 ctx = TaskContext.get()
-                part_id = ctx.partitionId() if ctx else os.getpid()
+                # partitionId is unique within the job; the fallback
+                # (no TaskContext: local/driver-side execution) must
+                # be unique too — reused Python workers share a pid,
+                # and a collided part_id would undercount total_min
+                # and break the upper>=true bound
+                part_id = (ctx.partitionId() if ctx
+                           else _next_local_part_id())
             for text in b[text_col]:
                 if text is None:
                     continue
@@ -82,8 +124,11 @@ def _phase1_kernel(text_col: str, capacity: int, tokenize):
                     update(tok)
         if part_id is None or not counts:
             return  # empty partition: emit nothing
+        # the merge penalty applies only if this sketch actually
+        # LOST information: a full-but-never-evicting sketch is
+        # exact and must not tax absent tokens
         part_min = min(est for est, _ in counts.values()) \
-            if len(counts) >= capacity else 0
+            if evicted() else 0
         yield pd.DataFrame([
             {"part_id": part_id, "token": t, "est": est, "err": err,
              "part_min": part_min}
@@ -101,7 +146,8 @@ def _default_tokenize(text: str):
 
 def heavy_hitters(docs: DataFrame, text_col: str = "text",
                   capacity: int = 4096, k: int = 20,
-                  tokenize=_default_tokenize) -> DataFrame:
+                  tokenize=_default_tokenize,
+                  checkpoint_result: bool = True) -> DataFrame:
     """Top-k tokens with bounds:
     `(token, upper, lower, n_parts_present)`.
 
@@ -139,8 +185,13 @@ def heavy_hitters(docs: DataFrame, text_col: str = "text",
         )
         w = Window.orderBy(F.col("upper").desc(), F.col("token"))
         out = (merged.withColumn("_rn", F.row_number().over(w))
-               .filter(F.col("_rn") <= k).drop("_rn")
-               .localCheckpoint(eager=True))
+               .filter(F.col("_rn") <= k).drop("_rn"))
+        if checkpoint_result:
+            # k-row result materialized; summaries cache released in
+            # the finally. checkpoint_result=False exposes the live
+            # plan (plan-shape tests) — the caller must consume it
+            # before the cache is dropped
+            out = out.localCheckpoint(eager=True)
         return out
     finally:
         summaries.unpersist(blocking=False)

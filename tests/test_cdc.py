@@ -140,3 +140,13 @@ def test_batch_boundaries_equal_per_doc():
     texts = [_text(50 + 137 * i, seed=i) for i in range(8)] + ["", "ab"]
     batched = batch_cdc_boundaries(texts)
     assert batched == [cdc_boundaries(t) for t in texts]
+
+
+def test_batch_memory_grouping_preserves_output(monkeypatch):
+    from document_extractor_spark.operators import cdc as cdc_mod
+
+    texts = [_text(400 + 91 * i, seed=100 + i) for i in range(10)]
+    expected = [cdc_boundaries(t) for t in texts]
+    # force tiny sub-groups: every doc lands in its own hash pass
+    monkeypatch.setattr(cdc_mod, "_MAX_BATCH_CHARS", 100)
+    assert cdc_mod.batch_cdc_boundaries(texts) == expected

@@ -58,9 +58,12 @@ def test_partitioning_changes_bounds_not_exact_results(spark):
 
 def test_space_saving_unit_eviction():
     counts = {}
-    update = space_saving(counts, capacity=2)
-    for t in ["a", "a", "b", "c"]:
+    update, evicted = space_saving(counts, capacity=2)
+    for t in ["a", "a", "b"]:
         update(t)
+    assert not evicted()  # full but never evicted
+    update("c")
+    assert evicted()
     # c evicted b (min counter 1) and inherited its mass as error
     assert counts["a"] == (2, 0)
     assert counts["c"] == (2, 1)

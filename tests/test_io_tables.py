@@ -78,3 +78,44 @@ def test_compact_table_cleans_stale_tmp(spark, tmp_path):
     stats = compact_table(spark, "t", root)
     assert stats["rows"] == 1
     assert set(os.listdir(root)) == {"t"}
+
+
+def test_compact_recovery_completes_or_rolls_back(spark, tmp_path):
+    """Crash-window recovery: with the live dir missing, whichever
+    surviving copy exists is restored — never deleted."""
+    import os
+    import shutil
+
+    from document_extractor_spark.io_tables import (
+        compact_table, read_table, write_table)
+
+    root = str(tmp_path)
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(5)], "doc_id long, text string")
+    write_table(df, "t", root)
+
+    # simulate crash between rename(path->old) and rename(tmp->path):
+    # original in old, half-written junk in tmp, live dir gone
+    os.rename(f"{root}/t", f"{root}/t.__compact_old")
+    os.makedirs(f"{root}/t.__compact_tmp")
+    open(f"{root}/t.__compact_tmp/part-junk", "w").write("x")
+    stats = compact_table(spark, "t", root)
+    assert stats["rows"] == 5  # original restored, then compacted
+    assert sorted(r.doc_id for r in
+                  read_table(spark, "t", root).collect()) == list(range(5))
+    assert set(os.listdir(root)) == {"t"}
+
+    # simulate crash after old was cleared but before tmp promoted
+    shutil.move(f"{root}/t", f"{root}/t.__compact_tmp")
+    stats = compact_table(spark, "t", root)
+    assert stats["rows"] == 5
+    assert set(os.listdir(root)) == {"t"}
+
+
+def test_compact_rejects_remote_root(spark):
+    import pytest
+
+    from document_extractor_spark.io_tables import compact_table
+
+    with pytest.raises(ValueError, match="driver-local"):
+        compact_table(spark, "t", "s3://bucket/tables")

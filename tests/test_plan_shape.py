@@ -125,7 +125,10 @@ def test_round3_operator_plan_budgets(spark):
         # in-job; production input arrives pre-packed (scan + 1 stage)
         "warc_ingest": (1, 2),
         "jsonl_shard_plan": (0, 0),
-        "charlm_cross_entropy": (3, 0),
+        # checkpointed fused mode: the registered query's plan is a
+        # checkpoint scan; the LIVE plan is budgeted in
+        # test_checkpointed_operators_live_plan_budgets below
+        "charlm_cross_entropy": (0, 0),
         "temperature_mix_sample": (0, 0),
         # 5 = training lineage (printed through the cached weight
         # scan) + the one scoring groupBy; only 2 touch the corpus
@@ -142,9 +145,8 @@ def test_round3_operator_plan_budgets(spark):
         # shuffle-free (broadcast rule arrays + per-row aggregate)
         "robots_filter": (1, 1),
         "cdc_chunks": (0, 1),
-        # 2 = summary merge + top-k window, both over the DIM-sized
-        # P*k summary rows; the corpus pass itself is shuffle-free
-        "heavy_hitters": (2, 1),
+        # checkpoint scan (live plan budgeted separately, see below)
+        "heavy_hitters": (0, 0),
         # iterations run at build time over dim tables; the returned
         # plan is a checkpoint scan
         "link_pagerank": (0, 0),
@@ -167,3 +169,36 @@ def test_round3_operator_plan_budgets(spark):
             # means the corpus is being shuffled for a tiny table
             assert "BroadcastHashJoin" in plan, f"{name}: no broadcast"
             assert "SortMergeJoin" not in plan, f"{name}: SMJ crept in"
+
+
+def test_checkpointed_operators_live_plan_budgets(spark):
+    """The registered queries for charlm / heavy_hitters return
+    checkpoint scans (0 exchanges by construction), which would make
+    their budget rows vacuous — so the LIVE pre-checkpoint plans are
+    budgeted here via checkpoint_result=False."""
+    from document_extractor_spark.functions.charlm import (
+        bigram_cross_entropy)
+    from document_extractor_spark.operators.heavyhitters import (
+        heavy_hitters)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def _counts(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_ex = plan.count("Exchange hashpartitioning") + \
+            plan.count("Exchange rangepartitioning")
+        n_py = sum(plan.count(m) for m in
+                   ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                    "FlatMapGroupsInPandas"))
+        return n_ex, n_py
+
+    # fused charlm: pairs agg + doc agg over the corpus; no Python
+    n_ex, n_py = _counts(bigram_cross_entropy(
+        docs, checkpoint_result=False))
+    assert n_ex <= 3 and n_py == 0, (n_ex, n_py)
+
+    # heavy hitters: ONE Arrow stage (the sketch), exchanges only on
+    # the dim-sized summaries (merge + top-k window)
+    n_ex, n_py = _counts(heavy_hitters(
+        docs, capacity=4096, k=5, checkpoint_result=False))
+    assert n_ex <= 3 and n_py == 1, (n_ex, n_py)
