@@ -55,6 +55,13 @@ def main(argv: list[str] | None = None) -> int:
                          "(S7 tail: rendered blocks greedily packed, "
                          "one file per chunk)")
     ap.add_argument("--max-chunk-bytes", type=int, default=3_000_000)
+    ap.add_argument("--compact", action="store_true",
+                    help="after committing, bin-pack each output "
+                         "table's small files (streaming/incremental "
+                         "appends accumulate per-batch files; run "
+                         "this in an exclusive maintenance window)")
+    ap.add_argument("--compact-target-bytes", type=int,
+                    default=128 * 1024 * 1024)
     ap.add_argument("--export-jsonl", metavar="DIR", default=None,
                     help="also export successfully extracted docs as "
                          "JSONL training shards (one dir per md5 "
@@ -117,6 +124,17 @@ def main(argv: list[str] | None = None) -> int:
     met = result.metrics.groupBy().sum(
         "docs_in", "docs_out", "parse_failures", "bytes_extracted"
     ).head()
+    # compaction LAST: every read of this run's results is done, so
+    # the directory swap cannot race our own consumers
+    compact_stats = {}
+    if args.compact:
+        from .io_tables import compact_table
+
+        for table in ("extracted", "quarantine", "metrics"):
+            st = compact_table(spark, table, args.output,
+                               target_bytes=args.compact_target_bytes)
+            compact_stats[f"compact_{table}"] = st.get(
+                "files_after", st.get("backend"))
     print(json.dumps({
         "run_id": args.run_id,
         "status": "committed",
@@ -124,6 +142,7 @@ def main(argv: list[str] | None = None) -> int:
         "docs_in": met[0], "docs_out": met[1],
         "parse_failures": met[2], "bytes_extracted": met[3],
         **jsonl_summary,
+        **compact_stats,
     }))
     return 0
 

@@ -119,3 +119,38 @@ def test_compact_rejects_remote_root(spark):
 
     with pytest.raises(ValueError, match="driver-local"):
         compact_table(spark, "t", "s3://bucket/tables")
+
+
+def test_cli_compact_flag(spark, tmp_path):
+    """--compact end-to-end: committed tables come back single-file
+    with the same rows, and the CLI still prints its summary."""
+    import glob
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_extractor_spark.cli import main
+
+    html = ("<html><body><main><article><p>Strong regional growth "
+            "with stable revenue and rising public margins today."
+            "</p></article></main></body></html>").encode()
+    schema = pa.schema([
+        ("url", pa.string()), ("warc_ts", pa.timestamp("us", tz="UTC")),
+        ("html", pa.binary()), ("text", pa.string()),
+        ("lang", pa.string())])
+    ind = tmp_path / "in"
+    ind.mkdir()
+    rows = {"url": [f"doc://{i}" for i in range(6)],
+            "warc_ts": [None] * 6, "html": [html] * 6,
+            "text": [None] * 6, "lang": [None] * 6}
+    pq.write_table(pa.Table.from_pydict(rows, schema=schema),
+                   str(ind / "pages.parquet"))
+    out = tmp_path / "out"
+    rc = main(["--input", str(ind), "--output", str(out),
+               "--run-id", "compact-e2e", "--compact"])
+    assert rc == 0
+    ext = spark.read.parquet(str(out / "extracted"))
+    assert ext.count() == 6
+    files = glob.glob(str(out / "extracted" / "part-*"))
+    assert len(files) == 1  # compacted to a single file
