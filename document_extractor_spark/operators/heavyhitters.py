@@ -70,7 +70,10 @@ def space_saving(counts: dict, capacity: int):
     """
     import heapq
 
-    heap: list = []  # (est, token) — may hold stale entries
+    # seed from any pre-existing entries (streaming state restore);
+    # empty for a fresh sketch
+    heap: list = [(e, t) for t, (e, _) in counts.items()]
+    heapq.heapify(heap)
     state = {"evicted": False}
 
     def update(token: str) -> None:
