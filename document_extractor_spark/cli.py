@@ -33,6 +33,30 @@ from .checkpoint import run_and_commit
 from .config import PipelineConfig
 
 
+def _compact_outputs(spark, args) -> dict:
+    """Bin-pack the three output tables; a compaction failure must
+    not un-commit a committed run, so errors are REPORTED in the
+    summary instead of escaping (e.g. a remote --output root without
+    an Iceberg catalog). `_manifest` is deliberately excluded: the
+    resume protocol reads it first on every run, and shrinking a
+    handful of tiny manifest files is not worth putting the
+    exactly-once bookkeeping through a directory swap.
+    """
+    from .io_tables import compact_table
+
+    stats: dict = {}
+    for table in ("extracted", "quarantine", "metrics"):
+        try:
+            st = compact_table(spark, table, args.output,
+                               target_bytes=args.compact_target_bytes)
+            stats[f"compact_{table}"] = st.get(
+                "files_after", st.get("backend"))
+        except Exception as exc:  # report, never fail the run
+            stats[f"compact_{table}"] = f"error: {exc}"
+            break  # same root: further tables would fail identically
+    return stats
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="document-extractor-spark")
     ap.add_argument("--input", required=True,
@@ -97,8 +121,13 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.time()
     result = run_and_commit(spark, pages, args.output, cfg)
     if result is None:
-        print(json.dumps({"run_id": args.run_id, "status": "noop",
-                          "reason": "all inputs already committed"}))
+        # the noop path is the NATURAL maintenance trigger: re-running
+        # a committed job with --compact must still bin-pack
+        summary = {"run_id": args.run_id, "status": "noop",
+                   "reason": "all inputs already committed"}
+        if args.compact:
+            summary.update(_compact_outputs(spark, args))
+        print(json.dumps(summary))
         return 0
     if args.export_chunks:
         from .artifacts import chunked_docs, rendered_docs, write_chunks
@@ -126,15 +155,7 @@ def main(argv: list[str] | None = None) -> int:
     ).head()
     # compaction LAST: every read of this run's results is done, so
     # the directory swap cannot race our own consumers
-    compact_stats = {}
-    if args.compact:
-        from .io_tables import compact_table
-
-        for table in ("extracted", "quarantine", "metrics"):
-            st = compact_table(spark, table, args.output,
-                               target_bytes=args.compact_target_bytes)
-            compact_stats[f"compact_{table}"] = st.get(
-                "files_after", st.get("backend"))
+    compact_stats = _compact_outputs(spark, args) if args.compact else {}
     print(json.dumps({
         "run_id": args.run_id,
         "status": "committed",

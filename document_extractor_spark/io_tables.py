@@ -75,6 +75,10 @@ def write_table(df: DataFrame, name: str, root: str,
                     writer.append()
         return ident
     path = f"{root}/{name}"
+    # heal an interrupted compaction swap BEFORE appending: creating
+    # the live dir fresh here would orphan a stranded original (see
+    # recover_table)
+    recover_table(name, root)
     df.write.mode(mode).parquet(path)
     return path
 
@@ -84,6 +88,45 @@ def read_table(spark: SparkSession, name: str, root: str) -> DataFrame:
     if cat:
         return spark.read.table(f"{cat}.{name}")
     return spark.read.parquet(f"{root}/{name}")
+
+
+def recover_table(name: str, root: str) -> None:
+    """Finish or roll back an interrupted compaction swap for
+    `root/name` (parquet backend, local fs; no-op otherwise).
+
+    Invariants: the ``__compact_tmp`` / ``__compact_old`` siblings
+    are deleted ONLY while the live table directory exists AND holds
+    everything they do; if the live dir is missing, whichever
+    sibling survives IS the table and is renamed back into place.
+
+    Called by both :func:`compact_table` (recovery-first) and
+    :func:`write_table`'s parquet append — a crash mid-swap must be
+    healed BEFORE any writer recreates the live directory, or the
+    recreated dir would make the stranded original look stale and a
+    later cleanup would delete the only copy of the pre-crash rows.
+    """
+    import os
+    import shutil
+
+    if "://" in root and not root.startswith("file:"):
+        return
+    path = f"{root}/{name}"
+    tmp = f"{root}/{name}.__compact_tmp"
+    old = f"{root}/{name}.__compact_old"
+    if not os.path.exists(path):
+        if os.path.exists(old):
+            # crashed between the two renames: the original is in
+            # `old`; restore it (the tmp copy, complete or not, is
+            # redundant once the original is back)
+            os.rename(old, path)
+            shutil.rmtree(tmp, ignore_errors=True)
+        elif os.path.exists(tmp):
+            # old already promoted/removed in a prior recovery but
+            # the rename of tmp never happened — finish the swap
+            os.rename(tmp, path)
+    else:
+        for stale in (tmp, old):
+            shutil.rmtree(stale, ignore_errors=True)
 
 
 def compact_table(spark: SparkSession, name: str, root: str,
@@ -136,24 +179,7 @@ def compact_table(spark: SparkSession, name: str, root: str,
     path = f"{root}/{name}"
     tmp = f"{root}/{name}.__compact_tmp"
     old = f"{root}/{name}.__compact_old"
-    # recovery-first: finish or roll back an interrupted prior swap.
-    # Invariant: tmp/old are deleted ONLY when `path` exists (they
-    # are then redundant); if `path` is missing, whatever survives
-    # IS the table and gets renamed back into place.
-    if not os.path.exists(path):
-        if os.path.exists(old):
-            # crashed between the two renames: the original is in
-            # `old`; restore it (the tmp copy, complete or not, is
-            # redundant once the original is back)
-            os.rename(old, path)
-            shutil.rmtree(tmp, ignore_errors=True)
-        elif os.path.exists(tmp):
-            # old already promoted/removed in a prior recovery but
-            # the rename of tmp never happened — finish the swap
-            os.rename(tmp, path)
-    else:
-        for stale in (tmp, old):
-            shutil.rmtree(stale, ignore_errors=True)
+    recover_table(name, root)
 
     def _scan(p):
         files = bytes_ = 0

@@ -163,7 +163,8 @@ def make_hh_updater(capacity: int):
         update, _ = space_saving(counts, capacity)
         for pdf in pdfs:
             for tok in pdf["token"]:
-                update(tok)
+                if tok is not None:  # defense in depth vs the filter
+                    update(tok)
         items = sorted(counts.items())
         state.update((
             [t for t, _ in items],
@@ -187,7 +188,11 @@ def streaming_heavy_hitters(
     frequency state is the PRODUCT here, not a window — it lives for
     the query's lifetime and is bounded by n_buckets * capacity.
     """
-    bucketed = token_stream.select(
+    # NULL tokens must never reach the sketch: xxhash64(NULL) is the
+    # (non-null) seed hash, so a NULL row would arrive as None and
+    # blow up the sorted()/heap ordering inside the updater, killing
+    # the whole streaming query on one bad row
+    bucketed = token_stream.filter(F.col("token").isNotNull()).select(
         F.pmod(F.xxhash64("token"), F.lit(n_buckets)).alias("bucket"),
         "token")
     return (

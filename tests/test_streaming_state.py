@@ -246,3 +246,29 @@ def test_streaming_heavy_hitters_match_batch(spark, tmp_path):
     truth = collections.Counter(b1 + b2)
     assert {t: e for t, (e, _) in final.items()} == dict(truth)
     assert all(err == 0 for _, err in final.values())  # exact regime
+
+
+def test_streaming_heavy_hitters_null_tokens_survive(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_extractor_spark.streaming_state import (
+        streaming_heavy_hitters)
+
+    in_dir = tmp_path / "toks"
+    in_dir.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict(
+            {"token": ["a", None, "a", None, "b"]},
+            schema=pa.schema([("token", pa.string())])),
+        str(in_dir / "b1.parquet"))
+    stream = spark.readStream.schema("token string").parquet(str(in_dir))
+    out = streaming_heavy_hitters(stream, capacity=8, n_buckets=2)
+    q = (out.writeStream.format("memory").queryName("hh_null")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.token: r.est for r in spark.sql(
+        "select * from hh_null").collect()}
+    assert got == {"a": 2, "b": 1}  # NULLs dropped, query alive
