@@ -3349,6 +3349,46 @@ LIMIT 10
 """
 
 
+def q_corpus_overview(spark, sf_dir):
+    """The corpus dashboard in one pass: per (source, lang) doc
+    counts, token totals, char totals, and quality-bucket tallies —
+    one groupBy, conditional aggregation instead of multiple scans.
+    Every derived column reuses an already-value-checked expression
+    (pinned tokenizer, 4dp quality)."""
+    d = _docs(spark, sf_dir)
+    q = TS.quality_score(F.col("text"))
+    n_tok = F.when(F.col("text").isNull(), 0).otherwise(
+        F.size(DD.tokens_col("text")))
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_tok).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce(F.length("text"), F.lit(0)))
+            .cast("long").alias("n_chars"),
+            F.sum(F.when(q >= 0.78, 1).otherwise(0)).cast("long")
+            .alias("n_high_q"),
+            F.sum(F.when(q < 0.5, 1).otherwise(0)).cast("long")
+            .alias("n_low_q"))
+    )
+
+
+_ORACLE_OVERVIEW = f"""
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN text IS NULL THEN 0
+            ELSE len(list_filter(string_split_regex(text,
+                 '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) END)
+            AS BIGINT) AS n_tokens,
+       CAST(sum(COALESCE(length(text), 0)) AS BIGINT) AS n_chars,
+       CAST(sum(CASE WHEN ({_SQL_QUALITY}) >= 0.78 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_high_q,
+       CAST(sum(CASE WHEN ({_SQL_QUALITY}) < 0.5 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low_q
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_roundtrip": q_extract_html_roundtrip,
@@ -3434,6 +3474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,
         "heavy_hitters": q_heavy_hitters,
         "shipping_priority": q_shipping_priority,
+        "corpus_overview": q_corpus_overview,
     }
 
 
@@ -3523,4 +3564,5 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter": _ORACLE_ROBOTS,
         "heavy_hitters": _ORACLE_HEAVY,
         "shipping_priority": _ORACLE_Q3,
+        "corpus_overview": _ORACLE_OVERVIEW,
     }

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "cdc_chunks",
     "heavy_hitters",
     "shipping_priority",
+    "corpus_overview",
 ]
 
 

@@ -145,6 +145,7 @@ def test_round3_operator_plan_budgets(spark):
         # shuffle-free (broadcast rule arrays + per-row aggregate)
         "robots_filter": (1, 1),
         "cdc_chunks": (0, 1),
+        "corpus_overview": (1, 0),
         # checkpoint scan (live plan budgeted separately, see below)
         "heavy_hitters": (0, 0),
         # iterations run at build time over dim tables; the returned
