@@ -3389,6 +3389,56 @@ GROUP BY 1, 2
 """
 
 
+def q_dom_blocks(spark, sf_dir):
+    """The north_star DOM block model exposed as a queryable table:
+    one row per block with classification features and the
+    content-vs-boilerplate verdict, produced by the SAME parser +
+    classifier the extraction pipeline runs (no drift possible). The
+    wrapper fixture yields a deterministic 5-block structure per doc
+    (title / two nav li / content p / footer p), so the oracle
+    regenerates every row arithmetically — including the content
+    block's md5 over the ws-normalized text and the exact classifier
+    predicate for its keep verdict."""
+    from document_extractor_spark.operators.html_extract import (
+        dom_block_table)
+
+    d = _docs(spark, sf_dir)
+    pages = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        _boilerplate_html(F.col("text")).alias("html_text"))
+    return dom_block_table(pages)
+
+
+_ORACLE_DOM_BLOCKS = """
+WITH d AS (
+  SELECT doc_id,
+         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+  FROM documents),
+b AS (
+  SELECT doc_id, 0 AS block_idx, 'title' AS tag, true AS boiler,
+         10 AS n_chars, 0 AS link_chars, false AS kept,
+         md5('Doc | Site') AS text_md5 FROM d
+  UNION ALL
+  SELECT doc_id, 1, 'li', true, 4, 4, false, md5('Home') FROM d
+  UNION ALL
+  SELECT doc_id, 2, 'li', true, 13, 13, false,
+         md5('About us page') FROM d
+  UNION ALL
+  SELECT doc_id, 3, 'p', false, length(t), 0,
+         length(t) >= 25, md5(t) FROM d
+  UNION ALL
+  SELECT doc_id, 4, 'p', true, 49, 0, false,
+         md5('Copyright 2026 Example Corp. All rights reserved.')
+  FROM d)
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(block_idx AS INT) AS block_idx, tag, boiler,
+       false AS heading, CAST(n_chars AS INT) AS n_chars,
+       CAST(link_chars AS INT) AS link_chars, kept, text_md5
+FROM b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_roundtrip": q_extract_html_roundtrip,
@@ -3475,6 +3525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "shipping_priority": q_shipping_priority,
         "corpus_overview": q_corpus_overview,
+        "dom_blocks": q_dom_blocks,
     }
 
 
@@ -3565,4 +3616,5 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": _ORACLE_HEAVY,
         "shipping_priority": _ORACLE_Q3,
         "corpus_overview": _ORACLE_OVERVIEW,
+        "dom_blocks": _ORACLE_DOM_BLOCKS,
     }

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "heavy_hitters",
     "shipping_priority",
     "corpus_overview",
+    "dom_blocks",
 ]
 
 

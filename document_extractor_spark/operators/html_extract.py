@@ -382,3 +382,60 @@ def extract_html(
 def extract_raw(html_str: str) -> str:
     """Last-resort tag strip (cascade stage 3)."""
     return norm_ws(unescape(_TAG_STRIP_RE.sub(" ", html_str)))
+
+
+DOM_BLOCK_SCHEMA = (
+    "url string, block_idx int, tag string, boiler boolean, "
+    "heading boolean, n_chars int, link_chars int, kept boolean, "
+    "text_md5 string")
+
+
+def dom_block_table(pages, url_col: str = "url",
+                    html_col: str = "html_text",
+                    min_block_chars: int = 25,
+                    max_link_density: float = 0.35):
+    """The north_star block model as a first-class TABLE: one row per
+    DOM block with its classification features (tag, text mass, link
+    chars, boiler/heading flags) and the content-vs-boilerplate
+    verdict — the queryable intermediate between raw HTML and
+    extracted text (debugging extraction quality, tuning thresholds,
+    measuring boilerplate mass per site).
+
+    Arrow-batched kernel over the same parser + classifier the
+    pipeline runs (parse_blocks observed mode + classify_blocks), so
+    the table can never drift from extraction behavior. Zero
+    shuffles; block counts per page are bounded by the DOM.
+    """
+    import hashlib
+    from typing import Iterator
+
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["url", "block_idx", "tag", "boiler", "heading",
+                "n_chars", "link_chars", "kept", "text_md5"]
+        for b in batches:
+            rows = []
+            for r in b.itertuples(index=False):
+                html = getattr(r, html_col)
+                if html is None:
+                    continue
+                blocks = parse_blocks(html)
+                kept_ids = {id(k) for k in classify_blocks(
+                    blocks, min_block_chars, max_link_density)}
+                for i, blk in enumerate(blocks):
+                    rows.append({
+                        "url": getattr(r, url_col),
+                        "block_idx": i,
+                        "tag": blk.tag,
+                        "boiler": blk.boiler,
+                        "heading": blk.heading,
+                        "n_chars": blk.n_chars,
+                        "link_chars": blk.link_chars,
+                        "kept": id(blk) in kept_ids,
+                        "text_md5": hashlib.md5(
+                            blk.text.encode("utf-8")).hexdigest(),
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.mapInPandas(kernel, DOM_BLOCK_SCHEMA)

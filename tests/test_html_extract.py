@@ -153,3 +153,44 @@ def test_legacy_reliability_hypothesis_parity(spark):
            .toPandas().set_index("id").r)
     for i, t in rows:
         assert abs(got[i] - legacy_reliability_py(t)) < 1e-12, repr(t)
+
+
+def test_dom_block_table_features_and_verdicts(spark):
+    from document_extractor_spark.operators.html_extract import (
+        dom_block_table)
+
+    html = (
+        "<html><body>"
+        "<h2>Short heading</h2>"
+        "<p>This paragraph easily clears the twenty-five character "
+        "minimum and has no links at all inside it.</p>"
+        '<p><a href="/x">link heavy link heavy link heavy link '
+        "heavy</a></p>"
+        "<p>tiny</p>"
+        "<footer><p>Boiler text in a footer element here.</p></footer>"
+        "</body></html>")
+    pages = spark.createDataFrame(
+        [("u1", html), ("u2", None)], "url string, html_text string")
+    rows = sorted(dom_block_table(pages).collect(),
+                  key=lambda r: r.block_idx)
+    assert all(r.url == "u1" for r in rows)  # NULL html -> no rows
+    by_tag = {(r.block_idx): r for r in rows}
+    h = rows[0]
+    assert h.tag == "h2" and h.heading and h.kept  # headings survive
+    p_good = rows[1]
+    assert p_good.kept and p_good.link_chars == 0
+    p_links = rows[2]
+    assert not p_links.kept  # link density above threshold
+    assert p_links.link_chars > 0
+    p_tiny = rows[3]
+    assert not p_tiny.kept and p_tiny.n_chars < 25
+    p_boiler = rows[4]
+    assert p_boiler.boiler and not p_boiler.kept
+    # the table's verdicts must equal the pipeline's extraction
+    from document_extractor_spark.operators.html_extract import (
+        extract_html)
+    text, _ = extract_html(html)
+    kept_hashes = {r.text_md5 for r in rows if r.kept}
+    import hashlib
+    for part in text.split("\n"):
+        assert hashlib.md5(part.encode()).hexdigest() in kept_hashes
