@@ -3414,7 +3414,10 @@ _ORACLE_DOM_BLOCKS = """
 WITH d AS (
   SELECT doc_id,
          trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
-  FROM documents),
+  FROM documents
+  -- NULL text nulls the whole concat'd html, so the Spark kernel
+  -- emits no rows for such a doc; mirror that here
+  WHERE text IS NOT NULL),
 b AS (
   SELECT doc_id, 0 AS block_idx, 'title' AS tag, true AS boiler,
          10 AS n_chars, 0 AS link_chars, false AS kept,
@@ -3425,10 +3428,14 @@ b AS (
   SELECT doc_id, 2, 'li', true, 13, 13, false,
          md5('About us page') FROM d
   UNION ALL
+  -- an empty (or whitespace-only) doc produces NO content block:
+  -- the parser only materializes blocks with text, so the footer
+  -- then takes index 3
   SELECT doc_id, 3, 'p', false, length(t), 0,
-         length(t) >= 25, md5(t) FROM d
+         length(t) >= 25, md5(t) FROM d WHERE t <> ''
   UNION ALL
-  SELECT doc_id, 4, 'p', true, 49, 0, false,
+  SELECT doc_id, CASE WHEN t <> '' THEN 4 ELSE 3 END, 'p', true,
+         49, 0, false,
          md5('Copyright 2026 Example Corp. All rights reserved.')
   FROM d)
 SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,

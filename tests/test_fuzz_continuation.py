@@ -25,6 +25,8 @@ QUERIES = [
     "charlm_cross_entropy",
     "heavy_hitters",
     "warc_ingest",
+    "corpus_overview",
+    "dom_blocks",
 ]
 
 
