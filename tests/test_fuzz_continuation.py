@@ -43,7 +43,7 @@ def _normalize(rows, cols):
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
 
 
-@pytest.mark.parametrize("seed", [3, 11, 20260817])
+@pytest.mark.parametrize("seed", [3, 11, 404, 9001, 20260817])
 def test_fuzz_cross_engine_parity(spark, seed, tmp_path):
     rng = random.Random(seed)
     vocab = ["alpha", "beta", "gamma", "Z", "x", "tok9", "the", "why"]

@@ -326,3 +326,18 @@ class TestFuzz:
             assert isinstance(out, list)
 
         prop()
+
+
+def test_warc_pages_require_status(spark):
+    docs = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(15)],
+        "doc_id long, text string")
+    blobs = docs_to_warc_blobs(docs, n_files=2)
+    all_pages = warc_pages(blobs)
+    ok_pages = warc_pages(blobs, require_status=200)
+    # doc_id 0 and 13 carry status 404 in the fixture construction
+    assert all_pages.count() == 15
+    assert ok_pages.count() == 13
+    kept = {r.url for r in ok_pages.collect()}
+    assert "http://site0.example.com/doc/0" not in kept
+    assert "http://site13.example.com/doc/13" not in kept
