@@ -3446,6 +3446,41 @@ FROM b
 """
 
 
+def q_hashed_embeddings(spark, sf_dir):
+    """The embedding ENCODE step in-engine (feature hashing,
+    Weinberger et al.): every token occurrence contributes ±1 per
+    dimension, signs drawn from the bits of ONE md5 per token, so a
+    doc's raw vector is exact integer signed counts — order-
+    independent in any engine. One explode + one map-side-combined
+    doc groupBy; unit normalization is an optional float epilogue
+    for the cosine/ANN consumers (checked raw here)."""
+    from document_extractor_spark.functions.embed import (
+        hashed_embeddings)
+
+    return hashed_embeddings(_docs(spark, sf_dir), dim=16)
+
+
+def _embed_oracle_sql(dim: int = 16) -> str:
+    sums = ",\n         ".join(
+        f"sum(2 * ((('0x' || substr(h, {1 + d // 4}, 1))::BIGINT"
+        f" >> {d % 4}) & 1) - 1) AS _e{d}"
+        for d in range(dim))
+    elems = ", ".join(
+        f"CAST(COALESCE(s._e{d}, 0) AS BIGINT)" for d in range(dim))
+    return f"""
+WITH tk AS (
+  SELECT doc_id, md5(t.tok) AS h
+  FROM documents, unnest(list_filter(string_split_regex(
+      lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+'),
+      x -> x <> '')) AS t(tok)),
+s AS (SELECT doc_id,
+         {sums}
+      FROM tk GROUP BY 1)
+SELECT d.doc_id, [{elems}] AS embedding
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_roundtrip": q_extract_html_roundtrip,
@@ -3533,6 +3568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "corpus_overview": q_corpus_overview,
         "dom_blocks": q_dom_blocks,
+        "hashed_embeddings": q_hashed_embeddings,
     }
 
 
@@ -3624,4 +3660,5 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": _ORACLE_Q3,
         "corpus_overview": _ORACLE_OVERVIEW,
         "dom_blocks": _ORACLE_DOM_BLOCKS,
+        "hashed_embeddings": _embed_oracle_sql(),
     }

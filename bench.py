@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "shipping_priority",
     "corpus_overview",
     "dom_blocks",
+    "hashed_embeddings",
 ]
 
 

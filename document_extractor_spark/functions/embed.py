@@ -1,0 +1,70 @@
+"""In-engine document embeddings via the hashing trick.
+
+The similarity/near-dup stack (operators/similarity.py, dedup.py)
+consumes an `embedding array<float>` column; this module supplies
+the ENCODE step without any external model artifact: the classic
+feature-hashing projection (Weinberger et al., "Feature Hashing for
+Large Scale Multitask Learning") — every token contributes ±1 to
+each of `dim` components, with the sign taken from one md5 of the
+token (bit d of the first 16 hex chars decides dim d), so a
+document's raw embedding is a vector of INTEGER signed counts:
+
+    e_d(doc) = sum over token occurrences of sign_d(token)
+
+Integer sums are exact and order-independent — the same property
+every value-checked oracle in this repo leans on — so the raw
+vectors cross-check bit-for-bit against a SQL twin; unit
+normalization (for cosine consumers) is a trivial float epilogue the
+caller applies (`normalized=True`).
+
+Scale shape: ONE md5 per token occurrence (the 64 sign bits all come
+from that single hash), 64 conditional sums in one map-side-combined
+doc groupBy — no shuffle beyond it, no Python anywhere.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import tokens_col
+
+
+def _sign_expr(dim: int) -> str:
+    """±1 sign for dimension `dim` from the token md5 (SQL fragment
+    over a column named `_h` holding md5(token)). Bit d of hex digit
+    d//4 — identical arithmetic in the DuckDB twin."""
+    return (f"(2 * ((cast(conv(substring(_h, {1 + dim // 4}, 1), 16, 10)"
+            f" as int) div {1 << (dim % 4)}) % 2) - 1)")
+
+
+def hashed_embeddings(docs: DataFrame, key_col: str = "doc_id",
+                      text_col: str = "text", dim: int = 64,
+                      normalized: bool = False) -> DataFrame:
+    """`(key_col, embedding)` — feature-hashed doc vectors.
+
+    `normalized=False` (default): `array<long>` of exact signed
+    counts (the oracle-checkable form). `normalized=True`:
+    `array<double>` unit vectors ready for the cosine/ANN operators
+    (all-zero vectors stay all-zero).
+    """
+    if not 1 <= dim <= 64:
+        raise ValueError("dim must be in 1..64 (one md5 per token)")
+    toks = docs.select(
+        key_col,
+        F.explode_outer(tokens_col(text_col)).alias("_tok"),
+    ).withColumn("_h", F.md5(F.col("_tok")))
+    sums = toks.groupBy(key_col).agg(*[
+        F.sum(F.when(F.col("_tok").isNotNull(),
+                     F.expr(_sign_expr(d))).otherwise(0))
+        .cast("long").alias(f"_e{d}")
+        for d in range(dim)
+    ])
+    emb = F.array(*[F.col(f"_e{d}") for d in range(dim)])
+    if not normalized:
+        return sums.select(key_col, emb.alias("embedding"))
+    norm = F.sqrt(F.aggregate(
+        emb, F.lit(0.0), lambda a, x: a + (x * x).cast("double")))
+    unit = F.when(norm > 0, F.transform(
+        emb, lambda x: x.cast("double") / norm)).otherwise(
+        F.transform(emb, lambda x: x.cast("double")))
+    return sums.select(key_col, unit.alias("embedding"))

@@ -27,6 +27,7 @@ QUERIES = [
     "warc_ingest",
     "corpus_overview",
     "dom_blocks",
+    "hashed_embeddings",
 ]
 
 
