@@ -3481,6 +3481,35 @@ FROM documents d LEFT JOIN s USING (doc_id)
 """
 
 
+def q_top_docs_per_source(spark, sf_dir):
+    """Curriculum/curation selection: the k best docs per source by
+    quality score, deterministic tie-break on doc_id. One window
+    shuffle partitioned by source; at 10^12 rows a skewed source
+    would pre-aggregate via the same hash-bucket two-phase trick as
+    token_budget_sample — here the per-source top-k state is k rows,
+    so rank() streams."""
+    d = _docs(spark, sf_dir).withColumn(
+        "q", TS.quality_score(F.col("text")))
+    w = Window.partitionBy("source").orderBy(
+        F.col("q").desc(), F.col("doc_id"))
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("source", "rank", "doc_id", "q"))
+
+
+_ORACLE_TOP_DOCS = f"""
+WITH s AS (
+  SELECT source, doc_id, {_SQL_QUALITY} AS q,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {_SQL_QUALITY} DESC, doc_id)
+             AS rank
+  FROM documents)
+SELECT source, CAST(rank AS INT) AS rank, doc_id, q
+FROM s WHERE rank <= 5
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_roundtrip": q_extract_html_roundtrip,
@@ -3569,6 +3598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overview": q_corpus_overview,
         "dom_blocks": q_dom_blocks,
         "hashed_embeddings": q_hashed_embeddings,
+        "top_docs_per_source": q_top_docs_per_source,
     }
 
 
@@ -3661,4 +3691,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_overview": _ORACLE_OVERVIEW,
         "dom_blocks": _ORACLE_DOM_BLOCKS,
         "hashed_embeddings": _embed_oracle_sql(),
+        "top_docs_per_source": _ORACLE_TOP_DOCS,
     }

@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "corpus_overview",
     "dom_blocks",
     "hashed_embeddings",
+    "top_docs_per_source",
 ]
 
 
