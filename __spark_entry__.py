@@ -3511,7 +3511,51 @@ FROM s WHERE rank <= 5
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict order matters: the driver's correctness gate checks the FIRST
+    # 50 entries.  Round-3 additions (never driver-checked in r3) lead,
+    # round-4 additions follow, and long-stable round-1/2 queries that
+    # already have green CORRECTNESS_r03 rows are rotated to the back.
     return {
+        "dup_window_spans": q_dup_window_spans,
+        "strip_dup_spans": q_strip_dup_spans,
+        "decontaminate": q_decontaminate,
+        "token_budget_sample": q_token_budget_sample,
+        "blocklist_filter": q_blocklist_filter,
+        "domain_reputation_filter": q_domain_reputation_filter,
+        "warc_ingest": q_warc_ingest,
+        "jsonl_shard_plan": q_jsonl_shard_plan,
+        "charlm_cross_entropy": q_charlm_cross_entropy,
+        "temperature_mix_sample": q_temperature_mix,
+        "nb_quality_classifier": q_nb_quality_classifier,
+        "domain_link_graph": q_domain_link_graph,
+        "link_pagerank": q_link_pagerank,
+        "anchor_text_index": q_anchor_text_index,
+        "crawl_to_corpus": q_crawl_to_corpus,
+        "robots_filter": q_robots_filter,
+        "heavy_hitters": q_heavy_hitters,
+        "shipping_priority": q_shipping_priority,
+        "corpus_overview": q_corpus_overview,
+        "dom_blocks": q_dom_blocks,
+        "hashed_embeddings": q_hashed_embeddings,
+        "top_docs_per_source": q_top_docs_per_source,
+        "extract_pipeline_full": q_extract_pipeline_full,
+        "extract_error_rows": q_extract_error_rows,
+        "url_canonical_dedup": q_url_canonical_dedup,
+        "paragraph_dedup": q_paragraph_dedup,
+        "token_windows": q_token_windows,
+        "streaming_dedup": q_streaming_dedup,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "media_metadata": q_media_metadata,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "simhash_neardup_pairs": q_simhash_neardup_pairs,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        # rows-only (no SQL twin, independent pytest; justification in
+        # COVERAGE.md)
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        "cdc_chunks": q_cdc_chunks,
+        # --- round-4 additions (slots 37-50) ---
+        # --- previously driver-checked (green CORRECTNESS_r03 rows) ---
         "extract_html_roundtrip": q_extract_html_roundtrip,
         "pricing_summary": q_pricing_summary,
         "top_revenue_nations": q_top_revenue_nations,
@@ -3562,43 +3606,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "training_corpus_build": q_training_corpus_build,
         "incremental_dedup": q_incremental_dedup,
-        "dup_window_spans": q_dup_window_spans,
-        "strip_dup_spans": q_strip_dup_spans,
-        "decontaminate": q_decontaminate,
-        "token_budget_sample": q_token_budget_sample,
-        "blocklist_filter": q_blocklist_filter,
-        "domain_reputation_filter": q_domain_reputation_filter,
-        # rows-only (no SQL twin)
-        "simhash_fingerprints": q_simhash_fingerprints,
-        "simhash_neardup_pairs": q_simhash_neardup_pairs,
-        "lsh_ann_topk": q_lsh_ann_topk,
-        "ivf_ann_topk": q_ivf_ann_topk,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
-        "media_metadata": q_media_metadata,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "extract_pipeline_full": q_extract_pipeline_full,
-        "extract_error_rows": q_extract_error_rows,
-        "url_canonical_dedup": q_url_canonical_dedup,
-        "paragraph_dedup": q_paragraph_dedup,
-        "token_windows": q_token_windows,
-        "streaming_dedup": q_streaming_dedup,
-        "warc_ingest": q_warc_ingest,
-        "jsonl_shard_plan": q_jsonl_shard_plan,
-        "charlm_cross_entropy": q_charlm_cross_entropy,
-        "temperature_mix_sample": q_temperature_mix,
-        "nb_quality_classifier": q_nb_quality_classifier,
-        "domain_link_graph": q_domain_link_graph,
-        "link_pagerank": q_link_pagerank,
-        "anchor_text_index": q_anchor_text_index,
-        "crawl_to_corpus": q_crawl_to_corpus,
-        "robots_filter": q_robots_filter,
-        "cdc_chunks": q_cdc_chunks,
-        "heavy_hitters": q_heavy_hitters,
-        "shipping_priority": q_shipping_priority,
-        "corpus_overview": q_corpus_overview,
-        "dom_blocks": q_dom_blocks,
-        "hashed_embeddings": q_hashed_embeddings,
-        "top_docs_per_source": q_top_docs_per_source,
     }
 
 
