@@ -29,12 +29,22 @@ from document_extractor_spark.operators import similarity as SIM
 _CUTOFF = 0.8  # ascii-density gate used by several SQL-twin queries
 
 
+def _pin_utc(spark: SparkSession) -> None:
+    """Assert the engine-wide UTC timestamp convention on a session the
+    engine did not build (the driver gate constructs its own).  Every
+    timestamp-sensitive query calls this with the SAME value, and
+    build_session pins it at construction — so there is no divergent
+    session-global state for later queries to inherit (ADVICE r3)."""
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _pin_utc(spark)
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
@@ -113,7 +123,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def q_pricing_summary(spark, sf_dir):
     """Scan+filter+groupBy aggregate (Q1 pattern)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _pin_utc(spark)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -995,7 +1005,7 @@ FROM s ORDER BY cosine DESC, vec_id LIMIT 10
 
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pair count per threshold bucket."""
-    pairs = DD.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.5)
+    pairs = DD._embedding_neardup_pairs_exact(_emb(spark, sf_dir), threshold=0.5)
     return pairs.groupBy(
         F.floor(F.col("cosine") * 10).cast("long").alias("cos_bucket")
     ).agg(F.count("*").alias("n_pairs"))
@@ -2169,6 +2179,77 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 """
 
 
+def q_minhash_dedup_pipeline(spark, sf_dir):
+    """The MinHash-LSH dedup decision end to end: band buckets ->
+    candidate pairs -> exact token-Jaccard verification -> transitive
+    closure -> keeper for EVERY document.  At 10^12 docs this is the
+    CHEAPER candidate generator than shingle posting lists (k min-aggs
+    + bucket groupBy vs a full shingle explode), so the composed
+    decision deserves its own value-checked query rather than leaving
+    `minhash_band_buckets` a dead end (VERDICT r3 #6)."""
+    from document_extractor_spark.operators.components import (
+        dedup_decision)
+
+    docs = _docs(spark, sf_dir)
+    pairs = DD.minhash_verified_pairs(
+        docs, k=8, bands=4, threshold=0.5, max_bucket_df=1000)
+    return dedup_decision(docs, pairs).withColumn(
+        "component", F.col("component").cast("long"))
+
+
+# signatures/banding CTEs are the checked minhash_lsh_buckets oracle;
+# candidate expansion + exact-Jaccard verify + closure layered on top
+_ORACLE_MINHASH_PIPELINE = """
+WITH RECURSIVE toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
+                            t -> t <> '')) AS tok
+  FROM documents),
+sigs AS (SELECT doc_id, {mins} FROM toks GROUP BY doc_id),
+bands AS (
+  {bands_union}),
+bcnt AS (SELECT band, band_sig, count(*) AS n FROM bands GROUP BY 1, 2),
+bok AS (SELECT b.doc_id, b.band, b.band_sig
+        FROM bands b JOIN bcnt USING (band, band_sig)
+        WHERE bcnt.n BETWEEN 2 AND 1000),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bok a JOIN bok b
+           ON a.band = b.band AND a.band_sig = b.band_sig
+              AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY 1),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+          FROM cand c
+          JOIN toks ta ON ta.doc_id = c.id_a
+          JOIN toks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+          GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE round(i / CAST(sa.n_tok + sb.n_tok - i AS DOUBLE), 6)
+                >= 0.5),
+e AS (SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b AS a, id_a AS b FROM pairs),
+reach(src, dst) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+comp AS (SELECT src AS node, min(dst) AS component
+         FROM reach GROUP BY src)
+SELECT d.doc_id,
+       CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
+       (coalesce(c.component, d.doc_id) = d.doc_id) AS is_keeper
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+""".format(
+    mins=", ".join(
+        f"min({_sql_seed_hash('tok', s)}) AS mh_{s}" for s in range(8)),
+    bands_union="\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(CAST(mh_{2*b} AS VARCHAR) || ',' || "
+        f"CAST(mh_{2*b+1} AS VARCHAR)) AS band_sig FROM sigs"
+        for b in range(4)),
+)
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Per-doc top-5 TF-IDF terms (smoothed RATIO idf — rational
     arithmetic, not libm ln(), so scores are exact IEEE doubles in
@@ -2908,10 +2989,18 @@ def q_temperature_mix(spark, sf_dir):
 
 _ORACLE_TEMPERATURE = """
 WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+-- integer-exact isqrt(n*1e6): double sqrt can land one off the true
+-- integer root once n*1e6 nears 2^53; correct the floor both ways so
+-- the twin matches Spark's math.isqrt at ANY stratum size (ADVICE r3)
+w0 AS (SELECT source, n,
+              CAST(floor(sqrt(CAST(n AS DOUBLE) * 1000000)) AS BIGINT)
+                  AS w0
+       FROM c),
 w AS (SELECT source, n,
-             CAST(floor(sqrt(CAST(n AS DOUBLE) * 1000000)) AS BIGINT)
-                 AS w
-      FROM c),
+             w0 - CAST(w0 * w0 > n * 1000000 AS BIGINT)
+                + CAST((w0 + 1) * (w0 + 1) <= n * 1000000
+                       AND w0 * w0 <= n * 1000000 AS BIGINT) AS w
+      FROM w0),
 tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
                CAST(sum(w) AS BIGINT) AS s_sum FROM w),
 thr AS (
@@ -2938,7 +3027,13 @@ def q_nb_quality_classifier(spark, sf_dir):
         nb_score, seed_labels, train_nb_weights)
 
     d = seed_labels(_docs(spark, sf_dir).select("doc_id", "text"))
-    return nb_score(d, train_nb_weights(d))
+    weights = train_nb_weights(d)  # leaves a caller-owned persist
+    # materialize the small scored result, then release the
+    # vocab-sized weight cache (the bigram_cross_entropy lifecycle —
+    # ADVICE r3: without this every driver-gate run leaks the cache)
+    out = nb_score(d, weights).localCheckpoint(eager=True)
+    weights.unpersist(blocking=False)
+    return out
 
 
 _ORACLE_NB = f"""
@@ -3313,7 +3408,7 @@ def q_shipping_priority(spark, sf_dir):
     scans), broadcast customer dim, revenue agg, deterministic
     top-10 (rounded revenue desc, then keys — ordering on the
     ROUNDED value keeps the cutoff engine-identical)."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _pin_utc(spark)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -3555,6 +3650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "cdc_chunks": q_cdc_chunks,
         # --- round-4 additions (slots 37-50) ---
+        "minhash_dedup_pipeline": q_minhash_dedup_pipeline,
         # --- previously driver-checked (green CORRECTNESS_r03 rows) ---
         "extract_html_roundtrip": q_extract_html_roundtrip,
         "pricing_summary": q_pricing_summary,
@@ -3673,6 +3769,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _ORACLE_CLUSTERS,
         "gopher_repetition": _ORACLE_REP_GOPHER,
         "neardup_dedup_pipeline": _ORACLE_NEARDUP_PIPELINE,
+        "minhash_dedup_pipeline": _ORACLE_MINHASH_PIPELINE,
         "tfidf_topk": _ORACLE_TFIDF,
         "script_profile": _script_oracle_sql(),
         "training_corpus_build": _corpus_build_oracle(),

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "gopher_repetition",
     "stratified_sample",
     "neardup_dedup_pipeline",
+    "minhash_dedup_pipeline",
     "dup_window_spans",
     "decontaminate",
     "token_budget_sample",

@@ -63,6 +63,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="pages table (parquet dir or file), or a "
                          "directory of .warc/.warc.gz files with "
                          "--input-format warc")
+    ap.add_argument("--warc-status", type=int, default=200,
+                    help="keep only WARC captures with this HTTP "
+                         "status (default 200 so 404/5xx error pages "
+                         "never enter the committed corpus); 0 keeps "
+                         "every response record")
     ap.add_argument("--input-format", choices=["pages", "warc"],
                     default="pages",
                     help="'pages' = parquet pages table; 'warc' = "
@@ -115,7 +120,8 @@ def main(argv: list[str] | None = None) -> int:
             .load(args.input)
             .select(F.xxhash64("path").alias("warc_id"),
                     F.col("content").alias("warc")))
-        pages = warc_pages(raw)
+        pages = warc_pages(
+            raw, require_status=args.warc_status or None)
     else:
         pages = spark.read.parquet(args.input)
     t0 = time.time()

@@ -272,6 +272,31 @@ def doc_text(payload: bytes) -> str:
     return _normalize("".join(parts))
 
 
+_SALVAGE_RUN_RE = re.compile(r"[\x20-\x7e\t\r]{8,}")
+
+
+def doc_text_lenient(payload: bytes) -> str:
+    """Salvage-mode .doc text: printable-ASCII runs (>= 8 chars) of
+    the WordDocument stream, Word paragraph marks (\\r) normalized to
+    newlines — the `strings(1)` approach, no FIB or piece table.
+
+    Plays the reference's DOC->PDF second-chance role
+    (pass_doc.py:105-186) when the strict piece-table parse scores
+    below PASS_DOC_CUTOFF: any recoverable non-blank text is accepted
+    with cutoff=0.0 semantics.  Scans the raw payload when the CFB
+    container itself is unreadable; returns "" rather than raising.
+    The 8-char minimum keeps isolated printable bytes inside FIB /
+    directory / FAT structures out of the result (their UTF-16 names
+    and packed integers never form 8 consecutive printable bytes).
+    """
+    try:
+        data = _cfb_streams(payload).get("WordDocument") or payload
+    except Exception:
+        data = payload
+    runs = _SALVAGE_RUN_RE.findall(data.decode("cp1252", errors="replace"))
+    return _normalize("\n".join(r.replace("\r", "\n") for r in runs))
+
+
 # --------------------------------------------------------------------------
 # deterministic fixture writer
 # --------------------------------------------------------------------------

@@ -16,6 +16,7 @@ payloads keep routing to quarantine with reason "unsupported".
 from __future__ import annotations
 
 import io
+import re
 import zipfile
 import xml.etree.ElementTree as ET
 
@@ -71,6 +72,50 @@ def docx_text(payload: bytes) -> str:
                     _paragraph_text(p) for p in tc.findall(_W + "p"))
                 if cell:
                     parts.append(cell)
+    return "\n".join(parts)
+
+
+_WT_RE = re.compile(rb"<w:t(?:\s[^>]*)?>(.*?)</w:t>", re.DOTALL)
+_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+             ("&apos;", "'"), ("&amp;", "&"))  # &amp; LAST
+
+
+def _unescape(s: str) -> str:
+    for ent, ch in _ENTITIES:
+        s = s.replace(ent, ch)
+    return s
+
+
+def docx_text_lenient(payload: bytes) -> str:
+    """Salvage-mode DOCX text: every ``<w:t>`` run in every ``word/``
+    part, document order, joined with newlines — no XML tree, no
+    zip-integrity requirement.
+
+    This is the engine's analog of the reference's DOC->PDF second
+    chance (pass_doc.py:105-186): when the strict parse scores below
+    cutoff, the reference re-extracts via an office->PDF conversion
+    and accepts ANY non-blank text (cutoff=0.0).  With no office
+    converter in a Spark executor, the lenient re-extract serves the
+    same role: it recovers run text the strict body walk misses
+    (headers, textboxes) and tolerates malformed XML.  Falls back to
+    a raw-bytes regex scan when the zip directory is unreadable
+    (fixture docx parts are STORED, so the XML is scannable in
+    place); returns "" when nothing is recoverable — never raises.
+    """
+    chunks: list[bytes] = []
+    try:
+        with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+            for name in zf.namelist():
+                if name.startswith("word/") and name.endswith(".xml"):
+                    chunks.append(zf.read(name))
+    except Exception:
+        chunks = [payload]
+    parts: list[str] = []
+    for chunk in chunks:
+        for m in _WT_RE.finditer(chunk):
+            t = _unescape(m.group(1).decode("utf-8", errors="replace"))
+            if t:
+                parts.append(t)
     return "\n".join(parts)
 
 

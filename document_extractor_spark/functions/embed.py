@@ -62,9 +62,15 @@ def hashed_embeddings(docs: DataFrame, key_col: str = "doc_id",
     emb = F.array(*[F.col(f"_e{d}") for d in range(dim)])
     if not normalized:
         return sums.select(key_col, emb.alias("embedding"))
-    norm = F.sqrt(F.aggregate(
-        emb, F.lit(0.0), lambda a, x: a + (x * x).cast("double")))
-    unit = F.when(norm > 0, F.transform(
-        emb, lambda x: x.cast("double") / norm)).otherwise(
-        F.transform(emb, lambda x: x.cast("double")))
-    return sums.select(key_col, unit.alias("embedding"))
+    # Two projections (the _with_unit_vec pattern from
+    # operators/similarity.py): the O(dim) norm must be a materialized
+    # per-row column BEFORE the per-element divide — a lambda-captured
+    # norm expression gets re-inlined by Catalyst once per element,
+    # turning the epilogue into O(dim^2) expression evals per row.
+    raw = sums.select(key_col, emb.alias("_raw"))
+    withn = raw.withColumn("_nrm", F.sqrt(F.aggregate(
+        F.col("_raw"), F.lit(0.0), lambda a, x: a + (x * x).cast("double"))))
+    unit = F.when(F.col("_nrm") > 0, F.transform(
+        F.col("_raw"), lambda x: x.cast("double") / F.col("_nrm"))).otherwise(
+        F.transform(F.col("_raw"), lambda x: x.cast("double")))
+    return withn.select(key_col, unit.alias("embedding"))

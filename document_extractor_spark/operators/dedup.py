@@ -201,29 +201,105 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     return toks.groupBy(id_col).agg(*aggs)
 
 
+def _band_sig_array(k: int, bands: int):
+    """In-row array of per-band signatures (md5 over the band's
+    signature slice) — one posexplode over this array instead of a
+    `bands`-way union keeps banding at 2 exchanges total."""
+    assert k % bands == 0
+    r = k // bands
+    return F.array(*[
+        F.md5(F.concat_ws(",", *[
+            F.col(f"mh_{bidx * r + j}").cast("string") for j in range(r)]))
+        for bidx in range(bands)
+    ])
+
+
 def minhash_band_buckets(docs: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", k: int = 8,
                          bands: int = 4) -> DataFrame:
     """LSH banding: (band, band_sig, n_docs, min_id) for buckets with
     >1 doc — the candidate-pair generator. rows_per_band = k/bands."""
-    assert k % bands == 0
-    r = k // bands
     sigs = minhash_signatures(docs, id_col, text_col, k)
-    # one posexplode over an in-row band array instead of a `bands`-way
-    # union: the union form re-shuffled the signature table once per
-    # band (5 exchanges at bands=4); this is 2 total (sigs + bucket)
-    band_sigs = F.array(*[
-        F.md5(F.concat_ws(",", *[
-            F.col(f"mh_{bidx * r + j}").cast("string") for j in range(r)]))
-        for bidx in range(bands)
-    ])
     stacked = sigs.select(
         F.col(id_col),
-        F.posexplode(band_sigs).alias("band", "band_sig"))
+        F.posexplode(_band_sig_array(k, bands)).alias("band", "band_sig"))
     return (
         stacked.groupBy("band", "band_sig")
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("min_id"))
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", k: int = 8,
+                            bands: int = 4,
+                            max_bucket_df: int | None = 1000) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from MinHash-LSH band
+    buckets — what `minhash_band_buckets` summarizes, expanded into
+    the pair stream a verifier can consume.
+
+    `max_bucket_df` caps bucket membership exactly like
+    `ngram_jaccard_pairs.max_shingle_df` caps posting lists: a
+    corpus-hot bucket (mass-produced boilerplate all sharing one band
+    signature) otherwise emits O(df^2) pairs — the straggler that
+    never finishes at 10^12 docs.  Over-cap buckets are DROPPED, not
+    sampled: their members are exact-dup-grade clusters that
+    `exact_dedup_groups` collapses in one linear pass, and genuinely
+    near-dup members still pair through their other (rarer) bands.
+    """
+    sigs = minhash_signatures(docs, id_col, text_col, k)
+    stacked = sigs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_band_sig_array(k, bands)).alias("band", "band_sig"))
+    posting = (
+        stacked.groupBy("band", "band_sig")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    if max_bucket_df is not None:
+        posting = posting.filter(F.size("ids") <= max_bucket_df)
+    ids = F.col("ids")
+    pairs = F.flatten(F.transform(
+        ids, lambda x, i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    return (
+        posting.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()  # a pair can co-occur in several bands
+    )
+
+
+def minhash_verified_pairs(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 8,
+                           bands: int = 4, threshold: float = 0.5,
+                           max_bucket_df: int | None = 1000) -> DataFrame:
+    """(id_a, id_b, jaccard): LSH candidates verified with the EXACT
+    token-set Jaccard the signatures estimate.
+
+    The verify join touches only the bucket-bounded candidate stream —
+    never all pairs — and the token sets ride in as whole arrays
+    (array_intersect is JVM array math; no second explode).  Pairs
+    whose true Jaccard falls below `threshold` are discarded, so LSH
+    false positives cannot survive; false negatives are the documented
+    LSH recall tradeoff (P[candidate] = 1-(1-J^r)^bands).
+    """
+    cand = minhash_candidate_pairs(
+        docs, id_col, text_col, k, bands, max_bucket_df)
+    toksets = widen_narrow_input(docs).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens_col(text_col)).alias("toks"))
+    a = toksets.select(F.col("id").alias("id_a"),
+                       F.col("toks").alias("toks_a"))
+    b = toksets.select(F.col("id").alias("id_b"),
+                       F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = F.round(
+        inter / (F.size("toks_a") + F.size("toks_b") - inter), 6)
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -350,11 +426,17 @@ def embedding_neardup_pairs_lsh(emb: DataFrame, id_col: str = "vec_id",
     )
 
 
-def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
-                            vec_col: str = "embedding",
-                            threshold: float = 0.8) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute force — see
-    similarity.py for the LSH-bucketed scale path)."""
+def _embedding_neardup_pairs_exact(emb: DataFrame,
+                                   id_col: str = "vec_id",
+                                   vec_col: str = "embedding",
+                                   threshold: float = 0.8) -> DataFrame:
+    """Embedding-cosine near-dup pairs — EXACT all-pairs baseline.
+
+    Private on purpose: the O(n^2) cross join dies at scale, so the
+    public API is `embedding_neardup_pairs_lsh` (bucket-equality
+    candidates, same cosine values on shared pairs).  This form exists
+    only as the allow-listed oracle twin (`embedding_neardup` query)
+    and as the recall reference in tests."""
     from .similarity import _norm_expr
 
     withn = emb.select(

@@ -156,8 +156,13 @@ def warc_pages(warc_files: DataFrame,
         .filter(keep)
         .select(
             F.col("url"),
+            # 'X' parses the trailing Z as a real UTC offset, so the
+            # instant is correct on ANY session timezone — a 'Z'
+            # literal pattern would re-interpret the wall time in the
+            # session zone and shift the streaming-dedup watermark
+            # column on non-UTC clusters (ADVICE r3)
             F.to_timestamp(
-                F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+                F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX"
             ).alias("warc_ts"),
             F.col("payload").alias("html"),
             F.lit(None).cast("string").alias("text"),

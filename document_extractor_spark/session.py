@@ -45,6 +45,11 @@ def build_session(
         # defaults to ON in this Spark line; verified via conf.get,
         # so no override is set here)
         .config("spark.driver.memory", os.getenv("SPARK_DRIVER_MEMORY", "8g"))
+        # Engine-wide convention: all timestamp semantics are UTC.
+        # Pinned HERE, once, so no query function needs to mutate
+        # session-global state mid-run (queries on foreign sessions
+        # re-assert the same value via __spark_entry__._pin_utc).
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

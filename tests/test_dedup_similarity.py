@@ -67,6 +67,55 @@ def test_minhash_lsh_candidates(spark, docs):
     assert len(buckets) >= 4  # 0 and 1 collide in every band
 
 
+def test_minhash_candidate_pairs(spark, docs):
+    from document_extractor_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+
+    cand = minhash_candidate_pairs(docs, k=8, bands=4).toPandas()
+    pairs = set(zip(cand.id_a, cand.id_b))
+    assert (0, 1) in pairs          # exact dups collide in every band
+    assert (cand.id_a < cand.id_b).all()
+    assert not cand.duplicated(["id_a", "id_b"]).any()
+    # hot-bucket cap: with every bucket over-cap, no candidates at all
+    assert minhash_candidate_pairs(
+        docs, k=8, bands=4, max_bucket_df=1).count() == 0
+
+
+def test_minhash_verified_pairs(spark, docs):
+    from document_extractor_spark.operators.dedup import (
+        minhash_verified_pairs,
+    )
+
+    got = minhash_verified_pairs(docs, k=8, bands=4,
+                                 threshold=0.5).toPandas()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in got.itertuples()}
+    assert pairs[(0, 1)] == 1.0     # exact dup verified at jaccard 1
+    # near dup (one word differs out of 9 distinct tokens): token-set
+    # jaccard = 8/10 = 0.8 if LSH surfaced it; never a false positive
+    for (a, b), j in pairs.items():
+        assert j >= 0.5
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_minhash_pipeline_edge_inputs(spark):
+    from document_extractor_spark.operators.components import (
+        dedup_decision)
+    from document_extractor_spark.operators.dedup import (
+        minhash_verified_pairs,
+    )
+
+    # NULL / empty / whitespace-only text and an empty frame
+    rows = [(0, None), (1, ""), (2, "   "), (3, "real text here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_verified_pairs(docs)
+    assert pairs.count() == 0
+    dec = dedup_decision(docs, pairs).toPandas()
+    assert dec.is_keeper.all()      # everyone keeps itself
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert minhash_verified_pairs(empty).count() == 0
+
+
 def test_simhash(spark, docs):
     from document_extractor_spark.operators.dedup import (
         simhash_fingerprints,
@@ -84,16 +133,16 @@ def test_simhash(spark, docs):
 
 def test_embedding_neardup(spark, emb):
     from document_extractor_spark.operators.dedup import (
-        embedding_neardup_pairs,
+        _embedding_neardup_pairs_exact,
     )
 
-    got = embedding_neardup_pairs(emb, threshold=0.95).toPandas()
+    got = _embedding_neardup_pairs_exact(emb, threshold=0.95).toPandas()
     assert set(zip(got.id_a, got.id_b)) == {(0, 1)}
 
 
 def test_embedding_neardup_lsh(spark, emb):
     from document_extractor_spark.operators.dedup import (
-        embedding_neardup_pairs, embedding_neardup_pairs_lsh,
+        _embedding_neardup_pairs_exact, embedding_neardup_pairs_lsh,
     )
 
     # exact dups share every hyperplane sign bit -> recall 1.0 for them
@@ -104,7 +153,7 @@ def test_embedding_neardup_lsh(spark, emb):
     pairs = set(zip(got.id_a, got.id_b))
     assert {(i, i + 100) for i in range(5)} <= pairs
     # cosine values agree with the brute-force path on shared pairs
-    brute = embedding_neardup_pairs(salted, threshold=0.999).toPandas()
+    brute = _embedding_neardup_pairs_exact(salted, threshold=0.999).toPandas()
     bmap = {(r.id_a, r.id_b): r.cosine for r in brute.itertuples()}
     for r in got.itertuples():
         assert abs(bmap[(r.id_a, r.id_b)] - r.cosine) < 1e-6

@@ -60,6 +60,19 @@ def test_dim_bounds(spark):
         hashed_embeddings(docs, dim=0)
 
 
+def test_normalized_norm_evaluated_once_per_row(spark):
+    """The unit-normalize epilogue must keep the O(dim) norm in its
+    own projection: a lambda-captured norm gets re-inlined by Catalyst
+    once PER ELEMENT (O(dim^2) expression evals per row). Pin exactly
+    one `aggregate(`/`SQRT` in the optimized plan."""
+    docs = spark.createDataFrame([(0, "x y z")],
+                                 "doc_id long, text string")
+    plan = hashed_embeddings(docs, dim=64, normalized=True) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("aggregate(") == 1, plan
+    assert plan.upper().count("SQRT") == 1, plan
+
+
 def test_no_python_stage(spark):
     docs = spark.createDataFrame([(0, "x y z")],
                                  "doc_id long, text string")

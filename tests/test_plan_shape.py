@@ -133,6 +133,9 @@ def test_round3_operator_plan_budgets(spark):
         # 5 = training lineage (printed through the cached weight
         # scan) + the one scoring groupBy; only 2 touch the corpus
         "nb_quality_classifier": (5, 0),
+        # returned plan = checkpoint scan (components) + docs join;
+        # the LIVE candidate/verify plan is budgeted in SCALE.md
+        "minhash_dedup_pipeline": (2, 0),
         "domain_link_graph": (1, 0),
         # 2: count(DISTINCT anchor) pays the standard two-phase
         # distinct-aggregate exchange on the domain-bounded rows
