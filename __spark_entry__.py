@@ -1360,7 +1360,7 @@ FROM range(0, 60) t(i)
 
 # Versioned so a corpus.py change invalidates the cached parquet; bump
 # when generate_corpus output changes.
-_ENTRY_CORPUS_DIR = "/tmp/des_corpus_entry_600_v5"
+_ENTRY_CORPUS_DIR = "/tmp/des_corpus_entry_600_v6"
 
 
 def _ensure_entry_corpus() -> str:
@@ -1681,6 +1681,28 @@ SELECT url,
        'ERROR' AS status
 FROM '{_ENTRY_CORPUS_DIR}/expected_quarantine.parquet'
 WHERE fixture_class = 'doc'
+"""
+
+
+def q_office_salvage(spark, sf_dir):
+    """E10 second-chance rows (reference pass_doc.py:105-186): office
+    docs whose native text scored below cutoff, re-extracted leniently
+    and accepted at cutoff=0.0 — method doc_salvage_text (the engine's
+    doc_pdf_text analog), used_fallback=True.  Checked byte-identical
+    against the generator's non-circular golden table."""
+    res = _run_entry_extraction(spark)
+    return (
+        res.extracted.filter(F.col("method") == "doc_salvage_text")
+        .select("url", "method", "status", "used_fallback",
+                "reliability", "text")
+    )
+
+
+_ORACLE_OFFICE_SALVAGE = f"""
+SELECT url, method, status, used_fallback, reliability,
+       extracted_text AS text
+FROM '{_ENTRY_CORPUS_DIR}/expected.parquet'
+WHERE method = 'doc_salvage_text'
 """
 
 
@@ -3651,6 +3673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,
         # --- round-4 additions (slots 37-50) ---
         "minhash_dedup_pipeline": q_minhash_dedup_pipeline,
+        "office_salvage": q_office_salvage,
         # --- previously driver-checked (green CORRECTNESS_r03 rows) ---
         "extract_html_roundtrip": q_extract_html_roundtrip,
         "pricing_summary": q_pricing_summary,
@@ -3713,6 +3736,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_html_roundtrip": _ORACLE_ROUNDTRIP,
         "extract_pipeline_full": _ORACLE_PIPELINE_FULL,
         "extract_error_rows": _ORACLE_ERROR_ROWS,
+        "office_salvage": _ORACLE_OFFICE_SALVAGE,
         "winnow_fingerprints": _ORACLE_WINNOW,
         "url_canonical_dedup": _ORACLE_URL_DEDUP,
         "paragraph_dedup": _ORACLE_PARA_DEDUP,

@@ -47,6 +47,11 @@ class PipelineConfig:
     # reference pass_doc.py:203 / entrypoint.sh:37: legacy .doc cutoff
     doc_cutoff: float = field(
         default_factory=lambda: _env_float("PASS_DOC_CUTOFF", 0.75))
+    # E10 second chance (reference pass_doc.py:105-186): below-cutoff
+    # .doc/.docx rows get a lenient re-extract accepted at cutoff=0.0
+    # (method doc_salvage_text — the engine's doc_pdf_text analog)
+    office_salvage: bool = field(
+        default_factory=lambda: _env_float("OFFICE_SALVAGE", 1.0) != 0.0)
 
     # --- scan-only triage (reference: common.py:216-244, 352-371)
     triage_sample_pages: int = 6

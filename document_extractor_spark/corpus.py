@@ -101,6 +101,25 @@ def _paragraph(rng: random.Random, lang: str, lo: int = 2, hi: int = 5) -> str:
     return " ".join(_sentence(rng, lang) for _ in range(rng.randint(lo, hi)))
 
 
+_JUNK_TOKENS = ["####", "@@@@", "====", "%%%%", "~~~~", "----", "...."]
+
+
+def _junk_paragraph(rng: random.Random) -> str:
+    """Symbol-heavy ASCII text whose alnum ratio lands well under every
+    office cutoff (~0.4), yet is non-blank and printable — the
+    below-cutoff-but-salvageable office body (E10 fixtures). ASCII-only
+    and &<>-free so DOCX XML escaping and the .doc cp1252 piece both
+    round-trip it byte-identically."""
+    parts = []
+    for _ in range(rng.randint(3, 5)):
+        parts.append(rng.choice(_JUNK_TOKENS))
+        parts.append(rng.choice(
+            ["lot", "ref", "qty", "id", "page", "rev"])
+            + str(rng.randint(0, 99)))
+    parts.append(rng.choice(_JUNK_TOKENS))
+    return " ".join(parts)
+
+
 def _domain(rng: random.Random) -> str:
     r = rng.random()
     acc = 0.0
@@ -290,19 +309,32 @@ def generate_corpus(
             expected.extend(child_expected)
 
         elif cls == "docx":
-            paras = [_paragraph(rng, lang, 1, 3)
-                     for _ in range(rng.randint(2, 4))]
-            table = None
-            if rng.random() < 0.5:
-                table = [[_sentence(rng, lang, 3, 6)
-                          for _ in range(2)] for _ in range(2)]
-            row["html"] = build_docx(paras, table)
-            # reference walk order: all paragraphs, then table cells
-            # (pass_doc.py:63-76), joined "\n"
-            truth = "\n".join(
-                paras + ([c for r_ in table for c in r_] if table else []))
-            expected.append(_exp(
-                truth, "docx_text", False, score_reliability(truth)))
+            if rng.random() < 0.25:
+                # below-cutoff body: symbol-heavy text scores under
+                # PASS_DOCX_CUTOFF, so the E10 salvage pass re-extracts
+                # leniently and accepts at cutoff=0.0 (pass_doc.py:
+                # 105-186 second chance; method doc_salvage_text)
+                paras = [_junk_paragraph(rng) for _ in range(2)]
+                row["html"] = build_docx(paras, None)
+                truth = "\n".join(paras)
+                expected.append(_exp(
+                    truth, "doc_salvage_text", True,
+                    score_reliability(truth)))
+            else:
+                paras = [_paragraph(rng, lang, 1, 3)
+                         for _ in range(rng.randint(2, 4))]
+                table = None
+                if rng.random() < 0.5:
+                    table = [[_sentence(rng, lang, 3, 6)
+                              for _ in range(2)] for _ in range(2)]
+                row["html"] = build_docx(paras, table)
+                # reference walk order: all paragraphs, then table
+                # cells (pass_doc.py:63-76), joined "\n"
+                truth = "\n".join(
+                    paras
+                    + ([c for r_ in table for c in r_] if table else []))
+                expected.append(_exp(
+                    truth, "docx_text", False, score_reliability(truth)))
 
         elif cls == "doc":
             # legacy Word binary (E9): piece-table variants — plain
@@ -312,13 +344,19 @@ def generate_corpus(
             paras = [_paragraph(rng, lang, 1, 3)
                      for _ in range(rng.randint(2, 4))]
             variant = rng.random()
-            if variant < 0.45:
+            if variant < 0.40:
                 row["html"] = build_doc(paras)
-            elif variant < 0.70:
+            elif variant < 0.60:
                 row["html"] = build_doc(paras, split_pieces=True)
-            elif variant < 0.85:
+            elif variant < 0.75:
                 paras[-1] += " — συμπέρασμα"  # forces a UTF-16LE piece
                 row["html"] = build_doc(paras, split_pieces=True)
+            elif variant < 0.85:
+                # below-cutoff body -> E10 salvage (pass_doc.py:105-186):
+                # the lenient printable-run scrape of the single cp1252
+                # piece recovers exactly the paragraph text
+                paras = [_junk_paragraph(rng) for _ in range(2)]
+                row["html"] = build_doc(paras)
             elif variant < 0.95:
                 row["html"] = build_doc(paras)[:600]  # truncated CFB
                 quarantine.append({"url": url, "reason": "doc_open_failed",
@@ -328,10 +366,15 @@ def generate_corpus(
                     [("Workbook", b"\x09\x08" + bytes(128))])
                 quarantine.append({"url": url, "reason": "unsupported",
                                    "fixture_class": cls})
-            if variant < 0.85:
+            if variant < 0.75:
                 truth = "\n".join(paras)
                 expected.append(_exp(
                     truth, "doc_text", False, score_reliability(truth)))
+            elif variant < 0.85:
+                truth = "\n".join(paras)
+                expected.append(_exp(
+                    truth, "doc_salvage_text", True,
+                    score_reliability(truth)))
 
         elif cls == "gzip_html":
             # Common-Crawl payloads often arrive gzip-compressed: the

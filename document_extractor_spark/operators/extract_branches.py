@@ -26,8 +26,8 @@ from ..functions.scoring import (
     sample_page_indices,
     score_reliability,
 )
-from ..functions.doc_mini import DocParseError, doc_text
-from ..functions.docx_mini import DOCX_MARKER, docx_text
+from ..functions.doc_mini import DocParseError, doc_text, doc_text_lenient
+from ..functions.docx_mini import DOCX_MARKER, docx_text, docx_text_lenient
 from ..functions.textnorm import decode_detect, decode_reference
 from .html_extract import (
     StrictParseError,
@@ -120,13 +120,31 @@ def _pdf_core(url, warc_ts, lang, payload, cfg: PipelineConfig) -> dict:
                 False, per_page, n, pages, spans, med)
 
 
+def _office_salvage(url, warc_ts, lang, fmt, salvage_text, rel) -> dict | None:
+    """E10 second-chance acceptance (reference pass_doc.py:105-186):
+    a below-cutoff office doc gets one more extraction and ANY
+    non-blank result is accepted (the reference passes cutoff=0.0 to
+    the PDF-text rescore).  The reference converts to PDF first
+    (doc_to_pdf.py:8-47); with no office converter in an executor the
+    lenient re-extract plays that role, so the method is recorded as
+    `doc_salvage_text` (the engine's doc_pdf_text analog) with
+    used_fallback=True.  Returns None when nothing is recoverable —
+    the caller then emits the original below-cutoff ERROR row."""
+    if not salvage_text.strip():
+        return None
+    rel2 = score_reliability(salvage_text)
+    return _row(url, warc_ts, lang, fmt, "doc_salvage_text", "OK",
+                True, False, 1, [(1, salvage_text, rel2)],
+                [(0, len(salvage_text))], rel2)
+
+
 def _docx_core(url, warc_ts, lang, payload, cfg: PipelineConfig) -> dict:
     """DOCX native text (reference pass_doc.py:185-258): paragraph +
     table-cell walk, reliability gate at PASS_DOCX_CUTOFF, single-page
     doc on accept; open/parse failure records method doc_extract_error
-    (pass_doc.py:216-230). The reference's DOC->PDF second chance
-    (doc_to_pdf.py) shells out to an office converter, so below-cutoff
-    rows go straight to ERROR here (documented drop, COVERAGE.md)."""
+    (pass_doc.py:216-230) and — like the reference, which sys.exits
+    before its fallback — gets NO second chance.  Below-cutoff rows
+    take the E10 salvage pass (see _office_salvage)."""
     try:
         t = docx_text(payload)
     except Exception as exc:
@@ -137,6 +155,11 @@ def _docx_core(url, warc_ts, lang, payload, cfg: PipelineConfig) -> dict:
     if t.strip() and rel >= cfg.docx_cutoff:
         return _row(url, warc_ts, lang, "docx", "docx_text", "OK",
                     False, False, 1, [(1, t, rel)], [(0, len(t))], rel)
+    if cfg.office_salvage:
+        salvaged = _office_salvage(
+            url, warc_ts, lang, "docx", docx_text_lenient(payload), rel)
+        if salvaged is not None:
+            return salvaged
     return _row(url, warc_ts, lang, "docx", "docx_text", "ERROR",
                 False, False, 0, [], [], rel,
                 f"docx_below_cutoff: rel={rel:.4f}")
@@ -167,6 +190,11 @@ def _doc_core(url, warc_ts, lang, payload, cfg: PipelineConfig) -> dict:
     if t.strip() and rel >= cfg.doc_cutoff:
         return _row(url, warc_ts, lang, "doc", "doc_text", "OK",
                     False, False, 1, [(1, t, rel)], [(0, len(t))], rel)
+    if cfg.office_salvage:
+        salvaged = _office_salvage(
+            url, warc_ts, lang, "doc", doc_text_lenient(payload), rel)
+        if salvaged is not None:
+            return salvaged
     return _row(url, warc_ts, lang, "doc", "doc_text", "ERROR",
                 False, False, 0, [], [], rel,
                 f"doc_below_cutoff: rel={rel:.4f}")

@@ -141,6 +141,32 @@ def test_doc_core_contract(spark):
     assert quar.loc["u://doc-xls"].reason == "unsupported"
 
 
+def test_doc_salvage_second_chance():
+    """E10 (reference pass_doc.py:105-186): a structurally valid .doc
+    whose text scores below PASS_DOC_CUTOFF is re-extracted leniently
+    and accepted at cutoff=0.0 with method doc_salvage_text."""
+    from document_extractor_spark.config import PipelineConfig
+    from document_extractor_spark.operators.extract_branches import (
+        _doc_core)
+
+    junk = ["#### lot7 @@@@ ref42 ====", "%%%% qty9 ~~~~ id0 ...."]
+    payload = build_doc(junk)
+    row = _doc_core("u", None, "en", payload, PipelineConfig())
+    assert (row["method"], row["status"]) == ("doc_salvage_text", "OK")
+    assert row["used_fallback"] is True
+    assert row["pages"][0][1] == "\n".join(junk)
+    assert row["reliability"] < 0.75
+    # disabled -> the pre-E10 drop
+    row = _doc_core("u", None, "en", payload,
+                    PipelineConfig(office_salvage=False))
+    assert (row["method"], row["status"]) == ("doc_text", "ERROR")
+    assert "doc_below_cutoff" in row["error"]
+    # open failures get NO second chance (the reference exits before
+    # its fallback on open errors, pass_doc.py:216-230)
+    row = _doc_core("u", None, "en", payload[:600], PipelineConfig())
+    assert (row["method"], row["status"]) == ("doc_extract_error", "ERROR")
+
+
 def test_staged_equals_fused_for_doc(spark):
     """The staged doc branch and the fused dispatcher agree."""
     from document_extractor_spark.config import PipelineConfig

@@ -55,10 +55,18 @@ def test_docx_core_accept_and_reject():
     assert (row["method"], row["status"]) == ("docx_text", "OK")
     assert row["pages"][0][1].startswith("The quarterly")
 
-    # punctuation soup scores below the 0.70 cutoff -> ERROR (the
-    # reference would try DOC->PDF; documented drop here)
-    bad = build_docx(["#$%^&* ()!@~ ;;;; :::: ,,,, ....", "|<>? +=-"])
+    # punctuation soup scores below the 0.70 cutoff -> the E10 second
+    # chance re-extracts leniently and accepts at cutoff=0.0 with
+    # method doc_salvage_text + used_fallback (pass_doc.py:105-186)
+    bad = build_docx(["#$%^* ()!@~ ;;;; :::: ,,,, ....", "|? +=-"])
     row = _docx_core("u", None, "en", bad, cfg)
+    assert (row["method"], row["status"]) == ("doc_salvage_text", "OK")
+    assert row["used_fallback"] is True
+    assert row["pages"][0][1] == "#$%^* ()!@~ ;;;; :::: ,,,, ....\n|? +=-"
+
+    # salvage disabled -> the pre-E10 documented drop
+    row = _docx_core("u", None, "en", bad,
+                     PipelineConfig(office_salvage=False))
     assert (row["method"], row["status"]) == ("docx_text", "ERROR")
     assert "docx_below_cutoff" in row["error"]
 
