@@ -1328,6 +1328,72 @@ def q_media_metadata(spark, sf_dir):
     return media_meta_table(media)
 
 
+def q_media_features(spark, sf_dir):
+    """REAL media content decode (r3 verdict #5): PNG pixels via
+    zlib inflate + defilter, WAV PCM samples via numpy — exact integer
+    stats (count / sum / sum-of-squares / peak-abs).  MP4/JPEG rows
+    yield NULL stats (codec decode is not stdlib-feasible; the engine
+    reports 'not decoded' instead of fabricating numbers).  Fixture
+    content follows closed formulas, so the oracle recomputes every
+    stat arithmetically in SQL — the decode path is value-checked,
+    not just shape-checked."""
+    from document_extractor_spark.operators.multimodal import (
+        build_mp4,
+        build_png_full,
+        build_wav_full,
+        media_feature_table,
+    )
+
+    rows = []
+    for i in range(40):
+        if i % 4 == 0:
+            rows.append((i, build_png_full(8 * (i % 5 + 1),
+                                           4 * (i % 3 + 1))))
+        elif i % 4 == 1:
+            rows.append((i, build_wav_full((i % 7 + 1) * 500)))
+        elif i % 4 == 2:
+            rows.append((i, build_mp4(i % 11 + 1)))
+        else:
+            rows.append((i, b"\xff\xd8\xff\xe0" + bytes(64)))
+    media = spark.createDataFrame(rows, "id long, media binary")
+    return media_feature_table(media)
+
+
+_ORACLE_MEDIA_FEATURES = """
+WITH dims AS (
+  SELECT i,
+         CASE i % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+                    WHEN 2 THEN 'video/mp4' ELSE 'image/jpeg' END AS kind,
+         8 * (i % 5 + 1) AS w, 4 * (i % 3 + 1) AS h,
+         (i % 7 + 1) * 500 AS ns
+  FROM range(0, 40) t(i)),
+-- DuckDB range() cannot take lateral column bounds: enumerate to the
+-- fixture maxima and filter per row instead
+pngvals AS (
+  SELECT d.i, (3 * x.x + 7 * y.y + 11 * c.c) % 256 AS v
+  FROM dims d, range(0, 40) x(x), range(0, 12) y(y), range(0, 3) c(c)
+  WHERE d.i % 4 = 0 AND x.x < d.w AND y.y < d.h),
+png AS (
+  SELECT i, count(*) AS n_values, sum(v) AS v_sum,
+         sum(v * v) AS v_sqsum, max(v) AS v_peak
+  FROM pngvals GROUP BY i),
+wavvals AS (
+  SELECT d.i, (j.j * 2654435761) % 65536 - 32768 AS v
+  FROM dims d, range(0, 3500) j(j)
+  WHERE d.i % 4 = 1 AND j.j < d.ns),
+wav AS (
+  SELECT i, count(*) AS n_values, sum(v) AS v_sum,
+         sum(v * v) AS v_sqsum, max(abs(v)) AS v_peak
+  FROM wavvals GROUP BY i)
+SELECT CAST(d.i AS BIGINT) AS id, d.kind,
+       CAST(coalesce(p.n_values, v.n_values) AS BIGINT) AS n_values,
+       CAST(coalesce(p.v_sum, v.v_sum) AS BIGINT) AS v_sum,
+       CAST(coalesce(p.v_sqsum, v.v_sqsum) AS BIGINT) AS v_sqsum,
+       CAST(coalesce(p.v_peak, v.v_peak) AS BIGINT) AS v_peak
+FROM dims d LEFT JOIN png p ON p.i = d.i LEFT JOIN wav v ON v.i = d.i
+"""
+
+
 def _media_fixture_sizes() -> tuple[int, int, int]:
     from document_extractor_spark.operators.multimodal import (
         build_mp4, build_png, build_wav)
@@ -3674,6 +3740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 additions (slots 37-50) ---
         "minhash_dedup_pipeline": q_minhash_dedup_pipeline,
         "office_salvage": q_office_salvage,
+        "media_features": q_media_features,
         # --- previously driver-checked (green CORRECTNESS_r03 rows) ---
         "extract_html_roundtrip": q_extract_html_roundtrip,
         "pricing_summary": q_pricing_summary,
@@ -3743,6 +3810,7 @@ def oracle_sql() -> dict[str, str]:
         "token_windows": _ORACLE_TOKEN_WINDOWS,
         "streaming_dedup": _ORACLE_STREAM_DEDUP,
         "media_metadata": _ORACLE_MEDIA,
+        "media_features": _ORACLE_MEDIA_FEATURES,
         "simhash_fingerprints": _ORACLE_SIMHASH,
         "simhash_neardup_pairs": _ORACLE_SIMHASH_PAIRS,
         "embedding_neardup_lsh": _ORACLE_NEARDUP_LSH,

@@ -1,26 +1,30 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
-columns with typed metadata.
+columns with typed metadata and REAL stdlib content decode where one
+exists.
 
-The decode kernels themselves are STUBBED (the image/audio libraries
-are not in this container — each stub is a deterministic fake behind
-an import-try so the Spark-side contract is fully real and tested):
-schema, partitioning, Arrow batch shape, and UDF signatures are the
-production surface; swapping a real decoder in changes one function
-body and nothing else.
+Metadata (kind, width, height, duration, codec) comes from real
+header parsing (PNG IHDR, JPEG SOFn, RIFF fmt/data, MP4 mvhd).
+Content decode is real for the stdlib-feasible kinds — PNG pixels
+(zlib inflate + all five PNG filters) and WAV PCM samples (numpy
+frame view) — and explicitly NULL for kinds whose decode needs a
+codec library (JPEG entropy decode, MP4 video): the engine never
+fabricates feature values for content it cannot actually decode
+(r3 verdict item #5; the md5-projection stub and the fake MP4 frame
+sampler were removed for exactly that reason).
 
 Design points for 100 TB:
-- media stays an opaque `binary` column; metadata (kind, width,
-  height, duration, codec) is a typed struct extracted once and
-  stored columnar, so later filters prune on metadata without ever
-  touching bytes (column pruning keeps the binary out of the scan).
+- media stays an opaque `binary` column; metadata is a typed struct
+  extracted once and stored columnar, so later filters prune on
+  metadata without ever touching bytes (column pruning keeps the
+  binary out of the scan).
 - decode/feature kernels run in `mapInPandas` with small Arrow
   batches (binary rows are huge); never per-row Python UDFs.
-- frame sampling emits one row per sampled frame (explode analog),
-  sized by an explicit stride so output row count is predictable.
+- feature stats are integer sums (exact, order-independent), so the
+  driver oracle can recompute them arithmetically from the fixture
+  generation formulas.
 """
 from __future__ import annotations
 
-import hashlib
 from typing import Iterator
 
 import numpy as np
@@ -28,18 +32,12 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
-try:  # pragma: no cover - not present in this container
-    from PIL import Image  # noqa: F401
-    _HAVE_PIL = True
-except ImportError:
-    _HAVE_PIL = False
-
 MEDIA_META_SCHEMA = (
     "id long, kind string, n_bytes long, width int, height int, "
     "duration_ms int, codec string"
 )
-FEATURE_SCHEMA = "id long, kind string, feature array<float>"
-FRAME_SCHEMA = "id long, frame_idx int, frame_bytes binary"
+FEATURE_SCHEMA = ("id long, kind string, n_values bigint, "
+                  "v_sum bigint, v_sqsum bigint, v_peak bigint")
 
 
 def _sniff_media_kind(payload: bytes | None) -> str:
@@ -58,8 +56,7 @@ def _sniff_media_kind(payload: bytes | None) -> str:
 
 # ---------------------------------------------------------------------------
 # REAL header parsers (stdlib-only): metadata extraction does not need
-# image/audio libraries — only pixel/sample DECODE does (still stubbed
-# in media_features / frame sampling). A payload whose magic matches
+# image/audio libraries. A payload whose magic matches
 # but whose header is truncated/garbled degrades to None fields.
 # ---------------------------------------------------------------------------
 def _png_dims(payload: bytes) -> tuple[int | None, int | None]:
@@ -181,42 +178,142 @@ def extract_media_meta(
             "codec"])
 
 
+# ---------------------------------------------------------------------------
+# REAL content decode (stdlib + numpy): WAV PCM samples and PNG pixels
+# are decodable without any media library — zlib inflates IDAT, numpy
+# views PCM frames. JPEG entropy decode and MP4 codec decode are NOT
+# stdlib-feasible and return NULL features (an explicit "not decoded",
+# never a fabricated number). Replaces the r3 md5-projection stub.
+# ---------------------------------------------------------------------------
+def _png_pixel_values(payload: bytes) -> np.ndarray | None:
+    """Defiltered pixel bytes of an 8-bit PNG (all 5 filter types),
+    concatenated row-major. None for malformed/interlaced/sub-byte
+    payloads."""
+    import zlib
+
+    if len(payload) < 33 or payload[12:16] != b"IHDR":
+        return None
+    w = int.from_bytes(payload[16:20], "big")
+    h = int.from_bytes(payload[20:24], "big")
+    bit_depth, color = payload[24], payload[25]
+    interlace = payload[28]
+    if bit_depth != 8 or interlace != 0 or not w or not h:
+        return None
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        return None
+    idat, pos = [], 8
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos:pos + 4], "big")
+        ctype = payload[pos + 4:pos + 8]
+        if ctype == b"IDAT":
+            idat.append(payload[pos + 8:pos + 8 + size])
+        pos += 12 + size  # len + type + crc
+    if not idat:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != h * (1 + stride):
+        return None
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    filters, data = rows[:, 0], rows[:, 1:].astype(np.int64)
+    out = np.zeros_like(data)
+    bpp = channels
+    for y in range(h):
+        f = filters[y]
+        cur = data[y].copy()
+        prior = out[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        if f == 0:
+            pass
+        elif f == 1:      # Sub
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) % 256
+        elif f == 2:      # Up
+            cur = (cur + prior) % 256
+        elif f == 3:      # Average
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + (left + prior[x]) // 2) % 256
+        elif f == 4:      # Paeth
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                c = out[y - 1][x - bpp] if (y and x >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) % 256
+        else:
+            return None
+        out[y] = cur
+    return out.reshape(-1)
+
+
+def _wav_pcm_values(payload: bytes) -> np.ndarray | None:
+    """Interleaved PCM sample values of a 16- or 8-bit PCM WAV.
+    None for non-PCM or malformed chunks."""
+    pos, n = 12, len(payload)
+    fmt_tag = bits = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt_tag = int.from_bytes(body[0:2], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt_tag != 1 or data is None:
+        return None
+    if bits == 16:
+        return np.frombuffer(
+            data[: len(data) // 2 * 2], dtype="<i2").astype(np.int64)
+    if bits == 8:  # WAV 8-bit is unsigned, centered at 128
+        return np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+    return None
+
+
 def media_features(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """Feature-extraction kernel (stub: deterministic 8-dim md5
-    projection in place of a real embedding model)."""
+    """mapInPandas kernel: (id, media) -> exact integer content stats.
+
+    Real decode for the stdlib-feasible kinds (PNG pixels via
+    zlib+defilter, WAV PCM via numpy frame view); JPEG/MP4/unknown
+    yield NULL stats.  Integer sums (sum / sum-of-squares / peak-abs /
+    count) are exact and order-independent, so the driver oracle can
+    recompute them arithmetically from the fixture formulas — a
+    float embedding here would be unverifiable."""
     for pdf_batch in batches:
         out = []
         for r in pdf_batch.itertuples(index=False):
             payload = r.media or b""
-            digest = hashlib.md5(payload).digest()
-            vec = (np.frombuffer(digest[:8], dtype=np.uint8)
-                   .astype(np.float32) / 255.0)
-            out.append({"id": r.id, "kind": _sniff_media_kind(payload),
-                        "feature": vec.tolist()})
-        yield pd.DataFrame(out, columns=["id", "kind", "feature"])
-
-
-def make_frame_sampler(stride: int = 10, max_frames: int = 8):
-    """Frame-sampling kernel factory (video -> frame rows). Stub slices
-    the payload at deterministic offsets in place of real decode."""
-    def sample_frames(
-        batches: Iterator[pd.DataFrame],
-    ) -> Iterator[pd.DataFrame]:
-        for pdf_batch in batches:
-            out = []
-            for r in pdf_batch.itertuples(index=False):
-                payload = r.media or b""
-                n = min(max_frames, max(0, len(payload) // (stride * 16)))
-                for i in range(n):
-                    off = i * stride * 16
-                    out.append({"id": r.id, "frame_idx": i,
-                                "frame_bytes": payload[off:off + 16]})
-            yield pd.DataFrame(out, columns=["id", "frame_idx",
-                                             "frame_bytes"])
-
-    return sample_frames
+            kind = _sniff_media_kind(payload)
+            vals = None
+            if kind == "image/png":
+                vals = _png_pixel_values(payload)
+            elif kind == "audio/wav":
+                vals = _wav_pcm_values(payload)
+            if vals is None or not len(vals):
+                out.append({"id": r.id, "kind": kind, "n_values": None,
+                            "v_sum": None, "v_sqsum": None,
+                            "v_peak": None})
+            else:
+                out.append({
+                    "id": r.id, "kind": kind,
+                    "n_values": int(len(vals)),
+                    "v_sum": int(vals.sum()),
+                    "v_sqsum": int((vals * vals).sum()),
+                    "v_peak": int(np.abs(vals).max()),
+                })
+        yield pd.DataFrame(out, columns=[
+            "id", "kind", "n_values", "v_sum", "v_sqsum", "v_peak"])
 
 
 def media_meta_table(media: DataFrame) -> DataFrame:
@@ -228,12 +325,6 @@ def media_meta_table(media: DataFrame) -> DataFrame:
 def media_feature_table(media: DataFrame) -> DataFrame:
     return media.select("id", "media").mapInPandas(
         media_features, schema=FEATURE_SCHEMA)
-
-
-def sampled_frames_table(media: DataFrame, stride: int = 10,
-                         max_frames: int = 8) -> DataFrame:
-    return media.select("id", "media").mapInPandas(
-        make_frame_sampler(stride, max_frames), schema=FRAME_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -263,6 +354,45 @@ def build_wav(seconds: int, rate: int = 8000, channels: int = 1,
     # are metadata fixtures, not playable audio)
     body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", data_size) + bytes(16))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def build_png_full(w: int, h: int) -> bytes:
+    """Full 8-bit RGB PNG with real pixel content: p(x,y,c) =
+    (3x + 7y + 11c) mod 256, rows filter-0, one zlib IDAT.  The pixel
+    formula is SQL-recomputable, which is what lets the driver oracle
+    value-check the decode path arithmetically."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+    x = np.arange(w, dtype=np.int64)[None, :, None] * 3
+    y = np.arange(h, dtype=np.int64)[:, None, None] * 7
+    c = np.arange(3, dtype=np.int64)[None, None, :] * 11
+    px = ((x + y + c) % 256).astype(np.uint8).reshape(h, w * 3)
+    raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))
+    idat = zlib.compress(raw, 6)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+
+def build_wav_full(n_samples: int, rate: int = 8000) -> bytes:
+    """Full 16-bit mono PCM WAV with real sample content: s(j) =
+    ((j * 2654435761) mod 65536) - 32768 — integer-exact and
+    SQL-recomputable (see build_png_full)."""
+    import struct
+
+    j = np.arange(n_samples, dtype=np.int64)
+    samples = ((j * 2654435761) % 65536 - 32768).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 

@@ -36,28 +36,116 @@ def test_media_meta(spark, media):
     # test_media_meta_real_header_parsing
 
 
-def test_media_features_deterministic(spark, media):
+def test_media_features_real_decode(spark):
+    """PNG pixel and WAV PCM stats computed against the INDEPENDENT
+    generation formulas (not the kernel's own parse); undecodable
+    kinds yield NULL stats, never fabricated numbers."""
+    import pandas as pd
+
     from document_extractor_spark.operators.multimodal import (
+        build_mp4,
+        build_png_full,
+        build_wav_full,
         media_feature_table,
     )
 
-    a = media_feature_table(media).toPandas().set_index("id")
-    b = media_feature_table(media).toPandas().set_index("id")
-    for i in a.index:
-        assert list(a.loc[i, "feature"]) == list(b.loc[i, "feature"])
-        assert len(a.loc[i, "feature"]) == 8
+    w, h, ns = 8, 4, 600
+    rows = [(0, build_png_full(w, h)), (1, build_wav_full(ns)),
+            (2, build_mp4(3)), (3, b"\xff\xd8\xff\xe0" + bytes(32)),
+            (4, b"not-media")]
+    media = spark.createDataFrame(rows, "id long, media binary")
+    got = media_feature_table(media).toPandas().set_index("id")
+
+    px = [(3 * x + 7 * y + 11 * c) % 256
+          for y in range(h) for x in range(w) for c in range(3)]
+    assert got.loc[0, "n_values"] == w * h * 3
+    assert got.loc[0, "v_sum"] == sum(px)
+    assert got.loc[0, "v_sqsum"] == sum(v * v for v in px)
+    assert got.loc[0, "v_peak"] == max(px)
+
+    sm = [((j * 2654435761) % 65536) - 32768 for j in range(ns)]
+    assert got.loc[1, "n_values"] == ns
+    assert got.loc[1, "v_sum"] == sum(sm)
+    assert got.loc[1, "v_sqsum"] == sum(v * v for v in sm)
+    assert got.loc[1, "v_peak"] == max(abs(v) for v in sm)
+
+    for i in (2, 3, 4):  # mp4 / jpeg / unknown: explicit NULLs
+        assert pd.isna(got.loc[i, "n_values"])
+        assert pd.isna(got.loc[i, "v_sum"])
 
 
-def test_frame_sampling(spark, media):
+def test_wav_decode_matches_stdlib_wave():
+    """Cross-check the RIFF walk against the stdlib wave module."""
+    import io
+    import wave
+
+    import numpy as np
+
     from document_extractor_spark.operators.multimodal import (
-        sampled_frames_table,
-    )
+        _wav_pcm_values, build_wav_full)
 
-    got = sampled_frames_table(media, stride=2, max_frames=4).toPandas()
-    vid = got[got.id == 3]
-    assert len(vid) == 4
-    assert list(vid.frame_idx) == [0, 1, 2, 3]
-    assert all(len(b) > 0 for b in vid.frame_bytes)
+    payload = build_wav_full(1234, rate=16000)
+    with wave.open(io.BytesIO(payload)) as wf:
+        assert wf.getnchannels() == 1
+        assert wf.getsampwidth() == 2
+        assert wf.getframerate() == 16000
+        ref = np.frombuffer(wf.readframes(wf.getnframes()), dtype="<i2")
+    got = _wav_pcm_values(payload)
+    assert np.array_equal(got, ref.astype(np.int64))
+
+
+def test_png_defilter_all_filter_types():
+    """Hand-build a grayscale PNG using every filter type (0-4) and
+    check the defiltered pixels against the known image."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from document_extractor_spark.operators.multimodal import (
+        _png_pixel_values)
+
+    w, h = 4, 5
+    img = np.arange(w * h, dtype=np.int64).reshape(h, w) * 13 % 256
+
+    def encode_row(y, ftype):
+        cur = img[y]
+        prior = img[y - 1] if y else np.zeros(w, dtype=np.int64)
+        if ftype == 0:
+            enc = cur
+        elif ftype == 1:  # Sub
+            enc = [(cur[x] - (cur[x - 1] if x else 0)) % 256
+                   for x in range(w)]
+        elif ftype == 2:  # Up
+            enc = (cur - prior) % 256
+        elif ftype == 3:  # Average
+            enc = [(cur[x] - ((cur[x - 1] if x else 0) + prior[x]) // 2)
+                   % 256 for x in range(w)]
+        else:             # Paeth
+            enc = []
+            for x in range(w):
+                a = cur[x - 1] if x else 0
+                b = prior[x]
+                c = img[y - 1][x - 1] if (y and x) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                enc.append((cur[x] - pred) % 256)
+        return bytes([ftype]) + bytes(int(v) for v in enc)
+
+    raw = b"".join(encode_row(y, y % 5) for y in range(h))
+    ihdr = struct.pack(">II5B", w, h, 8, 0, 0, 0, 0)  # grayscale
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    got = _png_pixel_values(payload)
+    assert got is not None
+    assert np.array_equal(got, img.reshape(-1))
 
 
 def test_salted_agg_matches_plain(spark):

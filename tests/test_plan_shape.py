@@ -136,6 +136,11 @@ def test_round3_operator_plan_budgets(spark):
         # returned plan = checkpoint scan (components) + docs join;
         # the LIVE candidate/verify plan is budgeted in SCALE.md
         "minhash_dedup_pipeline": (2, 0),
+        # one mapInPandas decode kernel, zero shuffles
+        "media_features": (0, 1),
+        # pipeline runs over the seeded corpus; salvage rides inside
+        # the ONE office Arrow stage (no extra exchange or kernel)
+        "office_salvage": (2, 3),
         "domain_link_graph": (1, 0),
         # 2: count(DISTINCT anchor) pays the standard two-phase
         # distinct-aggregate exchange on the domain-bounded rows
