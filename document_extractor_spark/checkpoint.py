@@ -89,13 +89,20 @@ def run_and_commit(
 ) -> ExtractionResult | None:
     """One incremental batch: resume-filter -> extract -> append ->
     commit manifest. Returns None when nothing is uncommitted."""
+    from .observability import job_params_table, log_phase
+
     cfg = cfg or PipelineConfig()
+    # O2: the effective-config banner row lands FIRST (it is the
+    # record of what this run was about to do, entrypoint.sh:69-88)
+    log_phase("start", run_id=cfg.run_id, out_dir=out_dir)
+    write_table(job_params_table(spark, cfg), "job_params", out_dir)
     # persist: without it the pages scan + manifest anti-join re-run
     # three times (emptiness probe, the extraction job, the manifest
     # write) — two full input re-reads per incremental batch
     todo = filter_uncommitted(spark, pages, out_dir).persist()
     try:
         if not todo.take(1):
+            log_phase("noop", run_id=cfg.run_id)
             return None
         result = run_extraction(spark, todo, cfg)
         # io_tables routes each write to the configured Iceberg catalog
@@ -107,6 +114,7 @@ def run_and_commit(
         write_table(
             todo.select("url").withColumn("run_id", F.lit(cfg.run_id)),
             "_manifest", out_dir)
+        log_phase("commit", run_id=cfg.run_id)
         return result
     finally:
         todo.unpersist()

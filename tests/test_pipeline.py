@@ -104,6 +104,35 @@ def test_metrics_counters(corpus, extraction):
     assert met.bytes_extracted.sum() == want_bytes
 
 
+def test_job_params_banner_row(spark, pages_df, cfg, tmp_path):
+    """O2 (entrypoint.sh:69-88 analog): every run_and_commit writes a
+    queryable job_params table with the EFFECTIVE config, the
+    result-affecting session confs, and library versions; it
+    round-trips through the table sink."""
+    import json
+
+    from document_extractor_spark.checkpoint import run_and_commit
+    from document_extractor_spark.observability import log_phase
+
+    out = str(tmp_path / "out")
+    run_and_commit(spark, pages_df.limit(20), out, cfg)
+    params = spark.read.parquet(os.path.join(out, "job_params")).toPandas()
+    kv = dict(zip(params.key, params.value))
+    assert (params.run_id == cfg.run_id).all()
+    assert kv["cfg.doc_cutoff"] == str(cfg.doc_cutoff)
+    assert kv["cfg.office_salvage"] == str(cfg.office_salvage)
+    assert kv["conf.spark.sql.session.timeZone"] == "UTC"
+    assert kv["version.spark"] == spark.version
+    import pyspark
+    assert kv["version.pyspark"] == pyspark.__version__
+
+    # O1: phase lines are machine-parseable JSON with stable keys
+    line = log_phase("commit", run_id="r1", docs=3)
+    parsed = json.loads(line)
+    assert parsed == {"event": "phase", "phase": "commit",
+                      "run_id": "r1", "docs": 3}
+
+
 def test_idempotent_resume(spark, pages_df, cfg, tmp_path):
     """Run twice over the same snapshot: second run writes 0 new rows
     (replaces the reference's delete-on-success, process_run.py:194-197)."""
