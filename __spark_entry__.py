@@ -1772,6 +1772,65 @@ WHERE method = 'doc_salvage_text'
 """
 
 
+def q_eval_holdout(spark, sf_dir):
+    """Fixed-size eval holdout: exactly min(k, n) docs per language,
+    deterministic md5 ranking (no rand()/sampleBy seed drift) — the
+    fixed-cardinality companion to the rate-based samplers. One
+    window shuffle."""
+    from document_extractor_spark.functions.sampling import (
+        exact_stratum_holdout)
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return exact_stratum_holdout(d, "doc_id", "lang", k=20)
+
+
+_ORACLE_EVAL_HOLDOUT = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+  FROM documents) t
+WHERE r <= 20
+"""
+
+
+def q_unicode_nfc(spark, sf_dir):
+    """Unicode NFC canonicalization (the C4/CCNet text-normalization
+    slot) as an Arrow-batched kernel; the corpus is ASCII-heavy, so
+    combining sequences are appended deterministically from doc_id to
+    exercise real composition (same expression in the oracle).
+    Python unicodedata and DuckDB utf8proc agree byte-for-byte on NFC
+    (normalization stability policy; hazard cases pinned in
+    tests/test_textnorm.py)."""
+    from document_extractor_spark.functions.textnorm import (
+        nfc_normalize_col)
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    synth = d.withColumn(
+        "_synth",
+        F.concat(F.col("text"),
+                 F.repeat(F.lit("e\u0301"),  # decomposed e + combining acute
+                          (F.col("doc_id") % 3).cast("int"))))
+    withn = synth.withColumn("text_nfc", nfc_normalize_col(F.col("_synth")))
+    return withn.select(
+        "doc_id", "text_nfc",
+        F.length("text_nfc").cast("long").alias("nfc_len"),
+        (F.col("text_nfc") != F.col("_synth")).alias("changed"))
+
+
+_ORACLE_UNICODE_NFC = """
+WITH s AS (
+  SELECT doc_id,
+         text || repeat('e' || chr(769), CAST(doc_id % 3 AS INT))
+             AS synth
+  FROM documents)
+SELECT doc_id, nfc_normalize(synth) AS text_nfc,
+       CAST(length(nfc_normalize(synth)) AS BIGINT) AS nfc_len,
+       nfc_normalize(synth) <> synth AS changed
+FROM s
+"""
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrub (C4/RefinedWeb-style pre-training pass): e-mail / IPv4
     / phone redaction with typed tokens plus per-doc removal counts.
@@ -3741,6 +3800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_pipeline": q_minhash_dedup_pipeline,
         "office_salvage": q_office_salvage,
         "media_features": q_media_features,
+        "eval_holdout": q_eval_holdout,
+        "unicode_nfc": q_unicode_nfc,
         # --- previously driver-checked (green CORRECTNESS_r03 rows) ---
         "extract_html_roundtrip": q_extract_html_roundtrip,
         "pricing_summary": q_pricing_summary,
@@ -3811,6 +3872,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": _ORACLE_STREAM_DEDUP,
         "media_metadata": _ORACLE_MEDIA,
         "media_features": _ORACLE_MEDIA_FEATURES,
+        "eval_holdout": _ORACLE_EVAL_HOLDOUT,
+        "unicode_nfc": _ORACLE_UNICODE_NFC,
         "simhash_fingerprints": _ORACLE_SIMHASH,
         "simhash_neardup_pairs": _ORACLE_SIMHASH_PAIRS,
         "embedding_neardup_lsh": _ORACLE_NEARDUP_LSH,

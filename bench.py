@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "stratified_sample",
     "neardup_dedup_pipeline",
     "minhash_dedup_pipeline",
+    "unicode_nfc",
+    "eval_holdout",
     "dup_window_spans",
     "decontaminate",
     "token_budget_sample",

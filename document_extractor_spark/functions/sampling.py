@@ -194,3 +194,22 @@ def temperature_mix_sample(df: DataFrame, key_col: str, strata_col: str,
         n_d.cast("long").alias("n_d"),
         t_d.cast("long").alias("keep_thr"),
         (u < t_d).alias("kept"))
+
+
+def exact_stratum_holdout(df: DataFrame, key_col: str,
+                          strata_col: str, k: int) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, deterministically.
+
+    The per-stratum rate samplers above keep a *fraction*; evaluation
+    holdouts need a FIXED size per group (e.g. 500 eval docs per
+    language) that never changes across reruns or engines.  Ranking is
+    md5(key) then key — no rand(), no sampleBy seed drift — so the
+    holdout is stable under corpus growth except where new keys hash
+    into the top k.  ONE window shuffle on the stratum key; rank <= k
+    keeps the sort bounded per partition (no global sort).
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col))
+    return (df.withColumn("_hrank", F.row_number().over(w))
+            .filter(F.col("_hrank") <= k)
+            .drop("_hrank"))

@@ -13,6 +13,8 @@ Two decode modes:
 """
 from __future__ import annotations
 
+import pandas as pd
+
 
 
 def decode_reference(payload: bytes | None) -> str:
@@ -47,3 +49,28 @@ def decode_detect(payload: bytes | None) -> tuple[str, str]:
     except UnicodeDecodeError:
         return payload.decode("latin-1"), "latin-1"
 
+
+
+def nfc_normalize_col(text_col):
+    """Arrow-batched Unicode NFC normalization (C4/CCNet-style text
+    canonicalization slot): combining sequences composed so that
+    byte-level dedup/fingerprint operators see one canonical form.
+
+    Python's unicodedata and DuckDB's utf8proc agree byte-for-byte on
+    NFC (Unicode normalization stability policy; parity pinned in
+    tests/test_textnorm.py over the hazard cases: Hangul jamo,
+    combining marks, compatibility ligatures left untouched).
+    Implemented as a pandas_udf because Spark has no JVM-side NFC
+    builtin; one Arrow stage, vectorized str map.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: unicodedata.normalize("NFC", t)
+            if isinstance(t, str) else t)
+
+    return _nfc(text_col)

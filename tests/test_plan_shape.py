@@ -138,6 +138,10 @@ def test_round3_operator_plan_budgets(spark):
         "minhash_dedup_pipeline": (2, 0),
         # one mapInPandas decode kernel, zero shuffles
         "media_features": (0, 1),
+        # one window shuffle on the stratum key
+        "eval_holdout": (1, 0),
+        # one Arrow NFC kernel, zero shuffles
+        "unicode_nfc": (0, 1),
         # pipeline runs over the seeded corpus; salvage rides inside
         # the ONE office Arrow stage (no extra exchange or kernel)
         "office_salvage": (2, 3),

@@ -222,3 +222,26 @@ def test_temperature_mix_null_stratum(spark):
     assert len(by_src[None]) == 50
     assert all(r.n_d == 50 for r in by_src[None])
     assert all(r.keep_thr > 0 for r in out)
+
+
+def test_exact_stratum_holdout(spark):
+    from document_extractor_spark.functions.sampling import (
+        exact_stratum_holdout)
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(60)] + [(100, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    got = exact_stratum_holdout(df, "doc_id", "stratum", k=5).toPandas()
+    sizes = got.groupby("stratum").size()
+    assert sizes["s0"] == sizes["s1"] == sizes["s2"] == 5
+    assert sizes["tiny"] == 1          # min(k, n)
+    # deterministic across runs and partitionings
+    again = exact_stratum_holdout(
+        df.repartition(7), "doc_id", "stratum", k=5).toPandas()
+    assert (set(map(tuple, got.values.tolist()))
+            == set(map(tuple, again.values.tolist())))
+    # nested property: k=3 selection is a subset of k=5
+    k3 = exact_stratum_holdout(df, "doc_id", "stratum", k=3).toPandas()
+    assert set(k3.doc_id) <= set(got.doc_id)
+    # empty frame
+    empty = spark.createDataFrame([], "doc_id long, stratum string")
+    assert exact_stratum_holdout(empty, "doc_id", "stratum", 5).count() == 0

@@ -63,3 +63,34 @@ def test_bround_banker_parity_on_exact_tie(spark):
     df = spark.createDataFrame([(text,)], "t string")
     got = df.select(score_reliability_col(F.col("t")).alias("r")).head()[0]
     assert got == want == 0.1562
+
+
+def test_nfc_parity_with_duckdb(spark):
+    """Python unicodedata NFC == DuckDB utf8proc NFC on the hazard
+    cases (combining marks, Hangul jamo composition, compatibility
+    ligatures that NFC must NOT touch, multi-mark reordering)."""
+    import duckdb
+
+    from document_extractor_spark.functions.textnorm import (
+        nfc_normalize_col)
+    from pyspark.sql import functions as F
+
+    cases = ["é", "Å", "ẛ̣", "q̣̇",
+             "ﬁ", "ガ", "ka゙", "é́",
+             "각", "Ω", "", "plain ascii",
+             None]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, t string")
+    got = {r.i: r.n for r in df.select(
+        "i", nfc_normalize_col(F.col("t")).alias("n")).collect()}
+    for i, c in enumerate(cases):
+        if c is None:
+            assert got[i] is None
+            continue
+        dk = duckdb.sql("select nfc_normalize(?)",
+                        params=[c]).fetchone()[0]
+        assert got[i] == dk, (i, c, got[i], dk)
+    # ligature U+FB01 is NFC-invariant (it is NFKC that expands it)
+    assert got[4] == "ﬁ"
+    # jamo sequence composes to one Hangul syllable
+    assert got[8] == "각"
