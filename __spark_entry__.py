@@ -3120,6 +3120,52 @@ FROM base b LEFT JOIN sc USING (doc_id)
 """
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """The CCNet head/middle/tail decision — the canonical consumer of
+    the perplexity proxy: per-language tertiles of bits/bigram (ntile
+    over a fully deterministic ordering: 4dp score, then doc_id), head
+    = most fluent third.  Empty docs (no bigrams) get a NULL bucket
+    instead of riding the window.  One extra window shuffle on top of
+    the charlm plan."""
+    from document_extractor_spark.functions.charlm import (
+        bigram_cross_entropy)
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    sc = bigram_cross_entropy(d.select("doc_id", "text"))
+    joined = sc.join(d.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy("bits_per_bigram", "doc_id")
+    nonzero = (
+        joined.filter(F.col("n_bigrams") > 0)
+        .withColumn("nt", F.ntile(3).over(w))
+        .withColumn("bucket", F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            F.col("nt")))
+        .drop("nt"))
+    zero = joined.filter(F.col("n_bigrams") == 0).withColumn(
+        "bucket", F.lit(None).cast("string"))
+    return nonzero.unionByName(zero).select(
+        "doc_id", "lang", "n_bigrams", "bits_per_bigram", "bucket")
+
+
+# the charlm oracle becomes a CTE; tertile bucketing layered on top
+_ORACLE_CCNET = f"""
+WITH scored AS ({_ORACLE_CHARLM}),
+wl AS (SELECT s.doc_id, d.lang, s.n_bigrams, s.bits_per_bigram
+       FROM scored s JOIN documents d USING (doc_id)),
+nz AS (SELECT *, ntile(3) OVER (PARTITION BY lang
+           ORDER BY bits_per_bigram, doc_id) AS nt
+       FROM wl WHERE n_bigrams > 0)
+SELECT doc_id, lang, n_bigrams, bits_per_bigram,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+               ELSE 'tail' END AS bucket
+FROM nz
+UNION ALL
+SELECT doc_id, lang, n_bigrams, bits_per_bigram, NULL AS bucket
+FROM wl WHERE n_bigrams = 0
+"""
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-based data-mixture rebalancing (alpha=0.5): keep
     probability per source proportional to sqrt(n_src), integer-exact
@@ -3802,6 +3848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "eval_holdout": q_eval_holdout,
         "unicode_nfc": q_unicode_nfc,
+        "ccnet_buckets": q_ccnet_buckets,
         # --- previously driver-checked (green CORRECTNESS_r03 rows) ---
         "extract_html_roundtrip": q_extract_html_roundtrip,
         "pricing_summary": q_pricing_summary,
@@ -3874,6 +3921,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _ORACLE_MEDIA_FEATURES,
         "eval_holdout": _ORACLE_EVAL_HOLDOUT,
         "unicode_nfc": _ORACLE_UNICODE_NFC,
+        "ccnet_buckets": _ORACLE_CCNET,
         "simhash_fingerprints": _ORACLE_SIMHASH,
         "simhash_neardup_pairs": _ORACLE_SIMHASH_PAIRS,
         "embedding_neardup_lsh": _ORACLE_NEARDUP_LSH,

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "neardup_dedup_pipeline",
     "minhash_dedup_pipeline",
     "unicode_nfc",
+    "ccnet_buckets",
     "eval_holdout",
     "dup_window_spans",
     "decontaminate",

@@ -82,3 +82,18 @@ def test_fused_self_scoring_equals_explicit_lm(spark):
     assert {r.doc_id: r.bits_per_bigram
             for r in bigram_cross_entropy(d).collect()} \
         == {k: v[1] for k, v in fused.items()}
+
+
+def test_ccnet_buckets_semantics(spark):
+    """head bucket = most fluent third per language; empty docs get
+    NULL bucket; tertile sizes differ by at most 1 per lang."""
+    import __spark_entry__ as em
+
+    got = em.q_ccnet_buckets(spark, "/root/testdata/sf0.001").toPandas()
+    assert set(got.bucket.dropna()) <= {"head", "middle", "tail"}
+    for lang, grp in got[got.bucket.notna()].groupby("lang"):
+        sizes = grp.bucket.value_counts()
+        assert sizes.max() - sizes.min() <= 1, (lang, sizes)
+        assert (grp[grp.bucket == "head"].bits_per_bigram.max()
+                <= grp[grp.bucket == "tail"].bits_per_bigram.min())
+    assert got[got.n_bigrams == 0].bucket.isna().all()

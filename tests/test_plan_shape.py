@@ -142,6 +142,9 @@ def test_round3_operator_plan_budgets(spark):
         "eval_holdout": (1, 0),
         # one Arrow NFC kernel, zero shuffles
         "unicode_nfc": (0, 1),
+        # charlm checkpoint scan + lang join + ONE ntile window; the
+        # live charlm plan is budgeted separately below
+        "ccnet_buckets": (6, 0),
         # pipeline runs over the seeded corpus; salvage rides inside
         # the ONE office Arrow stage (no extra exchange or kernel)
         "office_salvage": (2, 3),
