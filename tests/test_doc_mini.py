@@ -235,3 +235,30 @@ def test_normalize_matches_reference_loop():
               for _ in range(500)]
     for s in cases:
         assert _normalize(s) == _normalize_ref(s), repr(s)
+
+
+def test_lenient_extractors_total_on_arbitrary_bytes():
+    """The salvage extractors run inside the extraction Arrow kernel:
+    one uncaught exception fails the whole task at scale. They must be
+    TOTAL over bytes — any input, never raise, always return str."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from document_extractor_spark.functions.doc_mini import (
+        doc_text_lenient)
+    from document_extractor_spark.functions.docx_mini import (
+        docx_text_lenient)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=4096))
+    def run(payload):
+        assert isinstance(doc_text_lenient(payload), str)
+        assert isinstance(docx_text_lenient(payload), str)
+
+    run()
+    # structured prefixes with garbage tails (the adversarial shapes)
+    for prefix in (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1", b"PK\x03\x04",
+                   b""):
+        for tail in (bytes(600), b"\xff" * 600, b"<w:t>x</w:t>"):
+            assert isinstance(doc_text_lenient(prefix + tail), str)
+            assert isinstance(docx_text_lenient(prefix + tail), str)

@@ -28,6 +28,11 @@ QUERIES = [
     "corpus_overview",
     "dom_blocks",
     "hashed_embeddings",
+    # round-4 additions over the documents table
+    "minhash_dedup_pipeline",
+    "unicode_nfc",
+    "ccnet_buckets",
+    "eval_holdout",
 ]
 
 
