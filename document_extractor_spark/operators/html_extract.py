@@ -104,13 +104,7 @@ class _BlockParser(HTMLParser):
         super().__init__(convert_charrefs=False)
         self.source = source
         self.strict = strict
-        # newline offsets via C-speed scan (a per-char Python loop here
-        # costs ~0.2 ms/doc — this runs once per document)
-        self.line_starts = [0]
-        idx = source.find("\n")
-        while idx != -1:
-            self.line_starts.append(idx + 1)
-            idx = source.find("\n", idx + 1)
+        self._line_starts: list[int] | None = None
         self.blocks: list[Block] = []
         self.pieces: list[_Piece] = []
         self.boiler_depth = 0
@@ -121,6 +115,20 @@ class _BlockParser(HTMLParser):
         self.violation: str | None = None  # observed strict violation
 
     # --- position helpers -------------------------------------------------
+    @property
+    def line_starts(self) -> list[int]:
+        # newline offsets via C-speed find scan, built lazily: only the
+        # HTMLParser-driven path needs line/col -> offset math (the
+        # fast tokenizer tracks offsets directly)
+        if self._line_starts is None:
+            ls = [0]
+            idx = self.source.find("\n")
+            while idx != -1:
+                ls.append(idx + 1)
+                idx = self.source.find("\n", idx + 1)
+            self._line_starts = ls
+        return self._line_starts
+
     def _abs(self) -> int:
         line, col = self.getpos()
         return self.line_starts[line - 1] + col
@@ -253,12 +261,161 @@ class _BlockParser(HTMLParser):
         return self.blocks
 
 
+# ---------------------------------------------------------------------------
+# Fast tokenizer path: stdlib HTMLParser's generic goahead loop is
+# ~80% of the extraction kernel, so the common well-formed subset is
+# scanned with anchored C-speed regexes driving the SAME block state
+# machine (the handlers of _BlockParser — no second implementation of
+# the block model exists to drift).  Any construct outside the subset
+# where the scanner is provably event-equivalent to HTMLParser —
+# bare '&' or '<' in text, unquoted '<'/'"' inside tags, non-DOCTYPE
+# declarations, processing instructions, '</' inside script/style,
+# unterminated tags/comments — makes the whole document FALL BACK to
+# the exact HTMLParser-driven path.  Equivalence (blocks, spans,
+# violation) is pinned by differential tests incl. hypothesis fuzz
+# (tests/test_html_extract.py).
+# ---------------------------------------------------------------------------
+_FAST_TAG_RE = re.compile(
+    r"""<(?:
+        !(?P<decl>[a-zA-Z][^>]*)
+      | /(?P<cname>\s*[a-zA-Z][-.a-zA-Z0-9:_]*\s*)
+      | (?P<name>[a-zA-Z][-.a-zA-Z0-9:_]*)
+        (?P<attrs>(?:[^<>"']|"[^"]*"|'[^']*')*)
+    )>""",
+    re.VERBOSE | re.DOTALL,
+)
+# attribute-list shape where the scanner's tag-end position provably
+# equals HTMLParser's (named attrs, quoted or conservative unquoted
+# values); anything else -> document fallback
+_FAST_ATTRS_OK_RE = re.compile(
+    r"""(?:\s+[a-zA-Z_:][-.a-zA-Z0-9:_]*
+         (?:\s*=\s*(?:"[^"]*"|'[^']*'|[^>\s"'<=`]*))?)*\s*""",
+    re.VERBOSE,
+)
+# semicolon-terminated references only (the unterminated forms hit
+# HTMLParser's multi-branch recovery -> fallback)
+_FAST_ENT_RE = re.compile(
+    r"&(?:\#(?:[0-9]+|[xX][0-9a-fA-F]+)|[a-zA-Z][-.a-zA-Z0-9]*);")
+_CDATA_CLOSE_RE = {
+    "script": re.compile(r"</\s*script\s*>", re.IGNORECASE),
+    "style": re.compile(r"</\s*style\s*>", re.IGNORECASE),
+}
+
+
+class _FastEventDriver(_BlockParser):
+    """_BlockParser's state machine with offsets fed by the scanner
+    (no line/col bookkeeping)."""
+
+    def __init__(self, source: str) -> None:
+        _BlockParser.__init__(self, source, strict=False)
+        self._pos = 0
+
+    def _abs(self) -> int:
+        return self._pos
+
+
+def _fast_emit_text(p: _FastEventDriver, s: str, a: int, b: int) -> bool:
+    """Emit the [a, b) text run as the same data/entityref/charref
+    piece sequence HTMLParser produces; False -> fall back."""
+    pos = a
+    while True:
+        amp = s.find("&", pos, b)
+        if amp == -1:
+            if b > pos:
+                p._pos = pos
+                p.handle_data(s[pos:b])
+            return True
+        if amp > pos:
+            p._pos = pos
+            p.handle_data(s[pos:amp])
+        m = _FAST_ENT_RE.match(s, amp, b)
+        if m is None:
+            return False
+        p._pos = amp
+        if s[amp + 1] == "#":
+            p.handle_charref(s[amp + 2:m.end() - 1])
+        else:
+            p.handle_entityref(s[amp + 1:m.end() - 1])
+        pos = m.end()
+
+
+def _fast_blocks(source: str) -> tuple[list[Block], str | None] | None:
+    """Fast-subset parse; None = outside the subset, use HTMLParser."""
+    p = _FastEventDriver(source)
+    pos, n = 0, len(source)
+    find = source.find
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            if not _fast_emit_text(p, source, pos, n):
+                return None
+            break
+        if lt > pos and not _fast_emit_text(p, source, pos, lt):
+            return None
+        if source.startswith("<!--", lt):
+            end = find("-->", lt + 4)
+            if end < 0:
+                return None  # unterminated comment: EOF recovery path
+            pos = end + 3
+            continue
+        m = _FAST_TAG_RE.match(source, lt)
+        if m is None:
+            return None  # '<' not opening a clean tag
+        decl = m.group("decl")
+        if decl is not None:
+            if decl[:7].lower() != "doctype":
+                return None  # marked sections / exotic declarations
+            p._pos = lt
+            p.handle_decl(decl)
+            pos = m.end()
+            continue
+        cname = m.group("cname")
+        if cname is not None:
+            p._pos = lt
+            p.handle_endtag(cname.strip().lower())
+            pos = m.end()
+            continue
+        tag = m.group("name").lower()
+        attrs = m.group("attrs")
+        self_close = attrs.endswith("/")
+        if self_close:
+            attrs = attrs[:-1]
+        if attrs and _FAST_ATTRS_OK_RE.fullmatch(attrs) is None:
+            return None
+        p._pos = lt
+        pos = m.end()
+        if self_close:
+            p.handle_startendtag(tag, [])
+            continue
+        p.handle_starttag(tag, [])
+        if tag in _CDATA_CLOSE_RE:
+            mc = _CDATA_CLOSE_RE[tag].search(source, pos)
+            if mc is None:
+                return None  # EOF inside CDATA: HTMLParser recovery
+            content = source[pos:mc.start()]
+            if "</" in content:
+                return None  # HTMLParser would chunk the pieces
+            if content:
+                p._pos = pos
+                p.handle_data(content)
+            p._pos = mc.start()
+            p.handle_endtag(tag)
+            pos = mc.end()
+    blocks = p.finish()
+    return blocks, p.violation
+
+
 def parse_blocks_observed(html_str: str) -> tuple[list[Block], str | None]:
     """ONE lenient parse that also reports whether a strict parse
     would have succeeded (None = strictly valid, else the first
     violation). A clean document's lenient block sequence is identical
     to its strict one, so the fused cascade can parse once instead of
-    strict-then-lenient (~20% of html kernel time on noisy corpora)."""
+    strict-then-lenient (~20% of html kernel time on noisy corpora).
+    Takes the fast tokenizer when the document is inside its
+    verified-equivalent subset, HTMLParser otherwise."""
+    fast = _fast_blocks(html_str)
+    if fast is not None:
+        return fast
     parser = _BlockParser(html_str, strict=False)
     try:
         parser.feed(html_str)

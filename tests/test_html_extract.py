@@ -194,3 +194,74 @@ def test_dom_block_table_features_and_verdicts(spark):
     import hashlib
     for part in text.split("\n"):
         assert hashlib.md5(part.encode()).hexdigest() in kept_hashes
+
+
+def _legacy_observed(s):
+    import document_extractor_spark.operators.html_extract as hx
+
+    p = hx._BlockParser(s, strict=False)
+    try:
+        p.feed(s)
+        p.close()
+    except Exception as exc:
+        p.violation = p.violation or f"parser error: {exc}"
+    return p.finish(), p.violation
+
+
+def test_fast_parser_equals_htmlparser_on_corpus():
+    """The fast tokenizer must be EVENT-equivalent to the HTMLParser
+    path on every document it accepts — blocks (incl. spans), and the
+    observed violation; the garbage class must fall back."""
+    import document_extractor_spark.operators.html_extract as hx
+    from document_extractor_spark.corpus import generate_corpus
+    from document_extractor_spark.functions.textnorm import decode_detect
+    from document_extractor_spark.operators.extract_branches import (
+        sniff_bytes)
+
+    corp = generate_corpus(800, seed=7)
+    n_fast = n_fallback = 0
+    for h, t in zip(corp.pages.html, corp.pages.text):
+        if sniff_bytes(h, t) != "html":
+            continue
+        s = decode_detect(h)[0]
+        fast = hx._fast_blocks(s)
+        if fast is None:
+            n_fallback += 1
+            continue
+        n_fast += 1
+        assert fast == _legacy_observed(s)
+    assert n_fast > 200          # the clean/noisy classes stay fast
+    assert n_fallback > 0        # garbage exercises the fallback
+
+
+def test_fast_parser_hypothesis_fuzz_equivalence():
+    """Grammar-fuzzed HTML-ish inputs: wherever the fast path accepts
+    a document, it must equal the HTMLParser path exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import document_extractor_spark.operators.html_extract as hx
+
+    token = st.one_of(
+        st.sampled_from([
+            "<div>", "</div>", "<p>", "</p>", "<a href='/x'>", "</a>",
+            "<br>", "<br/>", "<nav>", "</nav>", "<script>", "</script>",
+            "<style>", "</style>", "<!DOCTYPE html>", "<html>",
+            "</html>", "<h1>", "</h1>", "<!-- c -->", "<td >", "</td >",
+            "<img src=\"a.png\" alt='x'>", "<input value=3>",
+            "&amp;", "&#65;", "&#x41;", "&euro;", "&", "&bogus",
+            "< ", "<<", "<3", "</>", "<?pi?>", "<![CDATA[x]]>",
+            "text ", "words here ", "\n", "  ", "é ", "ümlaut ",
+        ]),
+        st.text(alphabet="ab<>&;/!-= \"'", min_size=0, max_size=12),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(token, min_size=0, max_size=30))
+    def run(parts):
+        s = "".join(parts)
+        fast = hx._fast_blocks(s)
+        if fast is not None:
+            assert fast == _legacy_observed(s)
+
+    run()
