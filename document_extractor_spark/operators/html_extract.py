@@ -361,21 +361,22 @@ def _fast_blocks(source: str) -> tuple[list[Block], str | None] | None:
         m = _FAST_TAG_RE.match(source, lt)
         if m is None:
             return None  # '<' not opening a clean tag
-        decl = m.group("decl")
-        if decl is not None:
+        name = m.group("name")
+        if name is None:
+            cname = m.group("cname")
+            if cname is not None:
+                p._pos = lt
+                p.handle_endtag(cname.strip().lower())
+                pos = m.end()
+                continue
+            decl = m.group("decl")
             if decl[:7].lower() != "doctype":
                 return None  # marked sections / exotic declarations
             p._pos = lt
             p.handle_decl(decl)
             pos = m.end()
             continue
-        cname = m.group("cname")
-        if cname is not None:
-            p._pos = lt
-            p.handle_endtag(cname.strip().lower())
-            pos = m.end()
-            continue
-        tag = m.group("name").lower()
+        tag = name.lower()
         attrs = m.group("attrs")
         self_close = attrs.endswith("/")
         if self_close:
