@@ -378,7 +378,11 @@ def _fast_blocks(source: str) -> tuple[list[Block], str | None] | None:
             continue
         tag = name.lower()
         attrs = m.group("attrs")
-        self_close = attrs.endswith("/")
+        # a trailing '/' self-closes ONLY when it cannot belong to an
+        # unquoted attribute value: HTMLParser parses `<a href=/>` as a
+        # START tag with value '/', `<a href=a />` as self-closing
+        self_close = attrs.endswith("/") and (
+            len(attrs) == 1 or attrs[-2] in " \t\n\r\f\"'")
         if self_close:
             attrs = attrs[:-1]
         if attrs and _FAST_ATTRS_OK_RE.fullmatch(attrs) is None:

@@ -249,6 +249,8 @@ def test_fast_parser_hypothesis_fuzz_equivalence():
             "<style>", "</style>", "<!DOCTYPE html>", "<html>",
             "</html>", "<h1>", "</h1>", "<!-- c -->", "<td >", "</td >",
             "<img src=\"a.png\" alt='x'>", "<input value=3>",
+            "<a href=/>", "<a href=a/>", "<a href=a />",
+            "<img src=\"a\"/>", "<div a=b/>", "<p/>",
             "&amp;", "&#65;", "&#x41;", "&euro;", "&", "&bogus",
             "< ", "<<", "<3", "</>", "<?pi?>", "<![CDATA[x]]>",
             "text ", "words here ", "\n", "  ", "é ", "ümlaut ",
