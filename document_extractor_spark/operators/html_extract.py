@@ -372,6 +372,11 @@ def _fast_blocks(source: str) -> tuple[list[Block], str | None] | None:
             decl = m.group("decl")
             if decl[:7].lower() != "doctype":
                 return None  # marked sections / exotic declarations
+            if decl.count('"') % 2 or decl.count("'") % 2:
+                # a quoted '>' inside the doctype would have truncated
+                # this match (HTMLParser scans past quoted strings) —
+                # an unbalanced quote is the tell
+                return None
             p._pos = lt
             p.handle_decl(decl)
             pos = m.end()
