@@ -1772,6 +1772,76 @@ WHERE method = 'doc_salvage_text'
 """
 
 
+def q_c4_filters(spark, sf_dir):
+    """The published C4 cleaning heuristics (Raffel et al. 2020 §2.2)
+    as one codegen projection: terminal-punctuation + >=5-word +
+    no-'javascript' line rules, lorem-ipsum / curly-brace /
+    <3-sentence page rules, first-failing-rule reason.  The corpus
+    text lacks the hazards, so deterministic hazard lines are appended
+    from doc_id (same expression in the oracle) — every rule fires on
+    real matches."""
+    from document_extractor_spark.functions.c4 import c4_clean
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    suffix = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("\nEnable javascript to view this page."))
+        .when(F.col("doc_id") % 4 == 1, F.lit("\nlorem ipsum dolor."))
+        .when(F.col("doc_id") % 4 == 2, F.lit("\nshort line"))
+        .otherwise(F.lit(
+            "\nA full proper sentence with enough words here.")))
+    synth = d.withColumn(
+        "text", F.concat(F.coalesce(F.col("text"), F.lit("")), suffix))
+    return c4_clean(synth)
+
+
+_ORACLE_C4 = """
+WITH s AS (
+  SELECT doc_id,
+         coalesce(text, '') || CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN chr(10) || 'Enable javascript to view this page.'
+           WHEN 1 THEN chr(10) || 'lorem ipsum dolor.'
+           WHEN 2 THEN chr(10) || 'short line'
+           ELSE chr(10) || 'A full proper sentence with enough words here.'
+         END AS t
+  FROM documents),
+l AS (
+  SELECT doc_id, t,
+         list_filter(list_transform(string_split(t, chr(10)),
+             x -> regexp_replace(regexp_replace(x,
+                      '^[ \\t\\n\\x0B\\f\\r]+', ''),
+                      '[ \\t\\n\\x0B\\f\\r]+$', '')),
+             x -> x <> '') AS lines
+  FROM s),
+k AS (
+  SELECT doc_id, t,
+         list_filter(lines, x ->
+             regexp_matches(x, '[.!?"]$')
+             AND len(list_filter(string_split_regex(x,
+                     '[ \\t\\n\\x0B\\f\\r]+'), w -> w <> '')) >= 5
+             AND NOT contains(lower(x), 'javascript')) AS kept,
+         CAST(len(string_split_regex(t, '[.!?"]')) - 1 AS BIGINT)
+             AS n_sentences
+  FROM l),
+r AS (
+  SELECT doc_id,
+         -- DuckDB array_to_string returns NULL for an empty list;
+         -- Spark array_join returns '' — coalesce to match
+         coalesce(array_to_string(kept, chr(10)), '') AS kept_text,
+         CAST(len(kept) AS BIGINT) AS n_lines_kept,
+         n_sentences,
+         CASE WHEN contains(lower(t), 'lorem ipsum') THEN 'lorem_ipsum'
+              WHEN contains(t, '{') THEN 'curly_brace'
+              WHEN n_sentences < 3 THEN 'too_few_sentences'
+              WHEN len(kept) = 0 THEN 'no_surviving_lines'
+         END AS drop_reason
+  FROM k)
+SELECT doc_id, kept_text, n_lines_kept, n_sentences,
+       drop_reason IS NULL AS keep, drop_reason
+FROM r
+"""
+
+
 def q_eval_holdout(spark, sf_dir):
     """Fixed-size eval holdout: exactly min(k, n) docs per language,
     deterministic md5 ranking (no rand()/sampleBy seed drift) — the
@@ -3849,6 +3919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_holdout": q_eval_holdout,
         "unicode_nfc": q_unicode_nfc,
         "ccnet_buckets": q_ccnet_buckets,
+        "c4_filters": q_c4_filters,
         # --- previously driver-checked (green CORRECTNESS_r03 rows) ---
         "extract_html_roundtrip": q_extract_html_roundtrip,
         "pricing_summary": q_pricing_summary,
@@ -3922,6 +3993,7 @@ def oracle_sql() -> dict[str, str]:
         "eval_holdout": _ORACLE_EVAL_HOLDOUT,
         "unicode_nfc": _ORACLE_UNICODE_NFC,
         "ccnet_buckets": _ORACLE_CCNET,
+        "c4_filters": _ORACLE_C4,
         "simhash_fingerprints": _ORACLE_SIMHASH,
         "simhash_neardup_pairs": _ORACLE_SIMHASH_PAIRS,
         "embedding_neardup_lsh": _ORACLE_NEARDUP_LSH,

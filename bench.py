@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "minhash_dedup_pipeline",
     "unicode_nfc",
     "ccnet_buckets",
+    "c4_filters",
     "eval_holdout",
     "dup_window_spans",
     "decontaminate",

@@ -33,6 +33,7 @@ QUERIES = [
     "unicode_nfc",
     "ccnet_buckets",
     "eval_holdout",
+    "c4_filters",
 ]
 
 

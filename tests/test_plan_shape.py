@@ -145,6 +145,7 @@ def test_round3_operator_plan_budgets(spark):
         # charlm checkpoint scan + lang join + ONE ntile window; the
         # live charlm plan is budgeted separately below
         "ccnet_buckets": (6, 0),
+        "c4_filters": (0, 0),
         # pipeline runs over the seeded corpus; salvage rides inside
         # the ONE office Arrow stage (no extra exchange or kernel)
         "office_salvage": (2, 3),
