@@ -2414,6 +2414,61 @@ def q_minhash_dedup_pipeline(spark, sf_dir):
         "component", F.col("component").cast("long"))
 
 
+def q_incremental_minhash(spark, sf_dir):
+    """Per-batch near-dup decision against the historical corpus
+    (the MinHash analog of incremental_dedup's exact anti-join):
+    odd-id docs are 'this crawl', even-id docs the seen corpus;
+    candidates only cross the boundary, verified with exact token
+    Jaccard, dup_of = smallest matching seen id."""
+    d = _docs(spark, sf_dir)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    seen = d.filter(F.col("doc_id") % 2 == 0)
+    return DD.minhash_incremental_decision(
+        new, seen, k=8, bands=4, threshold=0.5, max_bucket_df=1000)
+
+
+_ORACLE_INCR_MINHASH = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
+                            t -> t <> '')) AS tok
+  FROM documents),
+sigs AS (SELECT doc_id, {mins} FROM toks GROUP BY doc_id),
+bands AS (
+  {bands_union}),
+nb AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+sb AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+bcnt AS (SELECT band, band_sig, count(*) AS n FROM sb GROUP BY 1, 2),
+sbok AS (SELECT sb.* FROM sb JOIN bcnt USING (band, band_sig)
+         WHERE bcnt.n <= 1000),
+cand AS (SELECT DISTINCT n.doc_id AS id_new, s.doc_id AS id_seen
+         FROM nb n JOIN sbok s USING (band, band_sig)),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY 1),
+inter AS (SELECT c.id_new, c.id_seen, count(*) AS i
+          FROM cand c
+          JOIN toks ta ON ta.doc_id = c.id_new
+          JOIN toks tb ON tb.doc_id = c.id_seen AND tb.tok = ta.tok
+          GROUP BY 1, 2),
+dups AS (SELECT id_new, min(id_seen) AS dup_of FROM inter
+         JOIN sizes sa ON sa.doc_id = id_new
+         JOIN sizes sb2 ON sb2.doc_id = id_seen
+         WHERE round(i / CAST(sa.n_tok + sb2.n_tok - i AS DOUBLE), 6)
+               >= 0.5
+         GROUP BY 1)
+SELECT d.doc_id, dup_of, dup_of IS NULL AS is_unique
+FROM documents d LEFT JOIN dups ON dups.id_new = d.doc_id
+WHERE d.doc_id % 2 = 1
+""".format(
+    mins=", ".join(
+        f"min({_sql_seed_hash('tok', s)}) AS mh_{s}" for s in range(8)),
+    bands_union="\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(CAST(mh_{2*b} AS VARCHAR) || ',' || "
+        f"CAST(mh_{2*b+1} AS VARCHAR)) AS band_sig FROM sigs"
+        for b in range(4)),
+)
+
+
 # signatures/banding CTEs are the checked minhash_lsh_buckets oracle;
 # candidate expansion + exact-Jaccard verify + closure layered on top
 _ORACLE_MINHASH_PIPELINE = """
@@ -3920,6 +3975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_nfc": q_unicode_nfc,
         "ccnet_buckets": q_ccnet_buckets,
         "c4_filters": q_c4_filters,
+        "incremental_minhash": q_incremental_minhash,
         # --- previously driver-checked (green CORRECTNESS_r03 rows) ---
         "extract_html_roundtrip": q_extract_html_roundtrip,
         "pricing_summary": q_pricing_summary,
@@ -3994,6 +4050,7 @@ def oracle_sql() -> dict[str, str]:
         "unicode_nfc": _ORACLE_UNICODE_NFC,
         "ccnet_buckets": _ORACLE_CCNET,
         "c4_filters": _ORACLE_C4,
+        "incremental_minhash": _ORACLE_INCR_MINHASH,
         "simhash_fingerprints": _ORACLE_SIMHASH,
         "simhash_neardup_pairs": _ORACLE_SIMHASH_PAIRS,
         "embedding_neardup_lsh": _ORACLE_NEARDUP_LSH,

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "unicode_nfc",
     "ccnet_buckets",
     "c4_filters",
+    "incremental_minhash",
     "eval_holdout",
     "dup_window_spans",
     "decontaminate",

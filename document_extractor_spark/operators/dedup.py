@@ -270,6 +270,64 @@ def minhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def minhash_incremental_decision(new_docs: DataFrame,
+                                 seen_docs: DataFrame,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text", k: int = 8,
+                                 bands: int = 4,
+                                 threshold: float = 0.5,
+                                 max_bucket_df: int | None = 1000
+                                 ) -> DataFrame:
+    """(id, dup_of, is_unique) for every NEW doc: near-dup decision
+    against the SEEN corpus without re-deduplicating the seen side —
+    what a recurring crawl runs per batch (the MinHash analog of
+    `incremental_dedup`'s exact-fingerprint anti-join).
+
+    Candidates = new x seen band-bucket matches only (never new x new
+    — intra-batch dedup is `minhash_verified_pairs`' job); the
+    seen-side bucket membership is df-capped like every posting list
+    in this module (a boilerplate bucket matching the whole history
+    would emit O(|seen|) candidates per new doc).  Verification is
+    the exact token-set Jaccard the signatures estimate; `dup_of` is
+    the smallest seen id among verified matches, NULL when unique.
+    At 10^12 docs the seen side's stacked band table is the thing a
+    production deployment PRECOMPUTES and stores; this function
+    derives it inline so the decision stays a pure function of its
+    two inputs.
+    """
+    sig_new = minhash_signatures(new_docs, id_col, text_col, k)
+    sig_seen = minhash_signatures(seen_docs, id_col, text_col, k)
+    stack = lambda sigs, name: sigs.select(  # noqa: E731
+        F.col(id_col).alias(name),
+        F.posexplode(_band_sig_array(k, bands)).alias("band", "band_sig"))
+    new_b = stack(sig_new, "id_new")
+    seen_b = stack(sig_seen, "id_seen")
+    if max_bucket_df is not None:
+        hot = (seen_b.groupBy("band", "band_sig")
+               .agg(F.count("*").alias("_n"))
+               .filter(F.col("_n") > max_bucket_df)
+               .select("band", "band_sig"))
+        seen_b = seen_b.join(hot, ["band", "band_sig"], "left_anti")
+    cand = (new_b.join(seen_b, ["band", "band_sig"])
+            .select("id_new", "id_seen").distinct())
+    toks = lambda d, name: widen_narrow_input(d).select(  # noqa: E731
+        F.col(id_col).alias(name),
+        F.array_distinct(tokens_col(text_col)).alias(f"toks_{name}"))
+    joined = (cand.join(toks(new_docs, "id_new"), "id_new")
+              .join(toks(seen_docs, "id_seen"), "id_seen"))
+    inter = F.size(F.array_intersect("toks_id_new", "toks_id_seen"))
+    jac = F.round(inter / (F.size("toks_id_new")
+                           + F.size("toks_id_seen") - inter), 6)
+    dups = (joined.select("id_new", "id_seen", jac.alias("j"))
+            .filter(F.col("j") >= threshold)
+            .groupBy("id_new")
+            .agg(F.min("id_seen").alias("dup_of")))
+    return (new_docs.select(F.col(id_col))
+            .join(dups.withColumnRenamed("id_new", id_col), id_col, "left")
+            .select(id_col, "dup_of",
+                    F.col("dup_of").isNull().alias("is_unique")))
+
+
 def minhash_verified_pairs(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", k: int = 8,
                            bands: int = 4, threshold: float = 0.5,

@@ -413,3 +413,34 @@ def test_incremental_dedup_semantics(spark):
            .join(seen_fps, "fp", "left_anti"))
     kept = sorted(r["doc_id"] for r in out.collect())
     assert kept == [11, 12]
+
+
+def test_minhash_incremental_decision(spark):
+    from document_extractor_spark.operators.dedup import (
+        minhash_incremental_decision,
+    )
+
+    seen = spark.createDataFrame([
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (2, "completely different text about spark query engines"),
+        (4, None),
+    ], "doc_id long, text string")
+    new = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog today"),  # dup of 0
+        (3, "entirely novel content never before seen anywhere"),
+        (5, ""),
+    ], "doc_id long, text string")
+    got = minhash_incremental_decision(new, seen).toPandas() \
+        .set_index("doc_id")
+    assert got.loc[1, "dup_of"] == 0 and not got.loc[1, "is_unique"]
+    assert got.loc[3, "is_unique"] and got.loc[5, "is_unique"]
+    # every new doc gets a row, none of the seen side leaks in
+    assert set(got.index) == {1, 3, 5}
+    # hot-bucket cap: cap 0-sized buckets -> everything unique
+    capped = minhash_incremental_decision(
+        new, seen, max_bucket_df=0).toPandas()
+    assert capped.is_unique.all()
+    # empty seen corpus -> all unique
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    allnew = minhash_incremental_decision(new, empty).toPandas()
+    assert allnew.is_unique.all()

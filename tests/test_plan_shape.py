@@ -146,6 +146,9 @@ def test_round3_operator_plan_budgets(spark):
         # live charlm plan is budgeted separately below
         "ccnet_buckets": (6, 0),
         "c4_filters": (0, 0),
+        # 2 sig groupBys + seen-bucket cap + bucket join + 2 tokset
+        # joins + dup groupBy + final left join (AQE coalesces)
+        "incremental_minhash": (10, 0),
         # pipeline runs over the seeded corpus; salvage rides inside
         # the ONE office Arrow stage (no extra exchange or kernel)
         "office_salvage": (2, 3),
