@@ -1810,13 +1810,13 @@ l AS (
          list_filter(list_transform(string_split(t, chr(10)),
              x -> regexp_replace(regexp_replace(x,
                       '^[ \\t\\n\\x0B\\f\\r]+', ''),
-                      '[ \\t\\n\\x0B\\f\\r]+$', '')),
+                      '[ \\t\\n\\x0B\\f\\r]+\\z', '')),
              x -> x <> '') AS lines
   FROM s),
 k AS (
   SELECT doc_id, t,
          list_filter(lines, x ->
-             regexp_matches(x, '[.!?"]$')
+             right(x, 1) IN ('.', '!', '?', '"')
              AND len(list_filter(string_split_regex(x,
                      '[ \\t\\n\\x0B\\f\\r]+'), w -> w <> '')) >= 5
              AND NOT contains(lower(x), 'javascript')) AS kept,

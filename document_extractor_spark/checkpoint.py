@@ -92,18 +92,20 @@ def run_and_commit(
     from .observability import job_params_table, log_phase
 
     cfg = cfg or PipelineConfig()
-    # O2: the effective-config banner row lands FIRST (it is the
-    # record of what this run was about to do, entrypoint.sh:69-88)
     log_phase("start", run_id=cfg.run_id, out_dir=out_dir)
-    write_table(job_params_table(spark, cfg), "job_params", out_dir)
     # persist: without it the pages scan + manifest anti-join re-run
     # three times (emptiness probe, the extraction job, the manifest
     # write) — two full input re-reads per incremental batch
     todo = filter_uncommitted(spark, pages, out_dir).persist()
     try:
         if not todo.take(1):
+            # noop stays write-free: a scheduler polling a quiet
+            # input must not append a banner batch per poll
             log_phase("noop", run_id=cfg.run_id)
             return None
+        # O2: the effective-config banner (entrypoint.sh:69-88) —
+        # written once per NON-EMPTY batch, before the data lands
+        write_table(job_params_table(spark, cfg), "job_params", out_dir)
         result = run_extraction(spark, todo, cfg)
         # io_tables routes each write to the configured Iceberg catalog
         # (atomic snapshot commits) or to parquet dirs under out_dir

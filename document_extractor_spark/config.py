@@ -26,6 +26,21 @@ def _env_int(name: str, default: int) -> int:
         return default
 
 
+def _env_bool(name: str, default: bool) -> bool:
+    """'0'/'false'/'no'/'off' (any case) disable; '1'/'true'/'yes'/
+    'on' enable; anything else keeps the default — a float() parse
+    here would silently read OFFICE_SALVAGE=false as enabled."""
+    raw = os.getenv(name)
+    if raw is None:
+        return default
+    v = raw.strip().lower()
+    if v in ("0", "false", "no", "off"):
+        return False
+    if v in ("1", "true", "yes", "on"):
+        return True
+    return default
+
+
 @dataclass
 class PipelineConfig:
     # --- cascade acceptance cutoffs (reference: entrypoint.sh:37-40;
@@ -51,7 +66,7 @@ class PipelineConfig:
     # .doc/.docx rows get a lenient re-extract accepted at cutoff=0.0
     # (method doc_salvage_text — the engine's doc_pdf_text analog)
     office_salvage: bool = field(
-        default_factory=lambda: _env_float("OFFICE_SALVAGE", 1.0) != 0.0)
+        default_factory=lambda: _env_bool("OFFICE_SALVAGE", True))
 
     # --- scan-only triage (reference: common.py:216-244, 352-371)
     triage_sample_pages: int = 6

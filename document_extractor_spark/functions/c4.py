@@ -37,12 +37,17 @@ _TERMINAL = '[.!?"]'
 
 def _trimmed_lines(text_col: Column) -> Column:
     """Newline-split lines with surrounding whitespace trimmed (the
-    same trim class on both engines), empties removed."""
+    same trim class on both engines), empties removed.
+
+    Anchors: `\\z`, not `$` — Java's `$` matches BEFORE a final line
+    terminator (U+2028/U+2029/U+0085) while RE2's matches only
+    end-of-string, so `$` is outside the Java∩RE2 subset this repo
+    pins (CLAUDE.md); `\\z` means end-of-input in both."""
     return F.filter(
         F.transform(
             F.split(text_col, "\n"),
             lambda ln: F.regexp_replace(
-                F.regexp_replace(ln, f"^{WS}+", ""), f"{WS}+$", "")),
+                F.regexp_replace(ln, f"^{WS}+", ""), f"{WS}+\\z", "")),
         lambda ln: ln != "")
 
 
@@ -59,8 +64,11 @@ def c4_clean(docs: DataFrame, key_col: str = "doc_id",
     text = F.coalesce(F.col(text_col), F.lit(""))
     lower = F.lower(text)
     lines = _trimmed_lines(text)
+    # terminal test on the LAST CHARACTER, not a `$`-anchored regex:
+    # Java `$` matches before a trailing U+2028/U+2029/U+0085 and
+    # RE2's does not (see _trimmed_lines)
     line_ok = (
-        lambda ln: ln.rlike(f"{_TERMINAL}$")
+        lambda ln: F.substring(ln, -1, 1).isin(".", "!", "?", '"')
         & (F.size(F.filter(F.split(ln, f"{WS}+"), lambda w: w != ""))
            >= min_line_words)
         & ~F.lower(ln).contains("javascript"))

@@ -300,6 +300,8 @@ _CDATA_CLOSE_RE = {
     "script": re.compile(r"</\s*script\s*>", re.IGNORECASE),
     "style": re.compile(r"</\s*style\s*>", re.IGNORECASE),
 }
+# the exact stdlib comment terminator (_markupbase._commentclose)
+_COMMENT_CLOSE_RE = re.compile(r"--\s*>")
 
 
 class _FastEventDriver(_BlockParser):
@@ -353,10 +355,13 @@ def _fast_blocks(source: str) -> tuple[list[Block], str | None] | None:
         if lt > pos and not _fast_emit_text(p, source, pos, lt):
             return None
         if source.startswith("<!--", lt):
-            end = find("-->", lt + 4)
-            if end < 0:
+            # HTMLParser closes a comment at '--\s*>' (_markupbase
+            # _commentclose), NOT at a literal '-->' — '<!--x-- >'
+            # ends the comment
+            mc = _COMMENT_CLOSE_RE.search(source, lt + 4)
+            if mc is None:
                 return None  # unterminated comment: EOF recovery path
-            pos = end + 3
+            pos = mc.end()
             continue
         m = _FAST_TAG_RE.match(source, lt)
         if m is None:
@@ -372,17 +377,21 @@ def _fast_blocks(source: str) -> tuple[list[Block], str | None] | None:
             decl = m.group("decl")
             if decl[:7].lower() != "doctype":
                 return None  # marked sections / exotic declarations
-            if decl.count('"') % 2 or decl.count("'") % 2:
-                # a quoted '>' inside the doctype would have truncated
-                # this match (HTMLParser scans past quoted strings) —
-                # an unbalanced quote is the tell
-                return None
+            # HTMLParser's parse_html_declaration closes '<!doctype'
+            # at the FIRST '>' (it does not scan past quoted strings),
+            # exactly like this match — no quote guard needed
             p._pos = lt
             p.handle_decl(decl)
             pos = m.end()
             continue
         tag = name.lower()
         attrs = m.group("attrs")
+        # HTMLParser's tag-NAME class is [^\t\n\r\f />\x00] — broader
+        # than this scanner's: '<p\x0bid=x>' is tag 'p\x0bid=x' to the
+        # stdlib. If the char after our name would have continued
+        # HTMLParser's name, the tokenizations diverge -> fall back.
+        if attrs and attrs[0] not in " \t\n\r\f/":
+            return None
         # a trailing '/' self-closes ONLY when it cannot belong to an
         # unquoted attribute value: HTMLParser parses `<a href=/>` as a
         # START tag with value '/', `<a href=a />` as self-closing

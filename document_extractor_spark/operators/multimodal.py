@@ -219,38 +219,46 @@ def _png_pixel_values(payload: bytes) -> np.ndarray | None:
     if len(raw) != h * (1 + stride):
         return None
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
-    filters, data = rows[:, 0], rows[:, 1:].astype(np.int64)
-    out = np.zeros_like(data)
+    filters, data = rows[:, 0], rows[:, 1:]
+    # reconstruction in uint8 so mod-256 wraparound is the native
+    # overflow; filters 0/1/2 (the bulk of real encoder output) are
+    # whole-row numpy ops — Sub is a per-lane prefix sum, Up a prior
+    # add; only Average/Paeth keep a per-pixel loop (their predictor
+    # mixes the just-decoded left neighbor with nonlinear selection)
+    out = np.zeros((h, stride), dtype=np.uint8)
     bpp = channels
     for y in range(h):
         f = filters[y]
-        cur = data[y].copy()
-        prior = out[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        enc = data[y]
+        prior = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
         if f == 0:
-            pass
-        elif f == 1:      # Sub
-            for x in range(bpp, stride):
-                cur[x] = (cur[x] + cur[x - bpp]) % 256
-        elif f == 2:      # Up
-            cur = (cur + prior) % 256
+            out[y] = enc
+        elif f == 1:      # Sub: per-channel-lane prefix sum (mod 256)
+            lanes = enc.reshape(stride // bpp, bpp)
+            out[y] = np.add.accumulate(lanes, axis=0,
+                                       dtype=np.uint8).reshape(-1)
+        elif f == 2:      # Up: fully vectorized
+            out[y] = enc + prior
         elif f == 3:      # Average
+            cur = out[y]
             for x in range(stride):
-                left = cur[x - bpp] if x >= bpp else 0
-                cur[x] = (cur[x] + (left + prior[x]) // 2) % 256
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(enc[x])
+                          + (left + int(prior[x])) // 2) % 256
         elif f == 4:      # Paeth
+            cur = out[y]
             for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
-                b = prior[x]
-                c = out[y - 1][x - bpp] if (y and x >= bpp) else 0
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prior[x])
+                c = int(out[y - 1][x - bpp]) if (y and x >= bpp) else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (
                     b if pb <= pc else c)
-                cur[x] = (cur[x] + pred) % 256
+                cur[x] = (int(enc[x]) + pred) % 256
         else:
             return None
-        out[y] = cur
-    return out.reshape(-1)
+    return out.reshape(-1).astype(np.int64)
 
 
 def _wav_pcm_values(payload: bytes) -> np.ndarray | None:

@@ -4,15 +4,7 @@ join key lets Spark's FileSourceScanExec report the bucket
 partitioning, so the join plans with ZERO Exchange on either side —
 the property a 10^12-row url-keyed join pipeline relies on when the
 same key joins across many stages."""
-import pytest
-
 from pyspark.sql import functions as F
-
-
-@pytest.fixture(scope="module")
-def warehouse(spark, tmp_path_factory):
-    # spark-warehouse location is fixed per session; use unique names
-    return tmp_path_factory.mktemp("wh")
 
 
 def test_bucketed_join_has_no_exchange(spark):

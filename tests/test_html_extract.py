@@ -250,6 +250,8 @@ def test_fast_parser_hypothesis_fuzz_equivalence():
             "</html>", "<h1>", "</h1>", "<!-- c -->", "<td >", "</td >",
             "<img src=\"a.png\" alt='x'>", "<input value=3>",
             "<a href=/>", "<a href=a/>", "<a href=a />",
+            "<!--x-- >y-->", "<p\x0bid=x>", "<p\xa0id=x>", "<p=x>",
+            "<!DOCTYPE html \"a>b\">", "<foo.bar>", "</foo.bar>",
             "<img src=\"a\"/>", "<div a=b/>", "<p/>",
             "&amp;", "&#65;", "&#x41;", "&euro;", "&", "&bogus",
             "< ", "<<", "<3", "</>", "<?pi?>", "<![CDATA[x]]>",

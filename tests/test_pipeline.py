@@ -242,3 +242,36 @@ def test_resume_probe_only_swallows_missing_path():
     assert not _is_missing_path_error(
         Exception("com.amazonaws.AmazonClientException: Unable to "
                   "execute HTTP request: connect timed out"))
+
+
+def test_noop_rerun_writes_nothing(spark, pages_df, cfg, tmp_path):
+    """A no-op incremental batch (everything committed) performs ZERO
+    table writes — a scheduler polling a quiet input must not append
+    banner batches per poll."""
+    import os as _os
+
+    from document_extractor_spark.checkpoint import run_and_commit
+
+    out = str(tmp_path / "out")
+    sub = pages_df.limit(15).cache()
+    assert run_and_commit(spark, sub, out, cfg) is not None
+
+    def _snapshot(root):
+        files = []
+        for d, _, fs in _os.walk(root):
+            files += [_os.path.join(d, f) for f in fs]
+        return sorted(files)
+
+    before = _snapshot(out)
+    assert run_and_commit(spark, sub, out, cfg) is None
+    assert _snapshot(out) == before
+
+
+def test_office_salvage_env_bool(monkeypatch):
+    from document_extractor_spark.config import PipelineConfig
+
+    for raw, want in [("false", False), ("0", False), ("no", False),
+                      ("off", False), ("true", True), ("1", True),
+                      ("garbage", True)]:
+        monkeypatch.setenv("OFFICE_SALVAGE", raw)
+        assert PipelineConfig().office_salvage is want, raw
