@@ -331,7 +331,8 @@ def minhash_incremental_decision(new_docs: DataFrame,
 def minhash_verified_pairs(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", k: int = 8,
                            bands: int = 4, threshold: float = 0.5,
-                           max_bucket_df: int | None = 1000) -> DataFrame:
+                           max_bucket_df: int | None = 1000,
+                           checkpoint_result: bool = True) -> DataFrame:
     """(id_a, id_b, jaccard): LSH candidates verified with the EXACT
     token-set Jaccard the signatures estimate.
 
@@ -341,12 +342,21 @@ def minhash_verified_pairs(docs: DataFrame, id_col: str = "doc_id",
     whose true Jaccard falls below `threshold` are discarded, so LSH
     false positives cannot survive; false negatives are the documented
     LSH recall tradeoff (P[candidate] = 1-(1-J^r)^bands).
-    """
+
+    The token-set table feeds BOTH join legs, so it is persisted and
+    — with ``checkpoint_result`` (default) — the small verified-pair
+    result is materialized eagerly and the cache released before
+    returning (the charlm lifecycle): without it the corpus is
+    tokenized once per leg.  At 10^12 docs pass
+    ``checkpoint_result=False`` and manage the write yourself
+    (localCheckpoint spills the result to local disk)."""
     cand = minhash_candidate_pairs(
         docs, id_col, text_col, k, bands, max_bucket_df)
     toksets = widen_narrow_input(docs).select(
         F.col(id_col).alias("id"),
         F.array_distinct(tokens_col(text_col)).alias("toks"))
+    if checkpoint_result:
+        toksets = toksets.persist()
     a = toksets.select(F.col("id").alias("id_a"),
                        F.col("toks").alias("toks_a"))
     b = toksets.select(F.col("id").alias("id_b"),
@@ -354,11 +364,15 @@ def minhash_verified_pairs(docs: DataFrame, id_col: str = "doc_id",
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     jac = F.round(
         inter / (F.size("toks_a") + F.size("toks_b") - inter), 6)
-    return (
+    result = (
         cand.join(a, "id_a").join(b, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    if checkpoint_result:
+        result = result.localCheckpoint(eager=True)
+        toksets.unpersist(blocking=False)
+    return result
 
 
 # --------------------------------------------------------------------------
