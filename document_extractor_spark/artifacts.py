@@ -100,17 +100,23 @@ def rendered_docs(extracted: DataFrame,
     render_too_large. max_pages=None disables the guard (test scale
     only).
     """
-    ok = extracted.filter(
-        (F.col("status") == "OK") & F.col("text").isNotNull())
+    # OK rows stay in the render even when text is NULL (an image-only
+    # page / empty doc): their page struct becomes NULL, collect_list
+    # skips NULLs, and the size(pages)==0 branch renders the
+    # header-only block — a pre-filter on text would silently remove
+    # the whole doc from the rendered output
+    ok = extracted.filter(F.col("status") == "OK")
     if max_pages is not None:
         over = _over_cap_docs(ok, max_pages).select("url", "run_id")
         ok = ok.join(F.broadcast(over), ["url", "run_id"], "left_anti")
     paged = ok.select(
         "url", "run_id", "method", "status", "reliability",
-        F.struct(
-            F.coalesce(F.col("page"), F.lit(1)).alias("page"),
-            F.col("text").alias("text"),
-        ).alias("pg"),
+        F.when(
+            F.col("text").isNotNull(),
+            F.struct(
+                F.coalesce(F.col("page"), F.lit(1)).alias("page"),
+                F.col("text").alias("text"),
+            )).alias("pg"),
     )
     grouped = paged.groupBy("url", "run_id", "method", "status").agg(
         F.max("reliability").alias("reliability"),
@@ -271,8 +277,12 @@ def write_jsonl_shards(
     lines = jsonl_shard_lines(
         docs, key_col, cols, n_shards, with_sort_key=True).persist()
     try:
+        # "line" as the final tiebreak: duplicate keys (e.g. per-PAGE
+        # rows sharing a url) have identical hk, and without a total
+        # order the within-shard byte layout would depend on input
+        # partitioning — breaking this function's determinism contract
         (lines.repartition(n_shards, "shard")
-         .sortWithinPartitions("shard", "hk")
+         .sortWithinPartitions("shard", "hk", "line")
          .select("shard", F.col("line").alias("value"))
          .write.mode("overwrite").partitionBy("shard").text(out_dir))
         manifest = (

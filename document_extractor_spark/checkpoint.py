@@ -88,7 +88,13 @@ def run_and_commit(
     cfg: PipelineConfig | None = None,
 ) -> ExtractionResult | None:
     """One incremental batch: resume-filter -> extract -> append ->
-    commit manifest. Returns None when nothing is uncommitted."""
+    commit manifest. Returns None when nothing is uncommitted.
+
+    The returned result's branch cache is CALLER-OWNED (the caller
+    usually consumes result.extracted further — chunk/JSONL exports);
+    call result.unpersist() when done, as cli.main does — a per-batch
+    scheduler that never releases it accumulates one full-batch cache
+    per poll."""
     from .observability import job_params_table, log_phase
 
     cfg = cfg or PipelineConfig()

@@ -116,7 +116,11 @@ def main(argv: list[str] | None = None) -> int:
         # binaryFile scans never split a file, matching WARC framing
         raw = (
             spark.read.format("binaryFile")
-            .option("pathGlobFilter", "*.warc*")
+            .option(  # anchored: '*.warc*' would ingest in-progress
+            # upload temp names (.warc.gz.part/.tmp) once, truncated,
+            # and then the renamed final file again as a duplicate —
+            # uploaders must rename-into-place with the final suffix
+            "pathGlobFilter", "*.{warc,warc.gz}")
             .load(args.input)
             .select(F.xxhash64("path").alias("warc_id"),
                     F.col("content").alias("warc")))
@@ -159,6 +163,11 @@ def main(argv: list[str] | None = None) -> int:
     met = result.metrics.groupBy().sum(
         "docs_in", "docs_out", "parse_failures", "bytes_extracted"
     ).head()
+    # the caller owns run_and_commit's branch cache (CLAUDE.md persist
+    # lifecycle): every consumer above is done, release it — a
+    # scheduler invoking this path per batch must not accumulate one
+    # full-corpus cache per run
+    result.unpersist()
     # compaction LAST: every read of this run's results is done, so
     # the directory swap cannot race our own consumers
     compact_stats = _compact_outputs(spark, args) if args.compact else {}

@@ -203,6 +203,48 @@ def _staged_branches(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
             .unionByName(gzip_out))
 
 
+def granularity_project(branches: DataFrame, run_id: str) -> DataFrame:
+    """A7 granularity switch + E12 page-concat in ONE pass: per-doc
+    rows become a single synthetic whole-doc page struct, then
+    everything explodes.  Shared VERBATIM by the batch pipeline and
+    the streaming plan (extracted_stream) — stream==batch depends on
+    these being the same expressions, so there is exactly one copy."""
+    doc_struct = F.struct(
+        F.lit(None).cast("int").alias("page"),
+        F.when(
+            F.size("pages") > 0,
+            F.array_join(
+                F.transform("pages", lambda p: p["text"]), "\n", ""),
+        ).otherwise(F.lit(None)).alias("text"),  # E12 "\n".join contract
+        F.col("reliability").alias("reliability"),
+    )
+    pages_repr = F.when(F.col("per_page"), F.col("pages")).otherwise(
+        F.array(doc_struct))
+    return (
+        branches.filter(F.col("fmt") != FMT_UNSUPPORTED)
+        .select(
+            "url", "lang", "fmt", "method", "status", "used_fallback",
+            F.col("n_pages").alias("pages"), "spans", "error",
+            F.col("reliability").alias("doc_reliability"),
+            F.explode_outer(pages_repr).alias("p"),
+        )
+        .select(
+            "url",
+            F.lit(run_id).alias("run_id"),
+            "fmt", "method", "status", "used_fallback", "pages",
+            F.col("p.page").alias("page"),
+            F.col("p.text").alias("text"),
+            # per-page row span = that page's offsets in the doc text
+            F.when(F.col("p.page").isNotNull(),
+                   F.slice(F.col("spans"), F.col("p.page"), 1))
+            .otherwise(F.col("spans")).alias("spans"),
+            F.coalesce(F.col("p.reliability"), F.col("doc_reliability"))
+            .alias("reliability"),
+            "error",
+        )
+    )
+
+
 def run_extraction(
     spark: SparkSession,
     pages: DataFrame,
@@ -226,42 +268,7 @@ def run_extraction(
     if persist:
         branches = branches.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # --- granularity switch (A7) in ONE pass: per-doc rows become a
-    # single synthetic whole-doc page struct, then everything explodes
-    doc_struct = F.struct(
-        F.lit(None).cast("int").alias("page"),
-        F.when(
-            F.size("pages") > 0,
-            F.array_join(
-                F.transform("pages", lambda p: p["text"]), "\n", ""),
-        ).otherwise(F.lit(None)).alias("text"),  # E12 "\n".join contract
-        F.col("reliability").alias("reliability"),
-    )
-    pages_repr = F.when(F.col("per_page"), F.col("pages")).otherwise(
-        F.array(doc_struct))
-    extracted = (
-        branches.filter(F.col("fmt") != FMT_UNSUPPORTED)
-        .select(
-            "url", "lang", "fmt", "method", "status", "used_fallback",
-            F.col("n_pages").alias("pages"), "spans", "error",
-            F.col("reliability").alias("doc_reliability"),
-            F.explode_outer(pages_repr).alias("p"),
-        )
-        .select(
-            "url",
-            F.lit(cfg.run_id).alias("run_id"),
-            "fmt", "method", "status", "used_fallback", "pages",
-            F.col("p.page").alias("page"),
-            F.col("p.text").alias("text"),
-            # per-page row span = that page's offsets in the doc text
-            F.when(F.col("p.page").isNotNull(),
-                   F.slice(F.col("spans"), F.col("p.page"), 1))
-            .otherwise(F.col("spans")).alias("spans"),
-            F.coalesce(F.col("p.reliability"), F.col("doc_reliability"))
-            .alias("reliability"),
-            "error",
-        )
-    )
+    extracted = granularity_project(branches, cfg.run_id)
 
     # --- quarantine (S8/R3): parse/gate failures + unsupported --------------
     quarantine = (

@@ -46,41 +46,12 @@ def extracted_stream(pages_stream: DataFrame,
     is already split by its source files).
     """
     cfg = cfg or PipelineConfig()
+    from .pipeline import granularity_project
+
     sniffed = pages_stream.withColumn(
         "fmt", sniff_format(F.col("html"), F.col("text")))
     branches = sniffed.mapInPandas(make_extract_any(cfg), schema=BRANCH_SCHEMA)
-
-    doc_struct = F.struct(
-        F.lit(None).cast("int").alias("page"),
-        F.when(
-            F.size("pages") > 0,
-            F.array_join(F.transform("pages", lambda p: p["text"]), "\n", ""),
-        ).otherwise(F.lit(None)).alias("text"),
-        F.col("reliability").alias("reliability"),
-    )
-    pages_repr = F.when(F.col("per_page"), F.col("pages")).otherwise(
-        F.array(doc_struct))
-    return (
-        branches.filter(F.col("fmt") != FMT_UNSUPPORTED)
-        .select(
-            "url", "lang", "fmt", "method", "status", "used_fallback",
-            F.col("n_pages").alias("pages"), "spans", "error",
-            F.col("reliability").alias("doc_reliability"),
-            F.explode_outer(pages_repr).alias("p"),
-        )
-        .select(
-            "url", F.lit(cfg.run_id).alias("run_id"), "fmt", "method",
-            "status", "used_fallback", "pages",
-            F.col("p.page").alias("page"),
-            F.col("p.text").alias("text"),
-            F.when(F.col("p.page").isNotNull(),
-                   F.slice(F.col("spans"), F.col("p.page"), 1))
-            .otherwise(F.col("spans")).alias("spans"),
-            F.coalesce(F.col("p.reliability"), F.col("doc_reliability"))
-            .alias("reliability"),
-            "error",
-        )
-    )
+    return granularity_project(branches, cfg.run_id)
 
 
 def _make_batch_writer(output_dir: str, cfg: PipelineConfig):
@@ -89,8 +60,7 @@ def _make_batch_writer(output_dir: str, cfg: PipelineConfig):
     A sink that wrote only the extracted stream silently vanished
     unsupported rows and never produced metrics — the batch and
     streaming paths must share one accounting model."""
-    import os
-
+    from .io_tables import write_table
     from .pipeline import run_extraction
 
     def write_batch(batch_df, batch_id: int) -> None:
@@ -108,13 +78,19 @@ def _make_batch_writer(output_dir: str, cfg: PipelineConfig):
             # row carries batch_id so readers — or a compaction job on
             # a transactional table — can dedup replays exactly:
             # row_number() over (url, page, batch_id) keeping min.
+            # write_table, NOT a raw parquet append: it heals a
+            # crashed compaction swap (recover_table) before touching
+            # the live directory and routes to the Iceberg catalog
+            # when one is configured — the raw writer would recreate a
+            # half-swapped dir and the next recover_table call would
+            # discard the pre-crash rows (io_tables.py:102-106).
             bid = F.lit(batch_id).alias("batch_id")
-            res.extracted.withColumn("batch_id", bid).write.mode(
-                "append").parquet(os.path.join(output_dir, "extracted"))
-            res.quarantine.withColumn("batch_id", bid).write.mode(
-                "append").parquet(os.path.join(output_dir, "quarantine"))
-            res.metrics.withColumn("batch_id", bid).write.mode(
-                "append").parquet(os.path.join(output_dir, "metrics"))
+            write_table(res.extracted.withColumn("batch_id", bid),
+                        "extracted", output_dir)
+            write_table(res.quarantine.withColumn("batch_id", bid),
+                        "quarantine", output_dir)
+            write_table(res.metrics.withColumn("batch_id", bid),
+                        "metrics", output_dir)
         finally:
             res.unpersist()
 
@@ -220,8 +196,17 @@ def dedup_pages_stream(
         F.coalesce(F.md5(F.col("html")),
                    F.md5(F.encode(F.col("text"), "UTF-8")),
                    F.md5(F.encode(F.col("url"), "UTF-8"))),
-    ).withWatermark("warc_ts", watermark)
-    return keyed.dropDuplicatesWithinWatermark(["content_hash"])
+    ).withColumn(
+        # PAGES_SCHEMA.warc_ts is nullable (warc_pages emits NULL for
+        # an unparseable WARC-Date) and a watermark silently DESTROYS
+        # null-event-time rows — the same silent-collapse failure the
+        # hash coalesce above exists to avoid. A dateless capture is
+        # treated as arriving "now": never late, still deduped against
+        # same-hash rows inside the horizon.
+        "_evt_ts", F.coalesce(F.col("warc_ts"), F.current_timestamp()),
+    ).withWatermark("_evt_ts", watermark)
+    return keyed.dropDuplicatesWithinWatermark(["content_hash"]) \
+        .drop("_evt_ts")
 
 
 # ---------------------------------------------------------------------------
@@ -253,7 +238,11 @@ def read_warc_stream(spark: SparkSession, warc_dir: str,
     reader = (
         spark.readStream.format("binaryFile")
         .schema(_BINARY_FILE_SCHEMA)
-        .option("pathGlobFilter", "*.warc*")
+        .option(  # anchored: '*.warc*' would ingest in-progress
+            # upload temp names (.warc.gz.part/.tmp) once, truncated,
+            # and then the renamed final file again as a duplicate —
+            # uploaders must rename-into-place with the final suffix
+            "pathGlobFilter", "*.{warc,warc.gz}")
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -47,7 +47,7 @@ def sessionize_with_state(
     if state.hasTimedOut:
         if state.exists:
             s0, last, n, tot = state.get
-            out.append((user_id, s0, last, n, tot))
+            out.append((user_id, s0, last, n, round(tot, 6)))
         state.remove()
         yield pd.DataFrame(out, columns=[
             "user_id", "session_start_us", "session_end_us", "n_events",
@@ -71,16 +71,39 @@ def sessionize_with_state(
     def _flush_early() -> None:
         nonlocal early
         if early is not None:
-            out.append((user_id, *early))
+            # rounded at EMIT (state keeps the exact running sum):
+            # unrounded incremental float sums can diverge from the
+            # batch twin's partition-ordered sum under cancellation —
+            # the repo's float rule is bounded aggregation + rounding
+            out.append((user_id, early[0], early[1], early[2],
+                        round(early[3], 6)))
             early = None
+
+    def _resolve_early() -> None:
+        """Events arrive sorted, so extensions that move the open
+        session's start BACKWARDS all happen after the stragglers were
+        classified — re-check the pending straggler against the FINAL
+        s0: within a gap it belongs to the open session (the batch
+        twin's global sort would merge them), else it is its own
+        closed session."""
+        nonlocal early, s0, n, tot
+        if early is None:
+            return
+        if s0 is not None and s0 - early[1] < GAP_US:
+            s0 = early[0]
+            n += early[2]
+            tot += early[3]
+            early = None
+        else:
+            _flush_early()
 
     for us, value in zip(events["us"], events["value"]):
         us = int(us)
         if s0 is None:
             s0, last, n, tot = us, us, 1, float(value)
         elif us - last >= GAP_US:
-            _flush_early()
-            out.append((user_id, s0, last, n, tot))  # close previous
+            _resolve_early()  # s0 is final for the closing session
+            out.append((user_id, s0, last, n, round(tot, 6)))
             s0, last, n, tot = us, us, 1, float(value)
         elif s0 - us >= GAP_US:
             # watermark-allowed (1h) but more than a gap (30min) before
@@ -103,7 +126,7 @@ def sessionize_with_state(
             s0, last = min(s0, us), max(last, us)
             n, tot = n + 1, tot + float(value)
 
-    _flush_early()
+    _resolve_early()
     state.update((s0, last, n, tot))
     # close the open session if no event arrives within the gap
     state.setTimeoutTimestamp(last // 1000 + GAP_US // 1000)

@@ -278,3 +278,28 @@ def test_render_whale_doc_cap(spark):
     assert sorted(uncapped.url) == ["u://ok", "u://whale"]
     assert "=== [PAGE 50] ===" in uncapped.set_index("url").loc[
         "u://whale"].rendered_text
+
+
+def test_rendered_docs_null_text_header_only(spark):
+    """An OK doc whose text is NULL must still render (header-only
+    block, '# pages: 0') instead of silently vanishing from the
+    output; a doc with a NULL page among real pages keeps the real
+    ones."""
+    from document_extractor_spark.artifacts import rendered_docs
+
+    rows = [
+        ("u://null-doc", "r1", "pdf_text", "OK", 0.5, None, None),
+        ("u://mixed", "r1", "pdf_text", "OK", 0.9, 1, "page one text"),
+        ("u://mixed", "r1", "pdf_text", "OK", 0.9, 2, None),
+        ("u://err", "r1", "pdf_text", "ERROR", 0.0, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, run_id string, method string, status string,"
+              " reliability double, page int, text string")
+    got = rendered_docs(df).toPandas().set_index("url")
+    assert "u://null-doc" in got.index
+    assert "# pages: 0" in got.loc["u://null-doc", "rendered_text"]
+    assert got.loc["u://null-doc", "rendered_text"].endswith("\n\n")
+    assert "# pages: 1" in got.loc["u://mixed", "rendered_text"]
+    assert "page one text" in got.loc["u://mixed", "rendered_text"]
+    assert "u://err" not in got.index

@@ -272,3 +272,58 @@ def test_streaming_heavy_hitters_null_tokens_survive(spark, tmp_path):
     got = {r.token: r.est for r in spark.sql(
         "select * from hh_null").collect()}
     assert got == {"a": 2, "b": 1}  # NULLs dropped, query alive
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the session fn directly."""
+
+    def __init__(self, value=None):
+        self._v = value
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ts):
+        pass
+
+
+def test_in_batch_straggler_merges_after_backward_extension():
+    """An early straggler classified against the PRE-extension open
+    session must merge once a later in-batch event extends the session
+    start to within a gap of it (the batch twin's global sort merges
+    them) — previously emitted as a spurious separate session."""
+    import pandas as pd
+
+    from document_extractor_spark.streaming_state import (
+        GAP_US, sessionize_with_state)
+
+    MIN = 60_000_000
+    T = 10_000 * MIN
+    state = _FakeState((T, T, 1, 1.0))   # open session at T
+    batch = pd.DataFrame({"us": [T - 35 * MIN, T - 10 * MIN],
+                          "value": [2.0, 3.0]})
+    [out] = list(sessionize_with_state((7,), [batch], state))
+    assert len(out) == 0                  # nothing spuriously closed
+    s0, last, n, tot = state.get
+    assert s0 == T - 35 * MIN             # straggler merged into open
+    assert (last, n, tot) == (T, 3, 6.0)
+
+    # control: straggler STAYS separate when nothing bridges the gap
+    state = _FakeState((T, T, 1, 1.0))
+    batch = pd.DataFrame({"us": [T - 35 * MIN], "value": [2.0]})
+    [out] = list(sessionize_with_state((7,), [batch], state))
+    assert [tuple(r) for r in out.itertuples(index=False)] == [
+        (7, T - 35 * MIN, T - 35 * MIN, 1, 2.0)]
+    assert state.get == (T, T, 1, 1.0)
