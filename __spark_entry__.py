@@ -1739,14 +1739,12 @@ FROM '{_ENTRY_CORPUS_DIR}/pages.parquet'
 WHERE split_part(url, '/', 4) IN ('html_garbage', 'pdf_scanonly')
 UNION ALL
 -- legacy .doc failure variants: the generation-time quarantine reason
--- is the ground truth for WHICH failure each url is (truncated CFB ->
--- doc_extract_error; non-Word CFB -> deny-list 'none')
-SELECT url,
-       CASE reason WHEN 'doc_open_failed' THEN 'doc_extract_error'
-                   WHEN 'unsupported' THEN 'none' END AS method,
-       'ERROR' AS status
+-- is the ground truth (truncated CFB -> doc_extract_error); the
+-- non-Word-CFB deny-list rows route fmt='unsupported' and are
+-- EXCLUDED from the extracted table, same as the zip deny-list class
+SELECT url, 'doc_extract_error' AS method, 'ERROR' AS status
 FROM '{_ENTRY_CORPUS_DIR}/expected_quarantine.parquet'
-WHERE fixture_class = 'doc'
+WHERE fixture_class = 'doc' AND reason = 'doc_open_failed'
 """
 
 

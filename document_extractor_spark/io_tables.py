@@ -48,6 +48,19 @@ def table_backend(spark: SparkSession) -> str:
     return "iceberg" if iceberg_catalog(spark) else "parquet"
 
 
+def _local_root(root: str) -> str:
+    """OS path for a driver-local root: the maintenance ops accept
+    `file:`-scheme URIs (Spark's canonical local form) but run
+    os.walk/os.rename, which need the plain path — operating on the
+    raw URI string would silently scan nothing and then crash the
+    swap mid-way."""
+    if root.startswith("file://"):
+        return root[len("file://"):] or "/"
+    if root.startswith("file:"):
+        return root[len("file:"):]
+    return root
+
+
 def write_table(df: DataFrame, name: str, root: str,
                 mode: str = "append") -> str:
     """Write `df` as table `name`; returns the identifier written.
@@ -62,17 +75,19 @@ def write_table(df: DataFrame, name: str, root: str,
         if mode == "overwrite":
             writer.createOrReplace()
         else:
-            # append() requires an existing table; the FIRST write on a
-            # fresh catalog must bootstrap it (create() is the atomic
-            # create-with-data form, racing creators: one wins, the
-            # loser retries as a plain append)
-            try:
-                writer.append()
-            except Exception:
+            # append() requires an existing table; bootstrap via an
+            # existence CHECK, never by retrying a failed append — an
+            # append can raise AFTER its snapshot committed (driver
+            # timeout on the response), and a blind re-append would
+            # double-commit the batch. Racing creators: one create()
+            # wins, the loser falls through to a single append.
+            if not df.sparkSession.catalog.tableExists(ident):
                 try:
                     writer.create()
+                    return ident
                 except Exception:
-                    writer.append()
+                    pass  # another writer created it first
+            writer.append()
         return ident
     path = f"{root}/{name}"
     # heal an interrupted compaction swap BEFORE appending: creating
@@ -110,6 +125,7 @@ def recover_table(name: str, root: str) -> None:
 
     if "://" in root and not root.startswith("file:"):
         return
+    root = _local_root(root)
     path = f"{root}/{name}"
     tmp = f"{root}/{name}.__compact_tmp"
     old = f"{root}/{name}.__compact_old"
@@ -176,9 +192,10 @@ def compact_table(spark: SparkSession, name: str, root: str,
             f"root (got {root!r}); configure an Iceberg catalog for "
             "remote storage")
 
-    path = f"{root}/{name}"
-    tmp = f"{root}/{name}.__compact_tmp"
-    old = f"{root}/{name}.__compact_old"
+    local = _local_root(root)
+    path = f"{local}/{name}"
+    tmp = f"{local}/{name}.__compact_tmp"
+    old = f"{local}/{name}.__compact_old"
     recover_table(name, root)
 
     def _scan(p):

@@ -89,8 +89,12 @@ def _txt_core(url, warc_ts, lang, fmt, html, text) -> dict:
         "" if has_text else "empty_text")
 
 
-def _pdf_core(url, warc_ts, lang, payload, cfg: PipelineConfig) -> dict:
-    doc = parse_pdf(payload)
+def _pdf_core(url, warc_ts, lang, payload, cfg: PipelineConfig,
+              doc=None) -> dict:
+    # `doc`: an already-parsed PdfDoc (the fused container probe has
+    # one in hand) — parsing is the most expensive per-row kernel,
+    # never pay it twice for the same payload
+    doc = doc if doc is not None else parse_pdf(payload)
     if not doc.ok:
         return _row(url, warc_ts, lang, "pdf", "pdf_text", "ERROR",
                     False, False, 0, [], [], 0.0,
@@ -120,7 +124,7 @@ def _pdf_core(url, warc_ts, lang, payload, cfg: PipelineConfig) -> dict:
                 False, per_page, n, pages, spans, med)
 
 
-def _office_salvage(url, warc_ts, lang, fmt, salvage_text, rel) -> dict | None:
+def _office_salvage(url, warc_ts, lang, fmt, salvage_text) -> dict | None:
     """E10 second-chance acceptance (reference pass_doc.py:105-186):
     a below-cutoff office doc gets one more extraction and ANY
     non-blank result is accepted (the reference passes cutoff=0.0 to
@@ -157,7 +161,7 @@ def _docx_core(url, warc_ts, lang, payload, cfg: PipelineConfig) -> dict:
                     False, False, 1, [(1, t, rel)], [(0, len(t))], rel)
     if cfg.office_salvage:
         salvaged = _office_salvage(
-            url, warc_ts, lang, "docx", docx_text_lenient(payload), rel)
+            url, warc_ts, lang, "docx", docx_text_lenient(payload))
         if salvaged is not None:
             return salvaged
     return _row(url, warc_ts, lang, "docx", "docx_text", "ERROR",
@@ -177,8 +181,12 @@ def _doc_core(url, warc_ts, lang, payload, cfg: PipelineConfig) -> dict:
         t = doc_text(payload)
     except DocParseError as exc:
         if str(exc).startswith("cfb_not_word"):
-            return _row(url, warc_ts, lang, "doc", "none", "ERROR",
-                        False, False, 0, [], [], 0.0, "unsupported")
+            # fmt 'unsupported', NOT 'doc': a deny-listed CFB (.xls,
+            # .ppt) must get the same treatment as a deny-listed zip
+            # (.xlsx) — quarantine only, never an extracted-table row
+            return _row(url, warc_ts, lang, "unsupported", "none",
+                        "ERROR", False, False, 0, [], [], 0.0,
+                        "unsupported")
         return _row(url, warc_ts, lang, "doc", "doc_extract_error",
                     "ERROR", False, False, 0, [], [], 0.0,
                     f"doc_open_failed: {exc}")
@@ -192,7 +200,7 @@ def _doc_core(url, warc_ts, lang, payload, cfg: PipelineConfig) -> dict:
                     False, False, 1, [(1, t, rel)], [(0, len(t))], rel)
     if cfg.office_salvage:
         salvaged = _office_salvage(
-            url, warc_ts, lang, "doc", doc_text_lenient(payload), rel)
+            url, warc_ts, lang, "doc", doc_text_lenient(payload))
         if salvaged is not None:
             return salvaged
     return _row(url, warc_ts, lang, "doc", "doc_text", "ERROR",
@@ -407,7 +415,7 @@ def sniff_bytes(html: bytes | None, text: str | None) -> str:
     return "unsupported"
 
 
-def make_extract_any(cfg: PipelineConfig):
+def make_extract_any(cfg: PipelineConfig, allow_container: bool = True):
     from ..functions.pdf_mini import parse_pdf as _parse  # container probe
 
     def _dispatch_one(url, warc_ts, lang, fmt, html, text, out: list,
@@ -472,23 +480,25 @@ def make_extract_any(cfg: PipelineConfig):
                           allow_container=allow_container)
             return
         # pdf: container probe first (portfolio_unpack.py semantics)
+        probed = None
         if allow_container and html is not None \
                 and b"/EmbeddedFile" in html:
-            doc = _parse(html)
-            if doc.attachments:
-                for name, child in doc.attachments:
+            probed = _parse(html)
+            if probed.attachments:
+                for name, child in probed.attachments:
                     cfmt = sniff_bytes(child, None)
                     _dispatch_one(f"{url}::{name}", warc_ts, lang, cfmt,
                                   child, None, out, allow_container=False)
                 return  # parent consumed, never extracted
-        out.append(_pdf_core(url, warc_ts, lang, html, cfg))
+        out.append(_pdf_core(url, warc_ts, lang, html, cfg, doc=probed))
 
     def extract_any(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_batch in batches:
             out: list[dict] = []
             for r in pdf_batch.itertuples(index=False):
                 _dispatch_one(r.url, r.warc_ts, r.lang, r.fmt, r.html,
-                              r.text, out)
+                              r.text, out,
+                              allow_container=allow_container)
             yield pd.DataFrame(out, columns=_BRANCH_COLS) if out else _empty()
 
     return extract_any

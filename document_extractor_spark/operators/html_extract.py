@@ -596,7 +596,11 @@ def dom_block_table(pages, url_col: str = "url",
                 html = getattr(r, html_col)
                 if html is None:
                     continue
-                blocks = parse_blocks(html)
+                # observed mode — the SAME entry point the pipeline
+                # runs (fast tokenizer + HTMLParser fallback); a
+                # parse_blocks call here would take the HTMLParser-only
+                # path and could drift from actual extraction behavior
+                blocks, _ = parse_blocks_observed(html)
                 kept_ids = {id(k) for k in classify_blocks(
                     blocks, min_block_chars, max_link_density)}
                 for i, blk in enumerate(blocks):

@@ -83,12 +83,13 @@ class ExtractionResult:
     branches: DataFrame | None = None
 
     def unpersist(self) -> None:
-        for df in (self.extracted, self.quarantine, self.metrics,
-                   self.branches):
-            if df is None:
-                continue
+        # ONLY the factory-owned branch cache: run_extraction never
+        # persists the derived frames, so unpersisting them here would
+        # evict a cache the CALLER put on them (CLAUDE.md: never
+        # unpersist a caller-owned cache)
+        if self.branches is not None:
             try:
-                df.unpersist()
+                self.branches.unpersist()
             except Exception:
                 pass
 
@@ -140,12 +141,18 @@ def _staged_branches(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
         F.col("fmt") != FMT_PDF).unionByName(pdf_stream)
     # gzip rows: decompress + inner dispatch is inherently per-row
     # recursive, so the staged path delegates that slice to the fused
-    # kernel (identical semantics by construction). Built from
-    # `dispatched`, not `sniffed`: a container can carry a .gz child,
-    # which only appears after the explode re-sniff.
+    # kernel (identical semantics by construction). Container-child
+    # gzip rows (they appear only after the explode re-sniff) carry
+    # allow_container=False exactly like the fused dispatcher — a
+    # gzip-wrapped portfolio INSIDE a portfolio must not explode a
+    # second level (depth-1 contract).
     gzip_out = (
-        dispatched.filter(F.col("fmt") == FMT_GZIP)
+        sniffed.filter(F.col("fmt") == FMT_GZIP)
         .mapInPandas(make_extract_any(cfg), schema=BRANCH_SCHEMA)
+        .unionByName(
+            pdf_stream.filter(F.col("fmt") == FMT_GZIP)
+            .mapInPandas(make_extract_any(cfg, allow_container=False),
+                         schema=BRANCH_SCHEMA))
     )
 
     txt_rows = dispatched.filter(F.col("fmt").isin(FMT_TXT, FMT_PRETEXT))
