@@ -104,7 +104,10 @@ def lsh_bucketed_jvm(emb: DataFrame, n_bits: int = 8, seed: int = 7,
     Bit-equal to the Arrow signer except for vectors whose projection
     is within float summation error of 0 (pytest asserts equality).
 
-    `dim` is probed from the first row when not given.
+    Pass `dim` explicitly at scale: the dim=None convenience probe is
+    a DRIVER ACTION (a job per plan construction) and exists only for
+    interactive use — plan-building code must never trigger jobs
+    (r3 verdict: similarity.py #3).
     """
     if dim is None:
         head = emb.select(vec_col).head()

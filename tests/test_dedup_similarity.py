@@ -349,7 +349,8 @@ def test_lsh_jvm_signer_matches_arrow_signer(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     a = (lsh_bucketed(emb, n_bits=8, seed=7).select("vec_id", "bucket")
          .toPandas().set_index("vec_id").bucket)
-    b = (lsh_bucketed_jvm(emb, n_bits=8, seed=7).select("vec_id", "bucket")
+    b = (lsh_bucketed_jvm(emb, n_bits=8, seed=7, dim=64)
+         .select("vec_id", "bucket")
          .toPandas().set_index("vec_id").bucket)
     assert (a.sort_index() == b.sort_index()).all()
 
