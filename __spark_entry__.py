@@ -1205,14 +1205,26 @@ fp0 AS (
               AS BIGINT) AS simhash
   FROM bits GROUP BY doc_id),
 -- simhash=0 rows (empty docs) are excluded like the Spark operator:
--- they form one quadratic hot block and belong to exact dedup
-blocked AS (SELECT doc_id, simhash, simhash >> 47 AS block
-            FROM fp0 WHERE simhash <> 0)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM blocked a JOIN blocked b
-  ON a.block = b.block AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+-- they form one quadratic hot block and belong to exact dedup.
+-- Pigeonhole blocking: 4 blocks (16/16/16/15); hamming<=3 pairs
+-- must share at least one block, so candidate recall is 100%
+blocked AS (
+  SELECT doc_id, simhash, b.bi AS bi,
+         CASE b.bi WHEN 0 THEN simhash >> 47
+                   WHEN 1 THEN (simhash >> 31) & 65535
+                   WHEN 2 THEN (simhash >> 15) & 65535
+                   ELSE simhash & 32767 END AS bv
+  FROM fp0, unnest(range(0, 4)) AS b(bi)
+  WHERE simhash <> 0),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM blocked a JOIN blocked b
+    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= 3
 """
 
 
@@ -3037,7 +3049,7 @@ WITH d AS (
 c AS (
   SELECT doc_id, source, n_tokens,
          CAST(sum(n_tokens) OVER (
-             PARTITION BY source ORDER BY hk
+             PARTITION BY source ORDER BY hk, doc_id, n_tokens
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS cum_tokens
   FROM d)

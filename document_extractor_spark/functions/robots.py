@@ -87,13 +87,20 @@ def parse_robots(body: str | None, agent: str = "*") -> list[tuple[str, bool]]:
     # rules (erring toward crawling disallowed paths)
     agent = agent.lower()
     own: list[tuple[str, bool]] = []
+    own_group_seen = False
     star: list[tuple[str, bool]] = []
     for agents, rules in groups:
         if agent != "*" and agent in agents:
+            own_group_seen = True
             own.extend(rules)
         if "*" in agents:
             star.extend(rules)
-    if agent != "*" and own:
+    # RFC 9309 §2.2.1: a group MATCHING the agent applies even when it
+    # carries no rules — 'User-agent: mybot\nDisallow:' is the
+    # canonical exemption pattern (empty Disallow = allow all) and
+    # must NOT fall back to the '*' group; fallback happens only when
+    # no specific group exists at all
+    if agent != "*" and own_group_seen:
         return own
     return star
 
@@ -140,13 +147,17 @@ def filter_allowed(urls: DataFrame, rules: DataFrame,
     # hostnames are case-insensitive: normalize the rules side too,
     # or a mixed-case domain row would match nothing and its
     # Disallow rules would be silently ignored
+    # the dim side's key is renamed to a private column: keeping it
+    # as 'domain' makes the final select(*urls.columns) ambiguous the
+    # moment the urls table itself carries a 'domain' column
     per_domain = (
-        rules.withColumn("domain", F.lower(F.col("domain")))
-        .groupBy("domain")
+        rules.select(F.lower(F.col("domain")).alias("_rb_dom"),
+                     "prefix", "allow")
+        .groupBy("_rb_dom")
         .agg(F.collect_list(F.struct("prefix", "allow")).alias("_rules")))
     with_dom = urls.withColumn("_dom", domain).withColumn("_path", path)
     joined = with_dom.join(F.broadcast(per_domain),
-                           with_dom._dom == per_domain.domain, "left")
+                           with_dom._dom == per_domain._rb_dom, "left")
 
     def rank(acc, r):
         pfx = r["prefix"]

@@ -116,10 +116,25 @@ def token_budget_sample(df: DataFrame, key_col: str, strata_col: str,
     for value, b in sorted((budgets or {}).items()):
         thr = F.when(F.col(strata_col) == value,
                      F.lit(int(b))).otherwise(thr)
-    ww = Window.partitionBy(strata_col, "_bk").orderBy("_hk")
+    # key_col as the cumsum tiebreaker: duplicate keys share an
+    # identical md5, and a tie-broken-by-arrival window would flip
+    # kept/cum_tokens between retries (exact_stratum_holdout does the
+    # same for the same reason)
+    ww = Window.partitionBy(strata_col, "_bk").orderBy(
+        "_hk", F.col(key_col), F.col(n_tokens_col))
+    offs_d = offs.select(
+        F.col(strata_col).alias("_os"), F.col("_bk").alias("_ob"),
+        "_boff")
     return (
-        d.join(F.broadcast(offs.select(strata_col, "_bk", "_boff")),
-               [strata_col, "_bk"])
+        # eqNullSafe: a NULL stratum is a legitimate group (missing
+        # lang id) — the name-list equi-join silently DROPPED those
+        # rows from the decision table, violating the every-input-row
+        # contract (temperature_mix_sample already handles NULL strata
+        # the same way)
+        d.join(F.broadcast(offs_d),
+               F.col(strata_col).eqNullSafe(F.col("_os"))
+               & F.col("_bk").eqNullSafe(F.col("_ob")))
+        .drop("_os", "_ob")
         .withColumn(
             "cum_tokens",
             (F.col("_boff") + F.sum(n_tokens_col).over(

@@ -438,21 +438,35 @@ def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
 def simhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text",
                           max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on the top
-    16 bits (at scale: block -> tiny buckets -> in-bucket compare,
-    never a cross join).
+    """Near-dup pairs by SimHash hamming distance, blocked by the
+    PIGEONHOLE scheme: the 63-bit fingerprint splits into 4 blocks
+    (16/16/16/15); two fingerprints within hamming distance 3 must
+    agree on at least one whole block, so candidates are pairs
+    sharing ANY block — recall is 100% for max_hamming <= 3 (a single
+    top-16 block missed ~59% of hamming-3 pairs: any pair whose
+    differing bits touched the top block never became a candidate).
+    At scale: 4 bucket joins on tiny keys, never a cross join.
 
     simhash == 0 rows (empty/NULL/whitespace-only text) are EXCLUDED:
-    every empty doc lands in block 0 with distance 0 to every other,
-    so at 10^12 docs they form one quadratic hot bucket — and they are
-    exact duplicates anyway, which exact_dedup_groups already handles
-    in one linear pass."""
+    every empty doc lands in identical blocks with distance 0 to
+    every other, so at 10^12 docs they form one quadratic hot bucket —
+    and they are exact duplicates anyway, which exact_dedup_groups
+    already handles in one linear pass."""
+    sh = F.col("simhash")
+    block_vals = F.array(
+        F.shiftrightunsigned(sh, 47),                              # 16
+        F.shiftrightunsigned(sh, 31).bitwiseAND(F.lit(0xFFFF)),    # 16
+        F.shiftrightunsigned(sh, 15).bitwiseAND(F.lit(0xFFFF)),    # 16
+        sh.bitwiseAND(F.lit(0x7FFF)),                              # 15
+    )
     fp = (simhash_fingerprints(docs, id_col, text_col)
           .filter(F.col("simhash") != 0)
-          .withColumn("block", F.shiftrightunsigned(F.col("simhash"), 47)))
+          .select(id_col, "simhash",
+                  F.posexplode(block_vals).alias("bi", "bv")))
     a, b = fp.alias("a"), fp.alias("b")
     pairs = a.join(
-        b, (F.col("a.block") == F.col("b.block"))
+        b, (F.col("a.bi") == F.col("b.bi"))
+        & (F.col("a.bv") == F.col("b.bv"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
     return (
         pairs.select(
@@ -461,6 +475,7 @@ def simhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
             F.bit_count(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])  # a pair can share 2+ blocks
         .filter(F.col("hamming") <= max_hamming)
     )
 
@@ -545,8 +560,6 @@ def paragraph_dedup_marks(docs: DataFrame, order_cols: list[str],
     the shuffle is uniform regardless of how hot a boilerplate
     paragraph is (a hot hash still lands in ONE partition, but
     row_number over it is linear, not quadratic — and cheap)."""
-    from pyspark.sql import Window
-
     paras = (
         docs.select(
             *order_cols,

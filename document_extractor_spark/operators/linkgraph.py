@@ -61,6 +61,25 @@ def extract_outlinks(pages: DataFrame, url_col: str = "url",
 from ..functions.urlnorm import has_opaque_scheme, host_of as _host_of
 
 
+def _fetchable_links(df: DataFrame, url_col: str,
+                     href_col: str) -> DataFrame:
+    """Rows whose href is a FETCHABLE link target, with the resolved
+    destination domain attached as `_dst`: fragment-only/empty hrefs
+    and scheme-without-authority links (mailto:/javascript:/tel:) are
+    dropped; relative hrefs resolve to the source's own domain.  ONE
+    shared implementation — domain_edges and anchor_text_index both
+    build on it, so link-target semantics can never drift between the
+    edge graph and the anchor index."""
+    src = _host_of(F.col(url_col))
+    dst = F.coalesce(_host_of(F.col(href_col)), src)
+    return (
+        df.filter((F.col(href_col) != "")
+                  & ~F.col(href_col).startswith("#")
+                  & ~has_opaque_scheme(F.col(href_col)))
+        .withColumn("_src", src).withColumn("_dst", dst)
+    )
+
+
 def domain_edges(outlinks: DataFrame, url_col: str = "url",
                  href_col: str = "href") -> DataFrame:
     """`(src_domain, dst_domain, n_links)` — the domain-level edge
@@ -68,14 +87,10 @@ def domain_edges(outlinks: DataFrame, url_col: str = "url",
     fragment-only/empty hrefs AND scheme-without-authority links
     (`mailto:` / `javascript:` / `tel:`) are dropped — coalescing
     those to the source would fabricate self-edges. One shuffle."""
-    src = _host_of(F.col(url_col))
-    dst = F.coalesce(_host_of(F.col(href_col)), src)
     return (
-        outlinks
-        .filter((F.col(href_col) != "")
-                & ~F.col(href_col).startswith("#")
-                & ~has_opaque_scheme(F.col(href_col)))
-        .select(src.alias("src_domain"), dst.alias("dst_domain"))
+        _fetchable_links(outlinks, url_col, href_col)
+        .select(F.col("_src").alias("src_domain"),
+                F.col("_dst").alias("dst_domain"))
         .filter(F.col("src_domain").isNotNull())
         .groupBy("src_domain", "dst_domain")
         .agg(F.count("*").alias("n_links"))
@@ -218,13 +233,9 @@ def anchor_text_index(anchors: DataFrame) -> DataFrame:
     Relative hrefs resolve to the source's own domain; fragment-only
     and scheme-without-authority (`mailto:` etc.) links are dropped.
     One shuffle over the anchor rows; output is domain-bounded."""
-    src = _host_of(F.col("url"))
-    dst = F.coalesce(_host_of(F.col("href")), src)
     return (
-        anchors
-        .filter((F.col("href") != "") & ~F.col("href").startswith("#")
-                & ~has_opaque_scheme(F.col("href")))
-        .select(dst.alias("dst_domain"), "anchor")
+        _fetchable_links(anchors, "url", "href")
+        .select(F.col("_dst").alias("dst_domain"), "anchor")
         .filter(F.col("dst_domain").isNotNull())
         .groupBy("dst_domain")
         .agg(F.count("*").alias("n_anchors"),

@@ -445,3 +445,28 @@ def test_minhash_incremental_decision(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     allnew = minhash_incremental_decision(new, empty).toPandas()
     assert allnew.is_unique.all()
+
+
+def test_simhash_pigeonhole_recall_equals_bruteforce(spark):
+    """Pigeonhole blocking (4 blocks over 63 bits) must find EXACTLY
+    the brute-force hamming<=3 pair set — the old single top-16 block
+    missed any pair whose differing bits touched the top block."""
+    import itertools
+
+    from document_extractor_spark.operators.dedup import (
+        simhash63_scalar, simhash_neardup_pairs)
+
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "market reports show strong revenue growth this quarter")
+    rows = [(i, base.replace("quarter", w))
+            for i, w in enumerate(
+                ["quarter", "quartet", "period", "cycle", "qtr",
+                 "season", "window", "term", "phase", "stretch"])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {i: simhash63_scalar(t) for i, t in rows}
+    brute = {(a, b) for a, b in itertools.combinations(sorted(fps), 2)
+             if fps[a] and fps[b]
+             and bin(fps[a] ^ fps[b]).count("1") <= 3}
+    got = simhash_neardup_pairs(docs, max_hamming=3).toPandas()
+    assert set(zip(got.id_a, got.id_b)) == brute
+    assert not got.duplicated(["id_a", "id_b"]).any()

@@ -134,3 +134,36 @@ class TestFuzz:
                 assert "*" not in prefix  # wildcard always cut
 
         prop()
+
+
+def test_empty_specific_group_exempts_agent():
+    """RFC 9309: a group matching the agent applies even when empty —
+    'User-agent: mybot / Disallow:' is the canonical exemption and
+    must NOT fall back to the '*' group."""
+    from document_extractor_spark.functions.robots import parse_robots
+
+    body = "User-agent: mybot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"
+    assert parse_robots(body, "mybot") == []      # allowed everywhere
+    assert parse_robots(body, "otherbot") == [("/", False)]
+    # a specific group WITH rules still returns its own rules
+    body2 = ("User-agent: mybot\nDisallow: /private\n\n"
+             "User-agent: *\nDisallow: /\n")
+    assert parse_robots(body2, "mybot") == [("/private", False)]
+
+
+def test_filter_allowed_urls_table_with_domain_column(spark):
+    """A urls table that already carries a 'domain' column must not
+    make the rules join ambiguous."""
+    from document_extractor_spark.functions.robots import (
+        filter_allowed, robots_rules_table)
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /no\n")],
+        "domain string, robots_txt string")
+    rules = robots_rules_table(robots)
+    urls = spark.createDataFrame(
+        [("http://a.com/ok", "a.com"), ("http://a.com/no/x", "a.com")],
+        "url string, domain string")
+    got = filter_allowed(urls, rules).toPandas()
+    assert list(got.columns) == ["url", "domain"]
+    assert set(got.url) == {"http://a.com/ok"}

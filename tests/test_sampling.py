@@ -245,3 +245,26 @@ def test_exact_stratum_holdout(spark):
     # empty frame
     empty = spark.createDataFrame([], "doc_id long, stratum string")
     assert exact_stratum_holdout(empty, "doc_id", "stratum", 5).count() == 0
+
+
+def test_token_budget_null_stratum_and_duplicate_keys(spark):
+    """NULL strata are a legitimate group (missing lang id): every
+    input row must appear in the decision table; duplicate keys must
+    not make cum_tokens order retry-dependent (key tiebreaker)."""
+    from document_extractor_spark.functions.sampling import (
+        token_budget_sample)
+
+    rows = [("a", None, 100), ("b", None, 200), ("c", "en", 300),
+            ("dup", "en", 50), ("dup", "en", 70)]
+    df = spark.createDataFrame(rows, "k string, s string, nt long")
+    got = token_budget_sample(df, "k", "s", "nt", budget=250).toPandas()
+    assert len(got) == 5                    # NULL-stratum rows present
+    nulls = got[got.s.isna()]
+    assert len(nulls) == 2 and nulls.cum_tokens.max() == 300
+    # determinism across partitionings incl. the duplicate-key pair
+    again = token_budget_sample(
+        df.repartition(7), "k", "s", "nt", budget=250).toPandas()
+    key = ["k", "s", "nt"]
+    a = got.sort_values(key).reset_index(drop=True)
+    b = again.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
