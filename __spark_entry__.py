@@ -882,11 +882,14 @@ WITH f AS (
   SELECT source,
          CASE WHEN lang IN ('en','de','fr','es')
                    AND ({_SQL_QUALITY}) >= 0.3
-                   AND (CASE WHEN len(string_split(text, ' ')) > 0
-                             THEN 1.0 - len(list_distinct(
-                                      string_split(text, ' ')))
-                                  / CAST(len(string_split(text, ' '))
-                                         AS DOUBLE)
+                   AND (CASE WHEN len(list_filter(string_split_regex(
+                                      text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) > 0
+                             THEN 1.0 - len(list_distinct(list_filter(
+                                      string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                                      x -> x <> '')))
+                                  / CAST(len(list_filter(
+                                      string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                                      x -> x <> '')) AS DOUBLE)
                              ELSE 0.0 END) <= 0.8
                    AND length(text) >= 80
               THEN 1 ELSE 0 END AS pass
@@ -919,7 +922,8 @@ def q_repetition_ratios(spark, sf_dir):
 
 _ORACLE_REPETITION = """
 WITH w AS (
-  SELECT source, string_split(text, ' ') AS ws FROM documents
+  SELECT source, list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                              x -> x <> '') AS ws FROM documents
 ), r AS (
   SELECT source,
          CASE WHEN len(ws) > 0
@@ -2123,7 +2127,7 @@ m AS (
       / len(lns) ELSE 0.0 END AS bullet_ratio,
     CASE WHEN len(lns) > 0 THEN
       CAST(len(list_filter(lns,
-           x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$'))) AS DOUBLE)
+           x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)\\r*\\z'))) AS DOUBLE)
       / len(lns) ELSE 0.0 END AS ellipsis_ratio,
     CASE WHEN len(words) > 0 THEN
       CAST(len(list_filter(words,

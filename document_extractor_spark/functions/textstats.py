@@ -18,8 +18,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
-# BPE-ish tokenization: letter/digit runs, plus single punctuation marks
-TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+# BPE-ish tokenization: letter/digit runs, plus single punctuation
+# marks. The whitespace exclusion is the PINNED class written out,
+# never \s: this exact string is interpolated into DuckDB (RE2) SQL
+# twins, and Java \s includes \x0B while RE2's does not — a \s here
+# made a vertical tab a punctuation token in exactly one engine.
+TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 LANG_MARKERS = {
     "en": ["the", "and", "of"],
@@ -44,8 +48,12 @@ def ascii_alnum_ratio(text: Column) -> Column:
 def dup_unigram_ratio(text: Column) -> Column:
     """Fraction of repeated words — a Gopher-style repetition signal
     (high ratio = boilerplate/spam). 0.0 for empty text. Pure Column
-    expression: stays in whole-stage codegen, no Python in the path."""
-    w = F.split(text, " ")
+    expression: stays in whole-stage codegen, no Python in the path.
+    Words split on the PINNED whitespace class with empties removed —
+    a single-space split counted the empty strings between runs of
+    spaces as duplicate 'words', inflating the signal on typographic
+    double-spacing."""
+    w = F.filter(F.split(text, WS_CLASS + "+"), lambda x: x != "")
     return F.when(
         F.size(w) > 0,
         F.lit(1.0) - F.size(F.array_distinct(w)) / F.size(w).cast("double"),
@@ -61,8 +69,9 @@ def dup_bigram_ratio(text: Column) -> Column:
     inlines `w` into each lambda use, so the element_at form
     re-evaluates the split PER ELEMENT — O(words^2) per row, measured
     5.5 s for 5000 short docs. The slice form evaluates the split a
-    constant number of times per row (0.3 s same input)."""
-    w = F.split(text, " ")
+    constant number of times per row (0.3 s same input). Same pinned
+    word split as dup_unigram_ratio."""
+    w = F.filter(F.split(text, WS_CLASS + "+"), lambda x: x != "")
     n = F.size(w)
     grams = F.zip_with(
         F.slice(w, 1, n - 1),
@@ -308,8 +317,11 @@ def gopher_quality(text: Column,
     n_lines = F.size(lines)
     bullet_lines = F.size(F.filter(
         lines, lambda x: F.ltrim(x).rlike(r"^[-*•‣]")))
+    # \r*\z, not $: lines split on \n keep a trailing \r under CRLF,
+    # and Java's $ matches BEFORE a final terminator while RE2's does
+    # not — \z is end-of-input in both (Java∩RE2 subset)
     ellip_lines = F.size(F.filter(
-        lines, lambda x: F.rtrim(x).rlike(r"(\.\.\.|…)$")))
+        lines, lambda x: F.rtrim(x).rlike(r"(\.\.\.|…)\r*\z")))
     bullet_ratio = F.when(n_lines > 0,
                           bullet_lines / n_lines.cast("double")
                           ).otherwise(F.lit(0.0))

@@ -28,6 +28,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, StructField, StructType
 
+# the ONE pinned whitespace class (textstats.WS_CLASS) — never a
+# local copy, so tokenization cannot desynchronize across operators
+from ..functions.textstats import WS_CLASS as _WS_CLASS
+
 
 def render_doc_text(
     url: str,
@@ -90,7 +94,10 @@ def assign_chunks(
         chunk, used = 1, 0
         ids = []
         for size in pdf[size_col]:
-            size = int(size)
+            # a null size (upstream extraction gap) arrives as NaN in
+            # the pandas group; int(NaN) would fail the whole task —
+            # treat it as a zero-byte doc instead of crashing the job
+            size = 0 if pd.isna(size) else int(size)
             if used > 0 and used + size > max_bytes:
                 chunk += 1
                 used = 0
@@ -143,7 +150,7 @@ def token_windows(
     """
     assert stride <= window, "stride > window would leave coverage gaps"
     toks = F.filter(
-        F.split(F.col(text_col), "[ \\t\\n\\x0B\\f\\r]+"),
+        F.split(F.col(text_col), _WS_CLASS + "+"),
         lambda t: t != "")
     n = F.size(toks)
     full_starts = F.sequence(

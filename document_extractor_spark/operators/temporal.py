@@ -50,10 +50,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     )
     lt = left.withColumn("_is_left", F.lit(1))
     u = lt.unionByName(rt, allowMissingColumns=True)
-    # right rows sort before left rows at equal `on`, so ties match
+    # right rows sort before left rows at equal `on`, so ties match;
+    # `_r` (the whole value struct) as the final tiebreak makes the
+    # carried row DETERMINISTIC when several right rows share the
+    # same (by, on) key — without it, last() took whichever duplicate
+    # the shuffle happened to deliver last (retries could flip it)
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("_is_left").asc())
+        .orderBy(F.col(on).asc(), F.col("_is_left").asc(),
+                 F.col("_r").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = u.withColumn("_r", F.last("_r", ignorenulls=True).over(w))
@@ -75,7 +80,13 @@ def range_join_bins(points: DataFrame, intervals: DataFrame,
     """
     if bin_width <= 0:
         raise ValueError("bin_width must be a positive integer")
-    iv = intervals.withColumn(
+    # inverted intervals (end < start) are dropped BEFORE the
+    # explode: Spark's sequence(a, b) with a > b runs DESCENDING
+    # (pinned repo trap), so one corrupt row would explode
+    # (start-end)/bin_width bins instead of zero — and the SQL
+    # BETWEEN twin matches nothing for such a row anyway
+    iv = intervals.filter(
+        F.col(start_col) <= F.col(end_col)).withColumn(
         "_bin",
         F.explode(F.sequence(
             F.floor(F.col(start_col) / bin_width),

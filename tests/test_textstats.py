@@ -114,7 +114,10 @@ def test_dup_ratios_hypothesis_parity(spark):
                      .map(" ".join), min_size=1, max_size=8)
 
     def py_ratios(t):
-        w = t.split(" ")
+        # the pinned whitespace class with empties removed — runs of
+        # spaces must not fabricate duplicate '' words
+        import re
+        w = [x for x in re.split("[ \t\n\x0b\f\r]+", t) if x != ""]
         du = 1 - len(set(w)) / len(w) if len(w) > 0 else 0.0
         grams = [f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)]
         db = 1 - len(set(grams)) / len(grams) if len(w) >= 2 else 0.0
