@@ -157,15 +157,29 @@ def _parse_headers(block: bytes) -> dict[str, str] | None:
     if not lines or not lines[0].startswith(b"WARC/"):
         return None
     headers: dict[str, str] = {}
+    last_key: str | None = None
     for line in lines[1:]:
         if not line:
+            continue
+        if line[:1] in (b" ", b"\t"):
+            # ISO 28500 folded header line: continuation of the
+            # previous field's value (folding replaced by one space).
+            # Rejecting these aborted the WHOLE rest of a valid file;
+            # a folded line containing ':' was worse — silently parsed
+            # as a bogus extra header, truncating the real value.
+            if last_key is None:
+                return None  # fold before any field: malformed
+            try:
+                headers[last_key] += " " + line.strip().decode("utf-8")
+            except UnicodeDecodeError:
+                return None
             continue
         k, sep, v = line.partition(b":")
         if not sep:
             return None
         try:
-            headers[k.strip().decode("ascii").lower()] = (
-                v.strip().decode("utf-8"))
+            last_key = k.strip().decode("ascii").lower()
+            headers[last_key] = v.strip().decode("utf-8")
         except UnicodeDecodeError:
             return None
     return headers

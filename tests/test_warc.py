@@ -341,3 +341,44 @@ def test_warc_pages_require_status(spark):
     kept = {r.url for r in ok_pages.collect()}
     assert "http://site0.example.com/doc/0" not in kept
     assert "http://site13.example.com/doc/13" not in kept
+
+
+def test_folded_warc_headers_parse():
+    """ISO 28500 allows header values to wrap onto continuation lines
+    beginning with space/tab; rejecting them aborted every following
+    record of an otherwise valid file."""
+    from document_extractor_spark.functions.warc_mini import (
+        _parse_headers, parse_warc)
+
+    block = (b"WARC/1.0\r\n"
+             b"WARC-Type: response\r\n"
+             b"WARC-Target-URI: http://example.com/a\r\n"
+             b"X-Long: first part\r\n"
+             b"  second: part\r\n"          # folded, contains a colon
+             b"Content-Length: 2\r\n")
+    h = _parse_headers(block)
+    assert h is not None
+    assert h["x-long"] == "first part second: part"
+    assert "second" not in h                # no bogus extra header
+    assert h["content-length"] == "2"
+    # a fold before any field is malformed
+    assert _parse_headers(b"WARC/1.0\r\n  oops\r\n") is None
+    # end-to-end: a folded record followed by a normal one: BOTH parse
+    folded = (b"WARC/1.0\r\n"
+              b"WARC-Type: response\r\n"
+              b"WARC-Target-URI: http://example.com/1\r\n"
+              b"X-Note: alpha\r\n"
+              b"\tbeta\r\n"
+              b"Content-Length: 2\r\n"
+              b"\r\nXY\r\n\r\n")
+    normal = (b"WARC/1.0\r\n"
+              b"WARC-Type: response\r\n"
+              b"WARC-Target-URI: http://example.com/2\r\n"
+              b"Content-Length: 2\r\n"
+              b"\r\nZZ\r\n\r\n")
+    recs = parse_warc(folded + normal)
+    ok = [r for r in recs if r.error is None]
+    assert len(ok) == 2
+    assert ok[0].headers.get("x-note") == "alpha beta"
+    assert [r.target_uri for r in ok] == [
+        "http://example.com/1", "http://example.com/2"]
