@@ -3261,26 +3261,23 @@ FROM base b LEFT JOIN sc USING (doc_id)
 
 def q_ccnet_buckets(spark, sf_dir):
     """The CCNet head/middle/tail decision — the canonical consumer of
-    the perplexity proxy: per-language tertiles of bits/bigram (ntile
-    over a fully deterministic ordering: 4dp score, then doc_id), head
-    = most fluent third.  Empty docs (no bigrams) get a NULL bucket
-    instead of riding the window.  One extra window shuffle on top of
-    the charlm plan."""
+    the perplexity proxy: per-language tertiles of bits/bigram with
+    exact `ntile(3)` semantics (4dp score, doc_id tie-break), head =
+    most fluent third.  Empty docs (no bigrams) get a NULL bucket.
+
+    r5 de-skew: no `ntile OVER (PARTITION BY lang)` corpus sort — the
+    bucket comes from histogram-derived cutoffs (bounded-cardinality
+    4dp scores) broadcast back onto the corpus; only the ≤2 boundary
+    tie-groups per language see a (lang, score)-partitioned
+    row_number.  See charlm.ccnet_tertile_buckets."""
     from document_extractor_spark.functions.charlm import (
-        bigram_cross_entropy)
-    from pyspark.sql import Window
+        bigram_cross_entropy, ccnet_tertile_buckets)
 
     d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
     sc = bigram_cross_entropy(d.select("doc_id", "text"))
     joined = sc.join(d.select("doc_id", "lang"), "doc_id")
-    w = Window.partitionBy("lang").orderBy("bits_per_bigram", "doc_id")
-    nonzero = (
-        joined.filter(F.col("n_bigrams") > 0)
-        .withColumn("nt", F.ntile(3).over(w))
-        .withColumn("bucket", F.element_at(
-            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
-            F.col("nt")))
-        .drop("nt"))
+    nonzero = ccnet_tertile_buckets(
+        joined.filter(F.col("n_bigrams") > 0))
     zero = joined.filter(F.col("n_bigrams") == 0).withColumn(
         "bucket", F.lit(None).cast("string"))
     return nonzero.unionByName(zero).select(
@@ -3880,11 +3877,21 @@ def q_hashed_embeddings(spark, sf_dir):
     doc's raw vector is exact integer signed counts — order-
     independent in any engine. One explode + one map-side-combined
     doc groupBy; unit normalization is an optional float epilogue
-    for the cosine/ANN consumers (checked raw here)."""
+    for the cosine/ANN consumers (checked raw here).
+
+    The gate row serializes the vector to one CSV string: the
+    driver's pandas canonicalizer cannot sort list-typed cells
+    (CORRECTNESS_r04 red row), and exact integer components make the
+    string form just as checkable."""
     from document_extractor_spark.functions.embed import (
         hashed_embeddings)
 
-    return hashed_embeddings(_docs(spark, sf_dir), dim=16)
+    emb = hashed_embeddings(_docs(spark, sf_dir), dim=16)
+    return emb.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("embedding"), lambda x: x.cast("string")),
+            ",").alias("embedding_csv"))
 
 
 def _embed_oracle_sql(dim: int = 16) -> str:
@@ -3903,7 +3910,7 @@ WITH tk AS (
 s AS (SELECT doc_id,
          {sums}
       FROM tk GROUP BY 1)
-SELECT d.doc_id, [{elems}] AS embedding
+SELECT d.doc_id, array_to_string([{elems}], ',') AS embedding_csv
 FROM documents d LEFT JOIN s USING (doc_id)
 """
 

@@ -158,3 +158,95 @@ def bigram_cross_entropy(
         result = result.localCheckpoint(eager=True)
         own_pairs.unpersist(blocking=False)
     return result
+
+
+def ccnet_tertile_buckets(
+    scored: DataFrame,
+    key_col: str = "doc_id",
+    lang_col: str = "lang",
+    score_col: str = "bits_per_bigram",
+) -> DataFrame:
+    """Per-language tertile bucket (`head`/`middle`/`tail`) with
+    EXACT `ntile(3) OVER (PARTITION BY lang ORDER BY score, key)`
+    semantics — but zero corpus-sized sorts.
+
+    `ntile(3) OVER (PARTITION BY lang ...)` is the skewed-key
+    scale-killer the r4 verdict flagged: a dominant language (≈half a
+    real crawl) becomes ONE task sorting ~50 TB.  This formulation
+    exploits the bounded score cardinality (`score_col` is 4dp-rounded
+    ⇒ ≤ a few hundred thousand distinct values per language):
+
+      1. histogram — groupBy(lang, score).count(): map-side combined,
+         the shuffle carries only the bounded histogram rows;
+      2. per-language cumulative counts + ntile cutoffs q1/q2 over the
+         HISTOGRAM (a dim-table window, never the corpus);
+      3. broadcast the histogram back onto the corpus: any (lang,
+         score) tie-group lying entirely inside one tertile — all but
+         ≤2 groups per language — gets its bucket by pure comparison,
+         no sort, no shuffle;
+      4. only the ≤2 boundary tie-groups per language (the groups the
+         cutoff bisects) need the within-group `row_number()` ordered
+         by `key_col` — partitioned by (lang, score), so the window
+         state is one tie-group, and row_number streams.
+
+    The fixpoint matches ntile exactly (pinned by the DuckDB oracle
+    and a skewed-fixture pytest): rank(row) = cum_before(group) +
+    row_number within group, bucket 1 iff rank<=q1, 2 iff rank<=q2.
+    Rows must have a non-NULL `score_col` (callers route no-signal
+    docs around the bucketing, as `q_ccnet_buckets` does).
+    """
+    from pyspark.sql import Window
+
+    nz = scored
+    hist = nz.groupBy(lang_col, score_col).agg(F.count("*").alias("_cnt"))
+    hw = Window.partitionBy(lang_col).orderBy(score_col)
+    # per-lang total rides a second window over the SAME partitioning
+    # (no join back to a separate totals aggregate — that would
+    # recompute the corpus histogram once per consumer branch)
+    hist = (
+        hist
+        .withColumn(
+            "_cum_before",
+            F.coalesce(F.sum("_cnt").over(hw) - F.col("_cnt"), F.lit(0)))
+        .withColumn("_n", F.sum("_cnt").over(Window.partitionBy(lang_col)))
+    )
+    # ntile(3) bucket sizes: base=n div 3, rem=n mod 3; bucket i gets
+    # base + (i<=rem). q1/q2 = cumulative sizes of buckets 1 / 1+2.
+    base, rem = F.col("_n") / 3, F.col("_n") % 3
+    lo, hi = F.col("_cum_before"), F.col("_cum_before") + F.col("_cnt")
+    h = (
+        hist
+        .withColumn(
+            "_q1", F.floor(base) + F.when(rem >= 1, 1).otherwise(0))
+        .withColumn("_q2", 2 * F.floor(base) + F.least(rem, F.lit(2)))
+        .withColumn(
+            "_ib",
+            F.when(hi <= F.col("_q1"), 1)
+            .when((lo >= F.col("_q1")) & (hi <= F.col("_q2")), 2)
+            .when(lo >= F.col("_q2"), 3))
+        .drop("_n")
+    )
+    # the histogram feeds BOTH the interior and boundary branches of
+    # the corpus join below; it is score-cardinality-bounded (dim
+    # table), so materialize it once instead of re-running the corpus
+    # groupBy per branch
+    h = h.localCheckpoint(eager=True)
+    tagged = nz.join(F.broadcast(h), [lang_col, score_col])
+    interior = tagged.filter(F.col("_ib").isNotNull()).withColumn(
+        "_bucket", F.col("_ib"))
+    bw = Window.partitionBy(lang_col, score_col).orderBy(key_col)
+    boundary = (
+        tagged.filter(F.col("_ib").isNull())
+        .withColumn("_rank", F.col("_cum_before") + F.row_number().over(bw))
+        .withColumn("_bucket",
+                    F.when(F.col("_rank") <= F.col("_q1"), 1)
+                    .when(F.col("_rank") <= F.col("_q2"), 2)
+                    .otherwise(3))
+        .drop("_rank"))
+    names = F.array(F.lit("head"), F.lit("middle"), F.lit("tail"))
+    out_cols = [F.col(c) for c in nz.columns]
+    return (
+        interior.unionByName(boundary)
+        .select(*out_cols,
+                F.element_at(names, F.col("_bucket")).alias("bucket"))
+    )

@@ -25,6 +25,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def _canon(v):
+    if isinstance(v, (list, tuple, dict, set, bytearray)) or (
+            type(v).__name__ == "ndarray"):
+        # The DRIVER's canonicalizer (pandas sort_values / hashing)
+        # crashes on list-typed cells (CORRECTNESS_r04
+        # hashed_embeddings: "unhashable type: 'list'").  The old
+        # str(v) fallback here silently accepted them — an
+        # emulator-fidelity bug.  Fail loudly so emulator-green
+        # implies driver-green: queries must serialize collection
+        # columns (CSV / to_json) before the gate.
+        raise TypeError(
+            f"collection-typed result cell ({type(v).__name__}): the "
+            f"driver gate cannot canonicalize it — serialize the "
+            f"column (concat_ws/to_json) in the query")
     if isinstance(v, bool):
         return str(v).lower()
     if isinstance(v, float):
@@ -101,8 +114,14 @@ def main() -> int:
             ok = False
             print(f"FAIL  {name}: rowcount {len(srows)} != {len(orows)}")
         else:
-            a = _normalize(srows, scols)
-            b = _normalize(orows, ocols)
+            try:
+                a = _normalize(srows, scols)
+                b = _normalize(orows, ocols)
+            except TypeError as exc:
+                failures.append(name)
+                print(f"FAIL  {name}: canonicalization error (driver "
+                      f"gate would crash): {exc}")
+                continue
             if a != b:
                 ok = False
                 diff = [(x, y) for x, y in zip(a, b) if x != y][:3]

@@ -84,6 +84,49 @@ def test_fused_self_scoring_equals_explicit_lm(spark):
         == {k: v[1] for k, v in fused.items()}
 
 
+def test_tertile_histogram_equals_ntile_on_skew(spark):
+    """The r5 histogram-cutoff formulation must equal the literal
+    `ntile(3) OVER (PARTITION BY lang ORDER BY score, doc_id)` on a
+    fixture engineered for the hard cases: one dominant language
+    (the 100 TB skew scenario), massive tie-groups that STRADDLE both
+    tertile cutoffs (forcing the boundary row_number path), and
+    languages with n=1,2,3,4 (ntile remainder semantics)."""
+    from pyspark.sql import Window
+    from document_extractor_spark.functions.charlm import (
+        ccnet_tertile_buckets)
+
+    rows = []
+    # dominant lang: 1000 docs, only 5 distinct scores → every
+    # tie-group is huge and both cutoffs (334/667) land inside one
+    for i in range(1000):
+        rows.append((i, "big", round(1.0 + (i % 5) * 0.0001, 4)))
+    # all-ties language: one score for all 30 docs (both cutoffs
+    # inside the single group)
+    for i in range(30):
+        rows.append((2000 + i, "tied", 2.5))
+    # remainder semantics
+    for n, lang in [(1, "n1"), (2, "n2"), (3, "n3"), (4, "n4")]:
+        for i in range(n):
+            rows.append((3000 + 10 * n + i, lang,
+                         round(3.0 + (i % 2) * 0.1, 4)))
+    scored = spark.createDataFrame(
+        rows, "doc_id long, lang string, bits_per_bigram double")
+
+    w = Window.partitionBy("lang").orderBy("bits_per_bigram", "doc_id")
+    names = F.array(F.lit("head"), F.lit("middle"), F.lit("tail"))
+    want = {
+        (r.doc_id): r.bucket
+        for r in scored.withColumn(
+            "bucket", F.element_at(names, F.ntile(3).over(w))).collect()}
+    got = {r.doc_id: r.bucket
+           for r in ccnet_tertile_buckets(scored).collect()}
+    assert got == want
+    # and the plan never sorts a lang-wide partition: no ntile window
+    plan = ccnet_tertile_buckets(
+        scored)._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan.lower()
+
+
 def test_ccnet_buckets_semantics(spark):
     """head bucket = most fluent third per language; empty docs get
     NULL bucket; tertile sizes differ by at most 1 per lang."""

@@ -142,9 +142,11 @@ def test_round3_operator_plan_budgets(spark):
         "eval_holdout": (1, 0),
         # one Arrow NFC kernel, zero shuffles
         "unicode_nfc": (0, 1),
-        # charlm checkpoint scan + lang join + ONE ntile window; the
-        # live charlm plan is budgeted separately below
-        "ccnet_buckets": (6, 0),
+        # r5 de-skew: charlm + histogram are checkpoint scans, the
+        # corpus joins the broadcast histogram, and the ONLY counted
+        # exchange is the boundary tie-group row_number window
+        # (partitioned by (lang, score) — never a lang-wide sort)
+        "ccnet_buckets": (1, 0),
         "c4_filters": (0, 0),
         # 2 sig groupBys + seen-bucket cap + bucket join + 2 tokset
         # joins + dup groupBy + final left join (AQE coalesces)
