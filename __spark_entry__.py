@@ -1321,25 +1321,34 @@ FROM embeddings
 
 def q_media_metadata(spark, sf_dir):
     """Multimodal metadata over opaque binary media columns with REAL
-    header parsing (PNG IHDR / RIFF fmt+data / MP4 mvhd — stdlib only;
-    pixel/sample decode stays stubbed). Payloads are built
-    deterministically from the id, so the oracle recomputes every
-    field arithmetically in SQL."""
+    header parsing (PNG IHDR / RIFF fmt+data / MP4 mvhd / TIFF IFD
+    walk — stdlib only; pixel/sample decode stays stubbed). Payloads
+    are built deterministically from the id, so the oracle recomputes
+    every field arithmetically in SQL.  TIFF fixtures (r5) alternate
+    byte order and frame count; the metadata row reports the FIRST
+    frame's dims (per-frame rows are `media_frames`' job)."""
     from document_extractor_spark.operators.multimodal import (
         build_mp4,
         build_png,
+        build_tiff,
         build_wav,
         media_meta_table,
     )
 
     rows = []
-    for i in range(60):
-        if i % 3 == 0:
+    for i in range(80):
+        if i % 4 == 0:
             rows.append((i, build_png(16 * (i % 7 + 1), 16 * (i % 5 + 1))))
-        elif i % 3 == 1:
+        elif i % 4 == 1:
             rows.append((i, build_wav(i % 9 + 1)))
-        else:
+        elif i % 4 == 2:
             rows.append((i, build_mp4(i % 11 + 1)))
+        else:
+            n = i % 3 + 1
+            rows.append((i, build_tiff(
+                [(8 * (i % 5 + 1) + j, 6 * (i % 3 + 1) + j)
+                 for j in range(n)],
+                big_endian=(i % 8 == 7))))
     media = spark.createDataFrame(rows, "id long, media binary")
     return media_meta_table(media)
 
@@ -1422,21 +1431,85 @@ _PNG_BYTES, _WAV_BYTES, _MP4_BYTES = _media_fixture_sizes()
 
 _ORACLE_MEDIA = f"""
 SELECT CAST(i AS BIGINT) AS id,
-       CASE i % 3 WHEN 0 THEN 'image/png'
+       CASE i % 4 WHEN 0 THEN 'image/png'
                   WHEN 1 THEN 'audio/wav'
-                  ELSE 'video/mp4' END AS kind,
-       CAST(CASE i % 3 WHEN 0 THEN {_PNG_BYTES}
+                  WHEN 2 THEN 'video/mp4'
+                  ELSE 'image/tiff' END AS kind,
+       CAST(CASE i % 4 WHEN 0 THEN {_PNG_BYTES}
                        WHEN 1 THEN {_WAV_BYTES}
-                       ELSE {_MP4_BYTES} END AS BIGINT) AS n_bytes,
-       CAST(CASE WHEN i % 3 = 0 THEN 16 * (i % 7 + 1) END AS INT) AS width,
-       CAST(CASE WHEN i % 3 = 0 THEN 16 * (i % 5 + 1) END AS INT) AS height,
-       CAST(CASE i % 3 WHEN 1 THEN 1000 * (i % 9 + 1)
+                       WHEN 2 THEN {_MP4_BYTES}
+                       ELSE 8 + 30 * (i % 3 + 1) END AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN i % 4 = 0 THEN 16 * (i % 7 + 1)
+                 WHEN i % 4 = 3 THEN 8 * (i % 5 + 1) END AS INT) AS width,
+       CAST(CASE WHEN i % 4 = 0 THEN 16 * (i % 5 + 1)
+                 WHEN i % 4 = 3 THEN 6 * (i % 3 + 1) END AS INT) AS height,
+       CAST(CASE i % 4 WHEN 1 THEN 1000 * (i % 9 + 1)
                        WHEN 2 THEN 1000 * (i % 11 + 1) END AS INT)
            AS duration_ms,
-       CASE i % 3 WHEN 0 THEN 'png'
+       CASE i % 4 WHEN 0 THEN 'png'
                   WHEN 1 THEN 'pcm16@8000'
-                  ELSE 'mp4' END AS codec
-FROM range(0, 60) t(i)
+                  WHEN 2 THEN 'mp4'
+                  ELSE 'tiff' END AS codec
+FROM range(0, 80) t(i)
+"""
+
+
+def q_media_frames(spark, sf_dir):
+    """The reference's E7 multi-frame explode (pass_img.py:106-129:
+    one output row per TIFF frame via the n_frames seek loop): TIFF
+    payloads expand to per-frame (frame, width, height) rows from the
+    IFD chain walk; PNG/JPEG are single-frame; audio yields no rows
+    (the image pass never sees it).  One mapInPandas kernel, rows out
+    ≠ rows in — the Spark shape of a per-frame explode."""
+    from document_extractor_spark.operators.multimodal import (
+        build_png,
+        build_tiff,
+        build_wav,
+        media_frame_table,
+    )
+
+    rows = []
+    for i in range(60):
+        if i % 4 == 0:
+            n = (i // 4) % 3 + 1
+            rows.append((i, build_tiff(
+                [(10 + i + j, 5 + 2 * (i % 7) + j) for j in range(n)],
+                big_endian=(i % 8 == 4))))
+        elif i % 4 == 1:
+            rows.append((i, build_png(16 * (i % 7 + 1), 16 * (i % 5 + 1))))
+        elif i % 4 == 2:
+            # minimal JPEG: SOI + SOF0 segment carrying the dims
+            w, h = 20 + i, 30 + (i % 9)
+            rows.append((i, b"\xff\xd8\xff\xc0\x00\x11\x08"
+                         + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+                         + bytes(10)))
+        else:
+            rows.append((i, build_wav(1)))
+    media = spark.createDataFrame(rows, "id long, media binary")
+    return media_frame_table(media)
+
+
+_ORACLE_MEDIA_FRAMES = """
+WITH t AS (SELECT i, (i // 4) % 3 + 1 AS n
+           FROM range(0, 60) r(i) WHERE i % 4 = 0),
+tiff AS (
+  SELECT t.i AS id, CAST(j.j + 1 AS INT) AS frame,
+         CAST(t.n AS INT) AS n_frames,
+         CAST(10 + t.i + j.j AS INT) AS width,
+         CAST(5 + 2 * (t.i % 7) + j.j AS INT) AS height
+  FROM t, range(0, 3) j(j) WHERE j.j < t.n),
+png AS (
+  SELECT i AS id, CAST(1 AS INT) AS frame, CAST(1 AS INT) AS n_frames,
+         CAST(16 * (i % 7 + 1) AS INT) AS width,
+         CAST(16 * (i % 5 + 1) AS INT) AS height
+  FROM range(0, 60) r(i) WHERE i % 4 = 1),
+jpg AS (
+  SELECT i AS id, CAST(1 AS INT) AS frame, CAST(1 AS INT) AS n_frames,
+         CAST(20 + i AS INT) AS width, CAST(30 + i % 9 AS INT) AS height
+  FROM range(0, 60) r(i) WHERE i % 4 = 2)
+SELECT CAST(id AS BIGINT) AS id, frame, n_frames, width, height
+FROM (SELECT * FROM tiff UNION ALL SELECT * FROM png
+      UNION ALL SELECT * FROM jpg)
 """
 
 
@@ -3980,6 +4053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "media_metadata": q_media_metadata,
+        "media_frames": q_media_frames,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -4066,6 +4140,7 @@ def oracle_sql() -> dict[str, str]:
         "token_windows": _ORACLE_TOKEN_WINDOWS,
         "streaming_dedup": _ORACLE_STREAM_DEDUP,
         "media_metadata": _ORACLE_MEDIA,
+        "media_frames": _ORACLE_MEDIA_FRAMES,
         "media_features": _ORACLE_MEDIA_FEATURES,
         "eval_holdout": _ORACLE_EVAL_HOLDOUT,
         "unicode_nfc": _ORACLE_UNICODE_NFC,

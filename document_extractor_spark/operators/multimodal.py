@@ -47,6 +47,8 @@ def _sniff_media_kind(payload: bytes | None) -> str:
         return "image/png"
     if payload[:3] == b"\xff\xd8\xff":
         return "image/jpeg"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "image/tiff"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "audio/wav"
     if payload[4:8] == b"ftyp":
@@ -92,6 +94,71 @@ def _jpeg_dims(payload: bytes) -> tuple[int | None, int | None]:
             return None, None
         i += 2 + seg_len
     return None, None
+
+
+_TIFF_MAX_FRAMES = 4096  # IFD-chain walk cap (loop / bomb guard)
+
+
+def _tiff_frames(payload: bytes) -> list[tuple[int | None, int | None]]:
+    """Per-frame (width, height) from the TIFF IFD chain.
+
+    The reference's image pass explodes multi-frame TIFFs into
+    per-frame rows (pass_img.py:106-129 `n_frames` seek loop); the
+    metadata analog is a walk of the IFD linked list: header gives
+    byte order + first-IFD offset, each IFD is a 12-byte-entry table
+    whose tags 256/257 (ImageWidth/ImageLength, SHORT or LONG) carry
+    the dims, followed by the next-IFD offset (0 terminates).
+
+    Malformed chains degrade instead of raising: a truncated IFD ends
+    the walk, an unreadable dim tag yields None, and a cyclic/next
+    pointer is cut by the visited-offset set + frame cap.
+    """
+    if len(payload) < 8:
+        return []
+    if payload[:4] == b"II*\x00":
+        bo = "little"
+    elif payload[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        return []
+
+    def _int(b: bytes) -> int:
+        return int.from_bytes(b, bo)
+
+    frames: list[tuple[int | None, int | None]] = []
+    pos = _int(payload[4:8])
+    seen: set[int] = set()
+    while pos and pos not in seen and len(frames) < _TIFF_MAX_FRAMES:
+        seen.add(pos)
+        if pos + 2 > len(payload):
+            break
+        n_entries = _int(payload[pos:pos + 2])
+        end = pos + 2 + 12 * n_entries
+        if end + 4 > len(payload):
+            break
+        w = h = None
+        for k in range(n_entries):
+            e = pos + 2 + 12 * k
+            tag = _int(payload[e:e + 2])
+            if tag not in (256, 257):
+                continue
+            typ = _int(payload[e + 2:e + 4])
+            cnt = _int(payload[e + 4:e + 8])
+            if cnt != 1:
+                continue
+            if typ == 3:  # SHORT: left-justified in the 4-byte field
+                val = _int(payload[e + 8:e + 10])
+            elif typ == 4:  # LONG
+                val = _int(payload[e + 8:e + 12])
+            else:
+                continue
+            if tag == 256:
+                w = val
+            else:
+                h = val
+        frames.append((w, h))
+        pos = _int(payload[end:end + 4])
+    return frames
 
 
 def _wav_meta(payload: bytes) -> tuple[int | None, str | None]:
@@ -162,6 +229,10 @@ def extract_media_meta(
                 w, h = _png_dims(payload)
             elif kind == "image/jpeg":
                 w, h = _jpeg_dims(payload)
+            elif kind == "image/tiff":
+                ifds = _tiff_frames(payload)
+                if ifds:
+                    w, h = ifds[0]
             elif kind == "audio/wav":
                 dur, fmt = _wav_meta(payload)
                 codec = fmt or codec
@@ -324,10 +395,52 @@ def media_features(
             "id", "kind", "n_values", "v_sum", "v_sqsum", "v_peak"])
 
 
+MEDIA_FRAME_SCHEMA = ("id long, frame int, n_frames int, width int, "
+                      "height int")
+
+
+def extract_media_frames(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (id, media) -> one row PER FRAME.
+
+    The reference's E7 multi-frame explode
+    (/root/reference/scripts/pass_img.py:106-129: `n_frames` +
+    per-frame seek loop, one output row per frame): multi-frame TIFFs
+    expand to (id, frame 1..n, dims); every other image kind is a
+    single frame with its header dims; non-image kinds yield no rows
+    (the reference's image pass only ever sees images). Frame indices
+    are 1-based like the reference's page column."""
+    for pdf_batch in batches:
+        out = []
+        for r in pdf_batch.itertuples(index=False):
+            payload = r.media
+            kind = _sniff_media_kind(payload)
+            dims: list[tuple[int | None, int | None]] = []
+            if kind == "image/tiff":
+                dims = _tiff_frames(payload)
+            elif kind == "image/png":
+                dims = [_png_dims(payload)]
+            elif kind == "image/jpeg":
+                dims = [_jpeg_dims(payload)]
+            for idx, (w, h) in enumerate(dims):
+                out.append({"id": r.id, "frame": idx + 1,
+                            "n_frames": len(dims), "width": w,
+                            "height": h})
+        yield pd.DataFrame(out, columns=[
+            "id", "frame", "n_frames", "width", "height"])
+
+
 def media_meta_table(media: DataFrame) -> DataFrame:
     """(id, media) -> metadata table (the production call shape)."""
     return media.select("id", "media").mapInPandas(
         extract_media_meta, schema=MEDIA_META_SCHEMA)
+
+
+def media_frame_table(media: DataFrame) -> DataFrame:
+    """(id, media) -> per-frame rows (reference E7 explode)."""
+    return media.select("id", "media").mapInPandas(
+        extract_media_frames, schema=MEDIA_FRAME_SCHEMA)
 
 
 def media_feature_table(media: DataFrame) -> DataFrame:
@@ -402,6 +515,28 @@ def build_wav_full(n_samples: int, rate: int = 8000) -> bytes:
     body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(data)) + data)
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def build_tiff(frames: list[tuple[int, int]],
+               big_endian: bool = False) -> bytes:
+    """Minimal multi-frame TIFF: header + one IFD per frame, each IFD
+    carrying ImageWidth(256)/ImageLength(257) as LONGs, chained via
+    the next-IFD offset. Deterministic layout (IFD k at byte
+    8 + 30*k), so fixture byte sizes are arithmetic: 8 + 30*n."""
+    import struct
+
+    bo = ">" if big_endian else "<"
+    head = (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(
+        f"{bo}I", 8 if frames else 0)
+    ifd_size = 2 + 2 * 12 + 4  # 2 entries
+    out = [head]
+    for k, (w, h) in enumerate(frames):
+        nxt = 8 + ifd_size * (k + 1) if k + 1 < len(frames) else 0
+        out.append(struct.pack(f"{bo}H", 2)
+                   + struct.pack(f"{bo}HHII", 256, 4, 1, w)
+                   + struct.pack(f"{bo}HHII", 257, 4, 1, h)
+                   + struct.pack(f"{bo}I", nxt))
+    return b"".join(out)
 
 
 def build_mp4(duration_s: int, timescale: int = 1000) -> bytes:

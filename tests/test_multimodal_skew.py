@@ -36,6 +36,78 @@ def test_media_meta(spark, media):
     # test_media_meta_real_header_parsing
 
 
+def test_tiff_ifd_walk_edges():
+    """TIFF IFD walker: both byte orders, SHORT and LONG dim types,
+    truncated chains, cycles, and header-only payloads all degrade
+    instead of raising (reference E7 contract: pass_img.py:106-129
+    seeks frames defensively)."""
+    import struct
+
+    from document_extractor_spark.operators.multimodal import (
+        _sniff_media_kind,
+        _tiff_frames,
+        build_tiff,
+    )
+
+    t = build_tiff([(10, 20), (30, 40)])
+    assert _sniff_media_kind(t) == "image/tiff"
+    assert _tiff_frames(t) == [(10, 20), (30, 40)]
+    tb = build_tiff([(7, 9)], big_endian=True)
+    assert _tiff_frames(tb) == [(7, 9)]
+    # SHORT-typed dims (type 3, value left-justified in the 4 bytes)
+    for bo, head in (("<", b"II*\x00"), (">", b"MM\x00*")):
+        short_ifd = (
+            head + struct.pack(f"{bo}I", 8)
+            + struct.pack(f"{bo}H", 2)
+            + struct.pack(f"{bo}HHI", 256, 3, 1)
+            + struct.pack(f"{bo}H", 640) + bytes(2)
+            + struct.pack(f"{bo}HHI", 257, 3, 1)
+            + struct.pack(f"{bo}H", 480) + bytes(2)
+            + struct.pack(f"{bo}I", 0))
+        assert _tiff_frames(short_ifd) == [(640, 480)], bo
+    # degradations
+    assert _tiff_frames(b"II*\x00\x08\x00\x00\x00") == []  # truncated
+    assert _tiff_frames(build_tiff([])) == []
+    assert _tiff_frames(b"II*\x00") == []
+    cyc = bytearray(build_tiff([(1, 2), (3, 4)]))
+    cyc[-4:] = struct.pack("<I", 8)  # next-IFD points back at first
+    assert _tiff_frames(bytes(cyc)) == [(1, 2), (3, 4)]
+    # unknown dim type (RATIONAL) is skipped -> None dims, frame kept
+    rat = (b"II*\x00" + struct.pack("<I", 8)
+           + struct.pack("<H", 1)
+           + struct.pack("<HHII", 256, 5, 1, 99)
+           + struct.pack("<I", 0))
+    assert _tiff_frames(rat) == [(None, None)]
+
+
+def test_media_frames_explode(spark):
+    """Per-frame explode: TIFF multi-frame -> n rows, PNG/JPEG -> one
+    row, audio/garbage -> zero rows; frame indices are 1-based."""
+    from document_extractor_spark.operators.multimodal import (
+        build_png,
+        build_tiff,
+        build_wav,
+        media_frame_table,
+    )
+
+    rows = [
+        (0, build_tiff([(10, 20), (11, 21), (12, 22)])),
+        (1, build_png(32, 48)),
+        (2, build_wav(1)),
+        (3, b"garbage"),
+        (4, None),
+    ]
+    media = spark.createDataFrame(rows, "id long, media binary")
+    got = media_frame_table(media).toPandas()
+    t = got[got.id == 0].sort_values("frame")
+    assert list(t.frame) == [1, 2, 3]
+    assert list(t.width) == [10, 11, 12]
+    assert list(t.n_frames) == [3, 3, 3]
+    p = got[got.id == 1]
+    assert len(p) == 1 and p.iloc[0].width == 32 and p.iloc[0].height == 48
+    assert (got.id >= 2).sum() == 0  # audio/garbage/NULL emit nothing
+
+
 def test_media_features_real_decode(spark):
     """PNG pixel and WAV PCM stats computed against the INDEPENDENT
     generation formulas (not the kernel's own parse); undecodable

@@ -138,6 +138,8 @@ def test_round3_operator_plan_budgets(spark):
         "minhash_dedup_pipeline": (2, 0),
         # one mapInPandas decode kernel, zero shuffles
         "media_features": (0, 1),
+        # one mapInPandas frame-explode kernel, zero shuffles
+        "media_frames": (0, 1),
         # one window shuffle on the stratum key
         "eval_holdout": (1, 0),
         # one Arrow NFC kernel, zero shuffles
