@@ -3990,19 +3990,19 @@ FROM documents d LEFT JOIN s USING (doc_id)
 
 def q_top_docs_per_source(spark, sf_dir):
     """Curriculum/curation selection: the k best docs per source by
-    quality score, deterministic tie-break on doc_id. One window
-    shuffle partitioned by source; at 10^12 rows a skewed source
-    would pre-aggregate via the same hash-bucket two-phase trick as
-    token_budget_sample — here the per-source top-k state is k rows,
-    so rank() streams."""
+    quality score, deterministic tie-break on doc_id.  r5: the
+    docstring promise became code — two-phase skew-safe top-k
+    (per-(source, doc_id-hash-bucket) pre-selection, then a global
+    re-rank over the <= 32*k survivors per source), identical output
+    to the naive per-source window (pytest-pinned on a dominant-
+    source fixture) with no source-wide sort anywhere."""
+    from document_extractor_spark.operators.topk import skew_safe_topk
+
     d = _docs(spark, sf_dir).withColumn(
         "q", TS.quality_score(F.col("text")))
-    w = Window.partitionBy("source").orderBy(
-        F.col("q").desc(), F.col("doc_id"))
-    return (
-        d.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("source", "rank", "doc_id", "q"))
+    return skew_safe_topk(
+        d, ["source"], [F.col("q").desc(), F.col("doc_id")], k=5,
+    ).select("source", "rank", "doc_id", "q")
 
 
 _ORACLE_TOP_DOCS = f"""

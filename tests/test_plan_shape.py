@@ -171,7 +171,11 @@ def test_round3_operator_plan_budgets(spark):
         "corpus_overview": (1, 0),
         "dom_blocks": (0, 1),
         "hashed_embeddings": (1, 0),
-        "top_docs_per_source": (1, 0),
+        # 2: skew-safe two-phase top-k — phase-1 exchange keys on
+        # (source, doc_id-hash bucket); phase-2 re-ranks only the
+        # <= B*k survivors per source, so neither sorts a
+        # source-wide partition
+        "top_docs_per_source": (2, 0),
         # checkpoint scan (live plan budgeted separately, see below)
         "heavy_hitters": (0, 0),
         # iterations run at build time over dim tables; the returned
