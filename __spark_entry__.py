@@ -4039,9 +4039,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_index": q_anchor_text_index,
         "crawl_to_corpus": q_crawl_to_corpus,
         "robots_filter": q_robots_filter,
-        "heavy_hitters": q_heavy_hitters,
-        "shipping_priority": q_shipping_priority,
-        "corpus_overview": q_corpus_overview,
+        # --- round-5 rotation: any query whose implementing module
+        # changed since its last driver-green row re-enters the
+        # first-50 window (the r4 scorer-dispatch refactor shipped
+        # without a driver re-check of these three) ---
+        "quality_scores": q_quality_scores,
+        "legacy_reliability": q_legacy_reliability,
+        "training_filter_pipeline": q_training_filter_pipeline,
         "dom_blocks": q_dom_blocks,
         "hashed_embeddings": q_hashed_embeddings,
         "top_docs_per_source": q_top_docs_per_source,
@@ -4087,7 +4091,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_sentences": q_explode_sentences,
         "best_doc_per_source": q_best_doc_per_source,
         "sessionize_events": q_sessionize_events,
-        "training_filter_pipeline": q_training_filter_pipeline,
+        "heavy_hitters": q_heavy_hitters,
+        "shipping_priority": q_shipping_priority,
+        "corpus_overview": q_corpus_overview,
         "percentile_stats": q_percentile_stats,
         "approx_distinct_stats": q_approx_distinct_stats,
         "asof_join_purchases": q_asof_join_purchases,
@@ -4100,8 +4106,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_buckets": q_minhash_lsh_buckets,
         "token_stats": q_token_stats,
         "langid": q_langid,
-        "quality_scores": q_quality_scores,
-        "legacy_reliability": q_legacy_reliability,
         "repetition_ratios": q_repetition_ratios,
         "vocab_topk": q_vocab_topk,
         "fingerprints": q_fingerprints,
