@@ -270,13 +270,32 @@ def minhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def seen_band_table(seen_docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 8,
+                    bands: int = 4) -> DataFrame:
+    """(id_seen, band, band_sig): the stacked LSH band table of the
+    SEEN corpus — the artifact a production deployment PRECOMPUTES
+    once per corpus snapshot and persists (parquet partitioned by
+    `band`), so each incoming batch pays only its own signatures plus
+    one band-keyed join.  `minhash_incremental_decision(...,
+    seen_bands=...)` consumes it and is pinned by pytest to make
+    identical decisions to the inline derivation; `k`/`bands` must
+    match between precompute and decision time (band signatures are
+    md5 over the band's slice of the k minima)."""
+    sig_seen = minhash_signatures(seen_docs, id_col, text_col, k)
+    return sig_seen.select(
+        F.col(id_col).alias("id_seen"),
+        F.posexplode(_band_sig_array(k, bands)).alias("band", "band_sig"))
+
+
 def minhash_incremental_decision(new_docs: DataFrame,
                                  seen_docs: DataFrame,
                                  id_col: str = "doc_id",
                                  text_col: str = "text", k: int = 8,
                                  bands: int = 4,
                                  threshold: float = 0.5,
-                                 max_bucket_df: int | None = 1000
+                                 max_bucket_df: int | None = 1000,
+                                 seen_bands: DataFrame | None = None,
                                  ) -> DataFrame:
     """(id, dup_of, is_unique) for every NEW doc: near-dup decision
     against the SEEN corpus without re-deduplicating the seen side —
@@ -291,17 +310,20 @@ def minhash_incremental_decision(new_docs: DataFrame,
     the exact token-set Jaccard the signatures estimate; `dup_of` is
     the smallest seen id among verified matches, NULL when unique.
     At 10^12 docs the seen side's stacked band table is the thing a
-    production deployment PRECOMPUTES and stores; this function
-    derives it inline so the decision stays a pure function of its
-    two inputs.
+    production deployment PRECOMPUTES and stores — pass it as
+    ``seen_bands`` (built by `seen_band_table` with the same
+    `k`/`bands`, typically read back from parquet) and the seen
+    corpus is never re-signed; left None, it is derived inline so
+    the decision stays a pure function of its two inputs.
+    ``seen_docs`` is still required either way: verification
+    tokenizes the candidate seen docs (the bands alone can't verify).
     """
     sig_new = minhash_signatures(new_docs, id_col, text_col, k)
-    sig_seen = minhash_signatures(seen_docs, id_col, text_col, k)
-    stack = lambda sigs, name: sigs.select(  # noqa: E731
-        F.col(id_col).alias(name),
+    new_b = sig_new.select(
+        F.col(id_col).alias("id_new"),
         F.posexplode(_band_sig_array(k, bands)).alias("band", "band_sig"))
-    new_b = stack(sig_new, "id_new")
-    seen_b = stack(sig_seen, "id_seen")
+    seen_b = (seen_bands if seen_bands is not None
+              else seen_band_table(seen_docs, id_col, text_col, k, bands))
     if max_bucket_df is not None:
         hot = (seen_b.groupBy("band", "band_sig")
                .agg(F.count("*").alias("_n"))

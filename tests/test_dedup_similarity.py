@@ -447,6 +447,50 @@ def test_minhash_incremental_decision(spark):
     assert allnew.is_unique.all()
 
 
+def test_incremental_decision_with_precomputed_seen_bands(spark, tmp_path):
+    """The production path: seen_band_table persisted to parquet and
+    read back must yield byte-identical decisions to the inline
+    derivation (same k/bands), including under the hot-bucket cap."""
+    from document_extractor_spark.operators.dedup import (
+        minhash_incremental_decision,
+        seen_band_table,
+    )
+
+    seen = spark.createDataFrame([
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (2, "completely different text about spark query engines"),
+        (4, "shared boilerplate header shared boilerplate header"),
+        (6, "shared boilerplate header shared boilerplate header"),
+    ], "doc_id long, text string")
+    new = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (3, "entirely novel content never before seen anywhere"),
+        (5, "shared boilerplate header shared boilerplate header"),
+    ], "doc_id long, text string")
+
+    path = str(tmp_path / "seen_bands")
+    seen_band_table(seen).write.parquet(path)
+    bands = spark.read.parquet(path)
+
+    def canon(df):
+        pdf = df.toPandas()
+        return sorted(
+            tuple(None if v != v else v for v in row)
+            for row in pdf.itertuples(index=False))
+
+    for cap in (1000, 1, 0):
+        inline = minhash_incremental_decision(new, seen, max_bucket_df=cap)
+        precomp = minhash_incremental_decision(
+            new, seen, max_bucket_df=cap, seen_bands=bands)
+        assert canon(inline) == canon(precomp), cap
+    # and the uncapped default finds the true dups
+    got = minhash_incremental_decision(
+        new, seen, seen_bands=bands).toPandas().set_index("doc_id")
+    assert got.loc[1, "dup_of"] == 0
+    assert got.loc[5, "dup_of"] == 4
+    assert got.loc[3, "is_unique"]
+
+
 def test_simhash_pigeonhole_recall_equals_bruteforce(spark):
     """Pigeonhole blocking (4 blocks over 63 bits) must find EXACTLY
     the brute-force hamming<=3 pair set — the old single top-16 block
