@@ -4,25 +4,39 @@ Every dedup pair generator in this engine (minhash-LSH, simhash
 blocks, n-gram Jaccard, embedding LSH) emits EDGES; an actual dedup
 decision needs the transitive closure — if A~B and B~C, all three are
 one duplicate cluster and exactly one representative survives. This
-module computes components with iterative min-label propagation, the
-standard distributed formulation (Kiveris et al. 2014's
-large-star/small-star adds star-contraction speedups that bring the
-round count to O(log n); plain propagation needs ~component-diameter
-rounds, which is small for near-dup graphs — duplicate clusters are
-dense and shallow, not long chains).
+module computes components with the alternating large-star /
+small-star algorithm (Kiveris et al. 2014, "Connected Components in
+MapReduce and Beyond"), which converges in O(log^2 n) rounds
+REGARDLESS of component diameter — an adversarial duplicate chain
+(scraped pagination series, near-identical rolling snapshots) that
+would cost plain min-label propagation one round per hop costs this
+formulation a handful of rounds (a 4000-hop path converges in ~14).
+
+Per round, on the current edge set E:
+  large-star  for every node u, every neighbour v > u is re-pointed
+              at m = min(N(u) ∪ {u}) — long-range shortcuts appear;
+  small-star  every edge is oriented big→small and each node's
+              smaller neighbours (plus itself) are re-pointed at its
+              minimum smaller neighbour — local fan-in flattens.
+Both preserve connectivity; the unique fixpoint is a star forest
+with every component's minimum id at the centre, so the final edge
+list IS the (node → component) map. A full round that changes
+nothing proves the fixpoint.
 
 Determinism: the fixpoint (every node labeled with the smallest node
 id reachable from it) is unique — independent of iteration count,
 partitioning, or execution order — so the result is reproducible and
 oracle-checkable (DuckDB recursive-CTE transitive closure).
 
-Scale shape per round: one groupBy(node) over the (undirected) edge
-list joined with current labels — 2 shuffles per round, all
-equi-joins, no nested loops. The convergence probe is a single
-count() per round (an O(rounds) driver-side scalar, not a collect of
-data). Rounds are capped; exhausting the cap RAISES rather than
-returning unconverged labels, because an unconverged result silently
-splits true clusters.
+Scale shape per round: two groupBy(node) aggregations over the edge
+list plus the equi-joins that re-point edges — all keyed shuffles,
+no nested loops. Edge count never grows past |E|+|V| (large-star
+emits exactly one edge per directed edge; small-star one per edge
+plus one per node). The convergence probe is one anti-join
+limit(1).count() per round — an O(rounds) driver-side scalar, not a
+collect of data. Rounds are capped; exhausting the cap RAISES rather
+than returning unconverged labels, because an unconverged result
+silently splits true clusters.
 """
 from __future__ import annotations
 
@@ -32,19 +46,52 @@ from pyspark.sql import functions as F
 MAX_ROUNDS = 50
 
 
+def _canon(e: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (u=bigger, v=smaller), no self
+    loops, distinct."""
+    return (
+        e.select(F.greatest("u", "v").alias("u"),
+                 F.least("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Re-point every bigger neighbour at the neighbourhood minimum:
+    for each node u, m = min(N(u) ∪ {u}); emit (v, m) for v in N(u),
+    v > u.  Never emits a self loop (m <= u < v)."""
+    nbrs = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (nbrs.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("_mn", F.col("u")).alias("m")))
+    return (nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v")))
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Flatten local fan-in: orient each edge big→small; for each
+    node u with smaller neighbours S(u), m = min(S(u)); emit (w, m)
+    for w in S(u) ∪ {u} (self loops dropped by the caller's
+    _canon)."""
+    directed = _canon(e)  # u > v for every row
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    leaves = (directed.join(mins, "u")
+              .select(F.col("v").alias("u"), F.col("m").alias("v")))
+    centers = mins.select("u", F.col("m").alias("v"))
+    return leaves.unionByName(centers)
+
+
 def connected_components(edges: DataFrame, a_col: str = "a",
                          b_col: str = "b",
                          max_rounds: int = MAX_ROUNDS) -> DataFrame:
-    """(node, component) for every node in `edges`, component = min
-    reachable node id. Nodes appear even if their only edge is a
-    self-loop; callers union isolated nodes afterwards if needed.
+    """(node, comp) for every node in `edges`, comp = min reachable
+    node id. Nodes appear even if their only edge is a self-loop;
+    callers union isolated nodes afterwards if needed.
     """
-    und = (
-        edges.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
-        .union(edges.select(F.col(b_col).alias("s"),
-                            F.col(a_col).alias("d")))
-        .distinct()
-    )
+    raw = edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     # localCheckpoint (not persist): an iterative self-join DOUBLES
     # the logical plan every round, and Catalyst re-analyzes the full
     # lineage at each action — by round ~10 the plan tree alone OOMs
@@ -52,53 +99,44 @@ def connected_components(edges: DataFrame, a_col: str = "a",
     # from a flat scan of materialized blocks. (On a real cluster,
     # reliable checkpoint() to HDFS trades speed for executor-loss
     # tolerance; localCheckpoint is the right call for bounded loops.)
-    und = und.localCheckpoint(eager=True)
-    labels = (
-        und.select(F.col("s").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
+    nodes = (raw.select(F.col("u").alias("node"))
+             .unionByName(raw.select(F.col("v").alias("node")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    e = _canon(raw).localCheckpoint(eager=True)
     converged = False
     for _ in range(max_rounds):
-        # each node pulls the smallest label among itself and its
-        # neighbours
-        neigh = (
-            und.join(labels.withColumnRenamed("node", "d"), "d")
-            .select(F.col("s").alias("node"), "comp")
-        )
-        new_labels = (
-            labels.unionByName(neigh)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+        new_e = _canon(_small_star(_large_star(e))) \
             .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("comp", "old"),
-                            "node")
-            .filter(F.col("comp") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # set equality: both sides distinct, so equal counts plus an
+        # empty one-sided difference proves the sets identical
+        changed = (new_e.count() != e.count()
+                   or new_e.join(e, ["u", "v"], "left_anti")
+                   .limit(1).count() > 0)
+        e = new_e
+        if not changed:
             converged = True
             break
     if not converged:
         # returning unconverged labels would silently split true
         # clusters (multiple "keepers" inside one duplicate group) —
         # a correctness failure, not a perf knob. Note max_rounds
-        # counts DETECTION rounds: the fixpoint needs ~diameter
-        # rounds plus one final no-change round to prove itself, so
-        # the usable cap is max_rounds-1 propagation rounds. Labels
-        # that stabilized exactly on the last round still raise —
+        # counts DETECTION rounds: the fixpoint needs its rounds plus
+        # one final no-change round to prove itself. Labels that
+        # stabilized exactly on the last round still raise —
         # correct-but-unproven is indistinguishable from wrong here.
         raise RuntimeError(
             f"connected_components did not converge within "
-            f"{max_rounds} rounds (diameter+1 rounds needed — the "
-            f"final round must observe zero changes); raise "
-            f"max_rounds")
-    return labels.select("node", "comp")
+            f"{max_rounds} rounds (the final round must observe zero "
+            f"changes); raise max_rounds")
+    # at the fixpoint e is a star forest (u=member, v=component min);
+    # the groupBy(min) is belt-and-braces, not load-bearing
+    labels = e.groupBy(F.col("u").alias("node")) \
+        .agg(F.min("v").alias("comp"))
+    return (nodes.join(labels, "node", "left")
+            .select("node",
+                    F.coalesce(F.col("comp"), F.col("node"))
+                    .alias("comp")))
 
 
 def dedup_decision(docs: DataFrame, pairs: DataFrame,

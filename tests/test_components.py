@@ -107,3 +107,51 @@ def test_cycle_graph_converges(spark):
         _edges(spark, [(0, 1), (1, 2), (2, 0), (5, 6), (6, 5)]))
     got = {r["node"]: r["comp"] for r in cc.collect()}
     assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
+
+
+def test_adversarial_long_chain_converges_fast(spark):
+    """The r4-verdict scenario: a deep duplicate chain (scraped
+    pagination series). Min-label propagation needs one round per
+    hop — 2000 hops would blow any sane cap; large-star/small-star
+    must close a 2001-node path inside the default 50-round cap
+    (expected ~log^2: under 20)."""
+    n = 2000
+    cc = connected_components(
+        _edges(spark, [(i, i + 1) for i in range(n)]))
+    agg = cc.agg(F.count("*").alias("n"),
+                 F.sum(F.col("comp")).alias("s")).first()
+    assert agg["n"] == n + 1 and agg["s"] == 0  # all labeled 0
+
+
+def _unionfind(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-label per node
+    return {x: find(x) for x in list(parent)}
+
+
+def test_equals_union_find_on_random_graphs(spark):
+    """Seeded random graphs (mixed chains, stars, cycles, isolated
+    self-loops) vs an independent driver-side union-find."""
+    import random
+    for seed in (7, 42, 1234):
+        rng = random.Random(seed)
+        nodes = list(range(120))
+        pairs = [(rng.choice(nodes), rng.choice(nodes))
+                 for _ in range(90)]
+        got = {r["node"]: r["comp"]
+               for r in connected_components(_edges(spark, pairs))
+               .collect()}
+        want = _unionfind(pairs)
+        assert got == want, seed
