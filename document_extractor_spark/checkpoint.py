@@ -109,9 +109,6 @@ def run_and_commit(
             # input must not append a banner batch per poll
             log_phase("noop", run_id=cfg.run_id)
             return None
-        # O2: the effective-config banner (entrypoint.sh:69-88) —
-        # written once per NON-EMPTY batch, before the data lands
-        write_table(job_params_table(spark, cfg), "job_params", out_dir)
         result = run_extraction(spark, todo, cfg)
         # io_tables routes each write to the configured Iceberg catalog
         # (atomic snapshot commits) or to parquet dirs under out_dir
@@ -122,6 +119,14 @@ def run_and_commit(
         write_table(
             todo.select("url").withColumn("run_id", F.lit(cfg.run_id)),
             "_manifest", out_dir)
+        # O2: the effective-config banner (entrypoint.sh:69-88) —
+        # AFTER the manifest commit, so a params row implies the
+        # batch it describes actually committed: a mid-run failure
+        # before this point leaves no orphan banner, and the retry
+        # (which re-runs the whole batch) writes the set exactly
+        # once. The narrow crash window between manifest and banner
+        # loses only the banner, never data integrity.
+        write_table(job_params_table(spark, cfg), "job_params", out_dir)
         log_phase("commit", run_id=cfg.run_id)
         return result
     finally:

@@ -54,10 +54,19 @@ def _local_root(root: str) -> str:
     os.walk/os.rename, which need the plain path — operating on the
     raw URI string would silently scan nothing and then crash the
     swap mid-way."""
-    if root.startswith("file://"):
-        return root[len("file://"):] or "/"
     if root.startswith("file:"):
-        return root[len("file:"):]
+        from urllib.parse import urlparse
+        parsed = urlparse(root)
+        # 'file://host/path' silently became the RELATIVE path
+        # 'host/path' under naive prefix-stripping, pointing
+        # recover/compact at a wrong local directory — reject any
+        # authority this process can't serve instead of guessing
+        if parsed.netloc not in ("", "localhost"):
+            raise ValueError(
+                f"file: URI with non-local authority "
+                f"{parsed.netloc!r} is not a driver-local path: "
+                f"{root}")
+        return parsed.path or "/"
     return root
 
 

@@ -246,6 +246,17 @@ def minhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
     sampled: their members are exact-dup-grade clusters that
     `exact_dedup_groups` collapses in one linear pass, and genuinely
     near-dup members still pair through their other (rarer) bands.
+
+    Memory coupling: each surviving bucket is materialized as ONE row
+    (collect_list of ids) and its pairs expand inside that row before
+    the explode — at the default cap that is <=1000 ids and ~500k
+    (id_a, id_b) structs, a few MB, concentrated on a single task.
+    The cap is therefore also a per-row memory bound: do NOT raise
+    `max_bucket_df` past ~10^4 on this code path; above that, expand
+    pairs via a band-keyed self-join on the stacked band table
+    instead (the shape `minhash_incremental_decision` uses), which
+    streams pairs through the shuffle rather than buffering a bucket
+    per row.
     """
     sigs = minhash_signatures(docs, id_col, text_col, k)
     stacked = sigs.select(

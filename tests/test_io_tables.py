@@ -121,6 +121,22 @@ def test_compact_rejects_remote_root(spark):
         compact_table(spark, "t", "s3://bucket/tables")
 
 
+def test_local_root_uri_forms():
+    """file: URI handling: authority-bearing URIs must not collapse
+    into RELATIVE paths ('file://host/p' is not 'host/p' in cwd)."""
+    import pytest
+
+    from document_extractor_spark.io_tables import _local_root
+
+    assert _local_root("/plain/path") == "/plain/path"
+    assert _local_root("file:/abs/path") == "/abs/path"
+    assert _local_root("file:///abs/path") == "/abs/path"
+    assert _local_root("file://localhost/abs/path") == "/abs/path"
+    assert _local_root("file://") == "/"
+    with pytest.raises(ValueError, match="authority"):
+        _local_root("file://nas01/share/tables")
+
+
 def test_cli_compact_flag(spark, tmp_path):
     """--compact end-to-end: committed tables come back single-file
     with the same rows, and the CLI still prints its summary."""

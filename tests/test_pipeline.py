@@ -133,6 +133,35 @@ def test_job_params_banner_row(spark, pages_df, cfg, tmp_path):
                       "run_id": "r1", "docs": 3}
 
 
+def test_job_params_written_only_after_commit(spark, pages_df, cfg,
+                                              tmp_path, monkeypatch):
+    """A batch that dies mid-extraction must leave NO job_params rows
+    (a params row implies its batch committed; the retry rewrites the
+    set exactly once — no batch_id needed to dedup replays)."""
+    import pytest
+
+    from document_extractor_spark import checkpoint
+
+    out = str(tmp_path / "out")
+
+    def boom(*a, **k):
+        raise RuntimeError("executor lost")
+
+    monkeypatch.setattr(checkpoint, "run_extraction", boom)
+    with pytest.raises(RuntimeError, match="executor lost"):
+        checkpoint.run_and_commit(spark, pages_df.limit(5), out, cfg)
+    assert not os.path.exists(os.path.join(out, "job_params"))
+    assert not os.path.exists(os.path.join(out, "_manifest"))
+
+    # retry with the real extraction: exactly one params set appears
+    monkeypatch.undo()
+    checkpoint.run_and_commit(spark, pages_df.limit(5), out, cfg)
+    params = spark.read.parquet(
+        os.path.join(out, "job_params")).toPandas()
+    assert (params.run_id == cfg.run_id).all()
+    assert params.key.value_counts().max() == 1
+
+
 def test_idempotent_resume(spark, pages_df, cfg, tmp_path):
     """Run twice over the same snapshot: second run writes 0 new rows
     (replaces the reference's delete-on-success, process_run.py:194-197)."""
