@@ -4017,6 +4017,62 @@ FROM s WHERE rank <= 5
 """
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): hashed unigram+bigram
+    bag-of-words importance weights against an in-corpus quality seed
+    (target = quality_score >= 0.7), deterministic top-125 selection
+    by 4dp log-weight with doc_id tie-break — the published
+    importance-resampling slot with every stage in-engine (see
+    functions/dsir.py for the scale shape)."""
+    from document_extractor_spark.functions.dsir import (
+        dsir_select,
+        dsir_weights,
+    )
+
+    w = dsir_weights(_docs(spark, sf_dir))
+    return dsir_select(w, k=125)
+
+
+_ORACLE_DSIR = f"""
+WITH toks AS (
+  SELECT doc_id, ({_SQL_QUALITY}) >= 0.7 AS hi,
+         list_filter(string_split_regex(lower(coalesce(text, '')),
+                                        '[ \\t\\n\\x0B\\f\\r]+'),
+                     t -> t <> '') AS t
+  FROM documents),
+feats AS (
+  SELECT doc_id, hi,
+         CAST(('0x' || substring(md5(f), 1, 4)) AS INT) % 1024 AS bucket
+  FROM (SELECT doc_id, hi,
+               unnest(t || [t[i] || ' ' || t[i+1]
+                            for i in range(1, len(t))]) AS f
+        FROM toks)),
+model AS (
+  SELECT bucket,
+         sum(CASE WHEN hi THEN 1 ELSE 0 END) AS ct,
+         count(*) AS cr
+  FROM feats GROUP BY bucket),
+tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM model),
+scored AS (
+  SELECT f.doc_id, count(*) AS n_feat,
+         round(sum(log2((m.ct + 1) / CAST(t.nt + 1024 AS DOUBLE))
+                   - log2((m.cr + 1) / CAST(t.nr + 1024 AS DOUBLE))),
+               4) AS lw
+  FROM feats f JOIN model m USING (bucket) CROSS JOIN tot t
+  GROUP BY f.doc_id),
+sel AS (
+  SELECT doc_id, row_number() OVER (ORDER BY lw DESC, doc_id) AS rk
+  FROM scored)
+SELECT d.doc_id,
+       coalesce(s.n_feat, 0) AS n_feat,
+       s.lw AS dsir_logw,
+       coalesce(sel.rk <= 125, false) AS selected
+FROM documents d
+LEFT JOIN scored s USING (doc_id)
+LEFT JOIN sel USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness gate checks the FIRST
     # 50 entries.  Round-3 additions (never driver-checked in r3) lead,
@@ -4039,6 +4095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_index": q_anchor_text_index,
         "crawl_to_corpus": q_crawl_to_corpus,
         "robots_filter": q_robots_filter,
+        # --- round-5 additions ---
+        "dsir_select": q_dsir_select,
         # --- round-5 rotation: any query whose implementing module
         # changed since its last driver-green row re-enters the
         # first-50 window (the r4 scorer-dispatch refactor shipped
@@ -4228,4 +4286,5 @@ def oracle_sql() -> dict[str, str]:
         "dom_blocks": _ORACLE_DOM_BLOCKS,
         "hashed_embeddings": _embed_oracle_sql(),
         "top_docs_per_source": _ORACLE_TOP_DOCS,
+        "dsir_select": _ORACLE_DSIR,
     }

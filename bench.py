@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "dom_blocks",
     "hashed_embeddings",
     "top_docs_per_source",
+    # round-5 additions
+    "dsir_select",
 ]
 
 

@@ -130,13 +130,17 @@ def connected_components(edges: DataFrame, a_col: str = "a",
             f"{max_rounds} rounds (the final round must observe zero "
             f"changes); raise max_rounds")
     # at the fixpoint e is a star forest (u=member, v=component min);
-    # the groupBy(min) is belt-and-braces, not load-bearing
+    # the groupBy(min) is belt-and-braces, not load-bearing. The
+    # result is graph-sized (dim-bounded): materialize it so callers
+    # compose a flat scan, not the label-derivation subplan (same
+    # lifecycle as every loop state above).
     labels = e.groupBy(F.col("u").alias("node")) \
         .agg(F.min("v").alias("comp"))
     return (nodes.join(labels, "node", "left")
             .select("node",
                     F.coalesce(F.col("comp"), F.col("node"))
-                    .alias("comp")))
+                    .alias("comp"))
+            .localCheckpoint(eager=True))
 
 
 def dedup_decision(docs: DataFrame, pairs: DataFrame,

@@ -176,6 +176,10 @@ def test_round3_operator_plan_budgets(spark):
         # <= B*k survivors per source, so neither sorts a
         # source-wide partition
         "top_docs_per_source": (2, 0),
+        # weights materialize behind a localCheckpoint at build time
+        # (1 corpus explode + B-bounded model groupBy); the returned
+        # plan is the checkpoint scan + skew-safe top-k selection
+        "dsir_select": (1, 0),
         # checkpoint scan (live plan budgeted separately, see below)
         "heavy_hitters": (0, 0),
         # iterations run at build time over dim tables; the returned
