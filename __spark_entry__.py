@@ -4073,6 +4073,98 @@ LEFT JOIN sel USING (doc_id)
 """
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): integer-lattice k-means over the
+    in-engine hashed embeddings, within-cluster cosine near-dup pairs
+    by exact cross-multiplication (tau = 7/10), transitive closure ->
+    keeper per semantic-duplicate group. Every stage bit-stable (see
+    operators/semdedup.py)."""
+    from document_extractor_spark.operators.semdedup import semdedup
+
+    return semdedup(_docs(spark, sf_dir), dim=16, k=4, iters=2,
+                    tau=(7, 10))
+
+
+def _semdedup_oracle_sql(dim: int = 16, k: int = 4,
+                         p: int = 7, q: int = 10) -> str:
+    sums = ",\n         ".join(
+        f"sum(2 * ((('0x' || substr(h, {1 + d // 4}, 1))::BIGINT"
+        f" >> {d % 4}) & 1) - 1) AS _e{d}"
+        for d in range(dim))
+    ecols = ", ".join(
+        f"CAST(COALESCE(s._e{d}, 0) AS BIGINT) AS e{d}"
+        for d in range(dim))
+
+    def dist(e, c):
+        return " + ".join(
+            f"({e}.e{d} - {c}.e{d})*({e}.e{d} - {c}.e{d})"
+            for d in range(dim))
+
+    csums = ", ".join(f"sum(e.e{d}) AS s{d}" for d in range(dim))
+    # truncating division toward zero, sign-explicit (DuckDB // floors)
+    cquant = ", ".join(
+        f"COALESCE(CASE WHEN c.s{d} < 0 THEN -((-c.s{d}) // c.n)"
+        f" ELSE c.s{d} // c.n END, i.e{d}) AS e{d}"
+        for d in range(dim))
+    dot = " + ".join(f"x.e{d}*y.e{d}" for d in range(dim))
+    n2 = " + ".join(f"e{d}*e{d}" for d in range(dim))
+    return f"""
+WITH RECURSIVE
+tk AS (
+  SELECT doc_id, md5(t.tok) AS h
+  FROM documents, unnest(list_filter(string_split_regex(
+      lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+'),
+      x -> x <> '')) AS t(tok)),
+s AS (SELECT doc_id, {sums} FROM tk GROUP BY 1),
+emb AS (
+  SELECT d.doc_id, {ecols}
+  FROM documents d LEFT JOIN s USING (doc_id)),
+init AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS cluster, *
+  FROM emb ORDER BY doc_id LIMIT {k}),
+asg1 AS (
+  SELECT e.doc_id, i.cluster FROM emb e CROSS JOIN init i
+  QUALIFY row_number() OVER (PARTITION BY e.doc_id
+                             ORDER BY {dist('e', 'i')}, i.cluster) = 1),
+c1 AS (
+  SELECT a.cluster, count(*) AS n, {csums}
+  FROM asg1 a JOIN emb e USING (doc_id) GROUP BY a.cluster),
+cent1 AS (
+  SELECT i.cluster, {cquant}
+  FROM init i LEFT JOIN c1 c ON i.cluster = c.cluster),
+asg2 AS (
+  SELECT e.doc_id, i.cluster FROM emb e CROSS JOIN cent1 i
+  QUALIFY row_number() OVER (PARTITION BY e.doc_id
+                             ORDER BY {dist('e', 'i')}, i.cluster) = 1),
+side AS (
+  SELECT a.cluster, e.*, ({n2}) AS n2
+  FROM asg2 a JOIN emb e USING (doc_id)),
+p0 AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM side x JOIN side y
+    ON x.cluster = y.cluster AND x.doc_id < y.doc_id
+  WHERE ({dot}) > 0
+    AND {q * q} * (CAST(({dot}) AS HUGEINT) * ({dot}))
+        > {p * p} * (CAST(x.n2 AS HUGEINT) * y.n2)),
+eu AS (SELECT a, b FROM p0 UNION SELECT b AS a, a AS b FROM p0),
+reach(src, dst) AS (
+  SELECT a, a FROM eu
+  UNION
+  SELECT r.src, eu.b FROM reach r JOIN eu ON r.dst = eu.a),
+comp AS (SELECT src AS node, min(dst) AS component
+         FROM reach GROUP BY src)
+SELECT d.doc_id, CAST(a.cluster AS INT) AS cluster,
+       CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
+       (coalesce(c.component, d.doc_id) = d.doc_id) AS is_keeper
+FROM documents d
+LEFT JOIN asg2 a USING (doc_id)
+LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
+_ORACLE_SEMDEDUP = _semdedup_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness gate checks the FIRST
     # 50 entries.  Round-3 additions (never driver-checked in r3) lead,
@@ -4097,6 +4189,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         # --- round-5 additions ---
         "dsir_select": q_dsir_select,
+        "semdedup": q_semdedup,
+        # connected-components rewrite (star contraction) -> its
+        # consumers re-enter the window per the rotation policy
+        "dedup_clusters": q_dedup_clusters,
+        "neardup_dedup_pipeline": q_neardup_dedup_pipeline,
+        "training_corpus_build": q_training_corpus_build,
         # --- round-5 rotation: any query whose implementing module
         # changed since its last driver-green row re-enters the
         # first-50 window (the r4 scorer-dispatch refactor shipped
@@ -4177,12 +4275,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_boilerplate_strip": q_line_boilerplate_strip,
         "gopher_quality": q_gopher_quality,
         "stratified_sample": q_stratified_sample,
-        "dedup_clusters": q_dedup_clusters,
         "gopher_repetition": q_gopher_repetition,
-        "neardup_dedup_pipeline": q_neardup_dedup_pipeline,
         "tfidf_topk": q_tfidf_topk,
         "script_profile": q_script_profile,
-        "training_corpus_build": q_training_corpus_build,
         "incremental_dedup": q_incremental_dedup,
     }
 
@@ -4287,4 +4382,5 @@ def oracle_sql() -> dict[str, str]:
         "hashed_embeddings": _embed_oracle_sql(),
         "top_docs_per_source": _ORACLE_TOP_DOCS,
         "dsir_select": _ORACLE_DSIR,
+        "semdedup": _ORACLE_SEMDEDUP,
     }

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "top_docs_per_source",
     # round-5 additions
     "dsir_select",
+    "semdedup",
 ]
 
 

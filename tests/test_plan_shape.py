@@ -180,6 +180,9 @@ def test_round3_operator_plan_budgets(spark):
         # (1 corpus explode + B-bounded model groupBy); the returned
         # plan is the checkpoint scan + skew-safe top-k selection
         "dsir_select": (1, 0),
+        # decision materializes at build (checkpointed); returned
+        # plan is the checkpoint scan
+        "semdedup": (0, 0),
         # checkpoint scan (live plan budgeted separately, see below)
         "heavy_hitters": (0, 0),
         # iterations run at build time over dim tables; the returned
