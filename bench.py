@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     # round-5 additions
     "dsir_select",
     "semdedup",
+    "unimax_mix",
 ]
 
 

@@ -183,6 +183,10 @@ def test_round3_operator_plan_budgets(spark):
         # decision materializes at build (checkpointed); returned
         # plan is the checkpoint scan
         "semdedup": (0, 0),
+        # corpus groupBy(lang) runs eagerly at build (dim-bounded
+        # collect); the returned plan is a local scan of the
+        # languages-sized allocation table
+        "unimax_mix": (0, 0),
         # checkpoint scan (live plan budgeted separately, see below)
         "heavy_hitters": (0, 0),
         # iterations run at build time over dim tables; the returned
