@@ -4204,6 +4204,100 @@ FROM w WHERE rn >= 1
 """
 
 
+_BLOOM_M = 1 << 20
+_BLOOM_K = 4
+
+
+def _bloom_split(spark, sf_dir):
+    """(seen, batch) snapshot split — same md5 doc_id slice as
+    q_incremental_dedup so the two membership mechanisms are directly
+    comparable on identical inputs."""
+    d = _docs(spark, sf_dir)
+    slice_char = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return d.filter(slice_char < "8"), d.filter(slice_char >= "8")
+
+
+def q_bloom_seen_filter(spark, sf_dir):
+    """Bloom-filter membership dedup (Dolma-style, operators/bloom.py):
+    the batch side of the snapshot split probes an m-bit bloom built
+    over the seen side. Broadcast word table + JVM bit tests; FPs are
+    deterministic so the oracle replays the identical decision."""
+    from document_extractor_spark.operators.bloom import (
+        bloom_seen_filter)
+
+    seen, batch = _bloom_split(spark, sf_dir)
+    return bloom_seen_filter(batch, seen, m_bits=_BLOOM_M, k=_BLOOM_K)
+
+
+def q_bloom_paragraph_dups(spark, sf_dir):
+    """Paragraph-level bloom dedup signal (Dolma deduper's second
+    mode): per batch doc, non-empty '\\n'-lines and how many are in
+    the bloom over the seen corpus's lines."""
+    from document_extractor_spark.operators.bloom import (
+        paragraph_dup_stats)
+
+    seen, batch = _bloom_split(spark, sf_dir)
+    return paragraph_dup_stats(batch, seen, m_bits=_BLOOM_M,
+                               k=_BLOOM_K)
+
+
+# Shared oracle fragments: the double-hash position derivation, and
+# the seen/batch doc_id slice.
+_BLOOM_POS = ("(('0x'||substr(md5({x}),1,8))::BIGINT "
+              "+ r.i * (('0x'||substr(md5({x}),9,8))::BIGINT * 2 + 1)) "
+              f"% {_BLOOM_M}")
+
+_ORACLE_BLOOM_SEEN = f"""
+WITH h AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS slice
+  FROM documents),
+pos AS (
+  SELECT doc_id, slice, {_BLOOM_POS.format(x='t')} AS p
+  FROM h, range(0, {_BLOOM_K}) r(i)),
+sbits AS (SELECT DISTINCT p FROM pos WHERE slice < '8')
+SELECT b.doc_id,
+       CAST(min(CASE WHEN s.p IS NOT NULL THEN 1 ELSE 0 END)
+            AS INTEGER) AS bloom_hit
+FROM pos b LEFT JOIN sbits s USING (p)
+WHERE b.slice >= '8'
+GROUP BY b.doc_id
+"""
+
+_ORACLE_BLOOM_PARAS = f"""
+WITH h AS (
+  SELECT doc_id,
+         string_split(coalesce(text, ''), chr(10)) AS ls,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS slice
+  FROM documents),
+lines AS (
+  SELECT doc_id, slice, unnest(ls) AS para,
+         unnest(range(len(ls))) AS li
+  FROM h),
+nl AS (SELECT * FROM lines WHERE para <> ''),
+sbits AS (
+  SELECT DISTINCT {_BLOOM_POS.format(x='para')} AS p
+  FROM nl, range(0, {_BLOOM_K}) r(i) WHERE slice < '8'),
+bpos AS (
+  SELECT doc_id, li, {_BLOOM_POS.format(x='para')} AS p
+  FROM nl, range(0, {_BLOOM_K}) r(i) WHERE slice >= '8'),
+perline AS (
+  SELECT doc_id, li,
+         min(CASE WHEN s.p IS NOT NULL THEN 1 ELSE 0 END) AS hit
+  FROM bpos b LEFT JOIN sbits s USING (p)
+  GROUP BY doc_id, li),
+perdoc AS (
+  SELECT doc_id, count(*) AS n_paras,
+         CAST(sum(hit) AS BIGINT) AS n_dup_paras
+  FROM perline GROUP BY doc_id)
+SELECT h.doc_id,
+       coalesce(p.n_paras, 0) AS n_paras,
+       coalesce(p.n_dup_paras, 0) AS n_dup_paras
+FROM h LEFT JOIN perdoc p USING (doc_id)
+WHERE h.slice >= '8'
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness gate checks the FIRST
     # 50 entries.  Round-3 additions (never driver-checked in r3) lead,
@@ -4230,6 +4324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "semdedup": q_semdedup,
         "unimax_mix": q_unimax_mix,
+        "bloom_seen_filter": q_bloom_seen_filter,
+        "bloom_paragraph_dups": q_bloom_paragraph_dups,
         # connected-components rewrite (star contraction) -> its
         # consumers re-enter the window per the rotation policy
         "dedup_clusters": q_dedup_clusters,
@@ -4424,4 +4520,6 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _ORACLE_DSIR,
         "semdedup": _ORACLE_SEMDEDUP,
         "unimax_mix": _ORACLE_UNIMAX,
+        "bloom_seen_filter": _ORACLE_BLOOM_SEEN,
+        "bloom_paragraph_dups": _ORACLE_BLOOM_PARAS,
     }

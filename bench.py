@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "dsir_select",
     "semdedup",
     "unimax_mix",
+    "bloom_seen_filter",
+    "bloom_paragraph_dups",
 ]
 
 

@@ -187,6 +187,11 @@ def test_round3_operator_plan_budgets(spark):
         # collect); the returned plan is a local scan of the
         # languages-sized allocation table
         "unimax_mix": (0, 0),
+        # word table materializes at build (checkpoint); the probe is
+        # k broadcast joins — the corpus NEVER shuffles
+        "bloom_seen_filter": (0, 0),
+        # + the one groupBy(doc) rollup of per-line flags
+        "bloom_paragraph_dups": (1, 0),
         # checkpoint scan (live plan budgeted separately, see below)
         "heavy_hitters": (0, 0),
         # iterations run at build time over dim tables; the returned
