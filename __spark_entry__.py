@@ -4304,9 +4304,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-4 additions follow, and long-stable round-1/2 queries that
     # already have green CORRECTNESS_r03 rows are rotated to the back.
     return {
-        "dup_window_spans": q_dup_window_spans,
-        "strip_dup_spans": q_strip_dup_spans,
-        "decontaminate": q_decontaminate,
         "token_budget_sample": q_token_budget_sample,
         "blocklist_filter": q_blocklist_filter,
         "domain_reputation_filter": q_domain_reputation_filter,
@@ -4326,6 +4323,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_mix": q_unimax_mix,
         "bloom_seen_filter": q_bloom_seen_filter,
         "bloom_paragraph_dups": q_bloom_paragraph_dups,
+        # changed-module rotations (policy: any query whose
+        # implementing code changed since its last driver-green row
+        # re-enters the window): ccnet_buckets was de-skewed this
+        # round, incremental_minhash gained the seen_bands parameter,
+        # resume_anti_join sits on the reordered checkpoint commit
+        "ccnet_buckets": q_ccnet_buckets,
+        "incremental_minhash": q_incremental_minhash,
+        "resume_anti_join": q_resume_anti_join,
         # connected-components rewrite (star contraction) -> its
         # consumers re-enter the window per the rotation policy
         "dedup_clusters": q_dedup_clusters,
@@ -4364,9 +4369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "eval_holdout": q_eval_holdout,
         "unicode_nfc": q_unicode_nfc,
-        "ccnet_buckets": q_ccnet_buckets,
         "c4_filters": q_c4_filters,
-        "incremental_minhash": q_incremental_minhash,
         # --- previously driver-checked (green CORRECTNESS_r03 rows) ---
         "extract_html_roundtrip": q_extract_html_roundtrip,
         "pricing_summary": q_pricing_summary,
@@ -4378,7 +4381,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_summary": q_coverage_summary,
         "granularity_switch": q_granularity_switch,
         "chunk_pack_cumsum": q_chunk_pack_cumsum,
-        "resume_anti_join": q_resume_anti_join,
         "cascade_union": q_cascade_union,
         "explode_sentences": q_explode_sentences,
         "best_doc_per_source": q_best_doc_per_source,
@@ -4415,6 +4417,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "script_profile": q_script_profile,
         "incremental_dedup": q_incremental_dedup,
+        "dup_window_spans": q_dup_window_spans,
+        "strip_dup_spans": q_strip_dup_spans,
+        "decontaminate": q_decontaminate,
     }
 
 
