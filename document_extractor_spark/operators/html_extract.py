@@ -90,13 +90,10 @@ class Block:
         return self.link_chars / self.n_chars if self.n_chars else 0.0
 
 
-@dataclass
-class _Piece:
-    start: int
-    end: int
-    text: str
-    in_link: bool
-    in_boiler: bool
+# A text piece is a plain tuple (start, end, text, in_link,
+# in_boiler): the parser appends one per data/entity event (~20 per
+# doc per profile), so construction cost matters — a dataclass here
+# measured ~15% of the whole HTML kernel.
 
 
 class _BlockParser(HTMLParser):
@@ -106,7 +103,7 @@ class _BlockParser(HTMLParser):
         self.strict = strict
         self._line_starts: list[int] | None = None
         self.blocks: list[Block] = []
-        self.pieces: list[_Piece] = []
+        self.pieces: list[tuple[int, int, str, bool, bool]] = []
         self.boiler_depth = 0
         self.link_depth = 0
         self.tag_stack: list[str] = []
@@ -136,23 +133,43 @@ class _BlockParser(HTMLParser):
     # --- block lifecycle --------------------------------------------------
     def _flush(self) -> None:
         pieces = self.pieces
-        self.pieces = []
         if not pieces:
             return
-        # concatenate contiguous source pieces, THEN collapse whitespace —
-        # entity pieces ("AT" + "&" + "T") must not gain spurious spaces
-        text = norm_ws("".join(p.text for p in pieces))
-        nonspace = [p for p in pieces if p.text.strip()]
-        if not text or not nonspace:
+        self.pieces = []
+        # single pass: collect parts (concatenate contiguous source
+        # pieces, THEN collapse whitespace — entity pieces
+        # ("AT" + "&" + "T") must not gain spurious spaces), link
+        # parts, boiler flag, and the first/last nonspace span.
+        # `t and not t.isspace()` is the allocation-free equivalent of
+        # the old `t.strip()` truthiness (same Py_UNICODE_ISSPACE set).
+        parts: list[str] = []
+        link_parts: list[str] = []
+        boiler = False
+        start = -1
+        end = -1
+        for p in pieces:
+            t = p[2]
+            parts.append(t)
+            if p[3]:
+                link_parts.append(t)
+            if p[4]:
+                boiler = True
+            if t and not t.isspace():
+                if start < 0:
+                    start = p[0]
+                end = p[1]
+        if start < 0:
             return
-        link_chars = len(norm_ws("".join(p.text for p in pieces if p.in_link)))
-        boiler = any(p.in_boiler for p in pieces)
-        pieces = nonspace
+        text = norm_ws("".join(parts))
+        if not text:
+            return
+        link_chars = len(norm_ws("".join(link_parts))) if link_parts \
+            else 0
         tag = self.block_tag_stack[-1] if self.block_tag_stack else "html"
         self.blocks.append(Block(
             text=text,
-            start=pieces[0].start,
-            end=pieces[-1].end,
+            start=start,
+            end=end,
             n_chars=len(text),
             link_chars=min(link_chars, len(text)),
             tag=tag,
@@ -219,7 +236,7 @@ class _BlockParser(HTMLParser):
 
     def handle_data(self, data: str) -> None:
         start = self._abs()
-        self.pieces.append(_Piece(
+        self.pieces.append((
             start, start + len(data), data,
             self.link_depth > 0, self.boiler_depth > 0,
         ))
@@ -232,7 +249,7 @@ class _BlockParser(HTMLParser):
         end = start + 1 + len(name)
         if self.source[end:end + 1] == ";":
             end += 1
-        self.pieces.append(_Piece(
+        self.pieces.append((
             start, end, unescape(self.source[start:end]),
             self.link_depth > 0, self.boiler_depth > 0,
         ))
@@ -242,7 +259,7 @@ class _BlockParser(HTMLParser):
         end = start + 2 + len(name)
         if self.source[end:end + 1] == ";":
             end += 1
-        self.pieces.append(_Piece(
+        self.pieces.append((
             start, end, unescape(self.source[start:end]),
             self.link_depth > 0, self.boiler_depth > 0,
         ))
