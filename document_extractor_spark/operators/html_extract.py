@@ -57,6 +57,7 @@ BLOCK_TAGS = frozenset({
     "th", "blockquote", "pre", "h1", "h2", "h3", "h4", "h5", "h6", "br",
 })
 HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+_FLUSH_TAGS = BLOCK_TAGS | BOILER_TAGS  # one probe in handle_endtag
 VOID_TAGS = frozenset({
     "br", "img", "hr", "meta", "link", "input", "area", "base", "col",
     "embed", "source", "track", "wbr",
@@ -147,17 +148,16 @@ class _BlockParser(HTMLParser):
         boiler = False
         start = -1
         end = -1
-        for p in pieces:
-            t = p[2]
+        for p_start, p_end, t, in_link, in_boiler in pieces:
             parts.append(t)
-            if p[3]:
+            if in_link:
                 link_parts.append(t)
-            if p[4]:
+            if in_boiler:
                 boiler = True
             if t and not t.isspace():
                 if start < 0:
-                    start = p[0]
-                end = p[1]
+                    start = p_start
+                end = p_end
         if start < 0:
             return
         text = norm_ws("".join(parts))
@@ -209,7 +209,7 @@ class _BlockParser(HTMLParser):
                 )
         # flush while the closing tag's state is still on the stacks, so
         # the block is attributed to it (an <h1>'s text must carry tag=h1)
-        if tag in BLOCK_TAGS or tag in BOILER_TAGS:
+        if tag in _FLUSH_TAGS:
             self._flush()
         if self.tag_stack:
             # lenient recovery: pop through to the matching open tag
@@ -383,15 +383,15 @@ def _fast_blocks(source: str) -> tuple[list[Block], str | None] | None:
         m = _FAST_TAG_RE.match(source, lt)
         if m is None:
             return None  # '<' not opening a clean tag
-        name = m.group("name")
+        # positional fetch (decl=1, cname=2, name=3, attrs=4): one
+        # C call instead of four dict-keyed lookups per tag
+        decl, cname, name, attrs = m.group(1, 2, 3, 4)
         if name is None:
-            cname = m.group("cname")
             if cname is not None:
                 p._pos = lt
                 p.handle_endtag(cname.strip().lower())
                 pos = m.end()
                 continue
-            decl = m.group("decl")
             if decl[:7].lower() != "doctype":
                 return None  # marked sections / exotic declarations
             # HTMLParser's parse_html_declaration closes '<!doctype'
@@ -402,7 +402,6 @@ def _fast_blocks(source: str) -> tuple[list[Block], str | None] | None:
             pos = m.end()
             continue
         tag = name.lower()
-        attrs = m.group("attrs")
         # HTMLParser's tag-NAME class is [^\t\n\r\f />\x00] — broader
         # than this scanner's: '<p\x0bid=x>' is tag 'p\x0bid=x' to the
         # stdlib. If the char after our name would have continued
