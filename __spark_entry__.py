@@ -4298,6 +4298,88 @@ WHERE h.slice >= '8'
 """
 
 
+_OCR_SCHEMA = ("doc_id long, scan_text string, method string, "
+               "status string")
+
+# the oracle twin of functions/bitfont.normalize_content: pinned
+# whitespace collapse -> space-trim -> non-printable-ASCII to '?'
+_OCR_CONTENT = ("regexp_replace(trim(regexp_replace(coalesce(text, "
+                "''), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' '), "
+                "'[^ -~]', '?', 'g')")
+
+
+def q_ocr_roundtrip(spark, sf_dir):
+    """OCR slot (reference E4/E5): render every document as a clean
+    machine-font scan PNG, then template-OCR it back — the strict
+    OCR-A pass must recover the normalized text byte-identically.
+    One fused Arrow stage (render+decode), zero shuffles."""
+    import pandas as pd
+
+    from document_extractor_spark.functions.bitfont import render_scan
+    from document_extractor_spark.operators.ocr import ocr_page
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                scan = render_scan(text)
+                t, method, status = ocr_page(scan)
+                rows.append((did, t, method, status))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "scan_text", "method", "status"])
+
+    return (_docs(spark, sf_dir).select("doc_id", "text")
+            .mapInPandas(kernel, schema=_OCR_SCHEMA))
+
+
+_ORACLE_OCR_ROUNDTRIP = f"""
+SELECT doc_id, {_OCR_CONTENT} AS scan_text,
+       'ocr_a' AS method, 'OK' AS status
+FROM documents
+"""
+
+
+def q_ocr_best_of_rotations(spark, sf_dir):
+    """OCR-B slot (reference E6, pass_pdf_ocr_b.py:128-165 best-of-
+    rotations): doc_id%3==0 pages arrive 180-degree rotated,
+    doc_id%3==1 pages carry 2 px of deterministic scanner dirt —
+    OCR-A fails both, OCR-B recovers the identical text and the
+    method column records which pass accepted each document."""
+    import pandas as pd
+
+    from document_extractor_spark.functions.bitfont import (
+        normalize_content, render_scan)
+    from document_extractor_spark.operators.ocr import ocr_page
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                variant = did % 3
+                scan = render_scan(
+                    text,
+                    rotate=(variant == 0),
+                    noise_seed=(str(did) if variant == 1 else None),
+                    noise_px=(2 if variant == 1 else 0))
+                t, method, status = ocr_page(scan)
+                rows.append((did, t, method, status))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "scan_text", "method", "status"])
+
+    return (_docs(spark, sf_dir).select("doc_id", "text")
+            .mapInPandas(kernel, schema=_OCR_SCHEMA))
+
+
+_ORACLE_OCR_ROTATIONS = f"""
+SELECT doc_id, {_OCR_CONTENT} AS scan_text,
+       CASE WHEN len({_OCR_CONTENT}) = 0 THEN 'ocr_a'
+            WHEN doc_id % 3 IN (0, 1) THEN 'ocr_b'
+            ELSE 'ocr_a' END AS method,
+       'OK' AS status
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness gate checks the FIRST
     # 50 entries.  Round-3 additions (never driver-checked in r3) lead,
@@ -4323,6 +4405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_mix": q_unimax_mix,
         "bloom_seen_filter": q_bloom_seen_filter,
         "bloom_paragraph_dups": q_bloom_paragraph_dups,
+        "ocr_roundtrip": q_ocr_roundtrip,
+        "ocr_best_of_rotations": q_ocr_best_of_rotations,
         # changed-module rotations (policy: any query whose
         # implementing code changed since its last driver-green row
         # re-enters the window): ccnet_buckets was de-skewed this
@@ -4527,4 +4611,6 @@ def oracle_sql() -> dict[str, str]:
         "unimax_mix": _ORACLE_UNIMAX,
         "bloom_seen_filter": _ORACLE_BLOOM_SEEN,
         "bloom_paragraph_dups": _ORACLE_BLOOM_PARAS,
+        "ocr_roundtrip": _ORACLE_OCR_ROUNDTRIP,
+        "ocr_best_of_rotations": _ORACLE_OCR_ROTATIONS,
     }

@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "unimax_mix",
     "bloom_seen_filter",
     "bloom_paragraph_dups",
+    "ocr_roundtrip",
+    "ocr_best_of_rotations",
 ]
 
 

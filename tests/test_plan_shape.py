@@ -192,6 +192,9 @@ def test_round3_operator_plan_budgets(spark):
         "bloom_seen_filter": (0, 0),
         # + the one groupBy(doc) rollup of per-line flags
         "bloom_paragraph_dups": (1, 0),
+        # fused render+decode kernel: one Arrow stage, zero shuffles
+        "ocr_roundtrip": (0, 1),
+        "ocr_best_of_rotations": (0, 1),
         # checkpoint scan (live plan budgeted separately, see below)
         "heavy_hitters": (0, 0),
         # iterations run at build time over dim tables; the returned
