@@ -4308,6 +4308,49 @@ _OCR_CONTENT = ("regexp_replace(trim(regexp_replace(coalesce(text, "
                 "'[^ -~]', '?', 'g')")
 
 
+def q_softdedup(spark, sf_dir):
+    """SoftDedup (He et al. 2024): per-doc data-commonness from the
+    hashed-bigram frequency model, normalized inverse-commonness
+    sampling weight — downweight duplicate mass instead of deleting
+    it (functions/softdedup.py)."""
+    from document_extractor_spark.functions.softdedup import (
+        softdedup_weights)
+
+    return softdedup_weights(_docs(spark, sf_dir))
+
+
+_ORACLE_SOFTDEDUP = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')),
+                                        '[ \\t\\n\\x0B\\f\\r]+'),
+                     t -> t <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(g), 1, 4)) AS INT) % 4096
+         AS bucket
+  FROM (SELECT doc_id,
+               unnest([t[i] || ' ' || t[i+1]
+                       for i in range(1, len(t))]) AS g
+        FROM toks)),
+model AS (SELECT bucket, count(*) AS cnt FROM grams GROUP BY bucket),
+tot AS (SELECT sum(cnt) AS n FROM model),
+perdoc AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         round(avg(ln(CAST(m.cnt AS DOUBLE) / t.n)), 4)
+         AS mean_log_p
+  FROM grams g JOIN model m USING (bucket) CROSS JOIN tot t
+  GROUP BY g.doc_id),
+mn AS (SELECT min(mean_log_p) AS m FROM perdoc)
+SELECT d.doc_id,
+       coalesce(p.n_grams, 0) AS n_grams,
+       p.mean_log_p,
+       round(p.mean_log_p / mn.m, 4) AS soft_weight
+FROM documents d LEFT JOIN perdoc p USING (doc_id) CROSS JOIN mn
+"""
+
+
 def q_ocr_roundtrip(spark, sf_dir):
     """OCR slot (reference E4/E5): render every document as a clean
     machine-font scan PNG, then template-OCR it back — the strict
@@ -4407,6 +4450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_paragraph_dups": q_bloom_paragraph_dups,
         "ocr_roundtrip": q_ocr_roundtrip,
         "ocr_best_of_rotations": q_ocr_best_of_rotations,
+        "softdedup_weights": q_softdedup,
         # changed-module rotations (policy: any query whose
         # implementing code changed since its last driver-green row
         # re-enters the window): ccnet_buckets was de-skewed this
@@ -4613,4 +4657,5 @@ def oracle_sql() -> dict[str, str]:
         "bloom_paragraph_dups": _ORACLE_BLOOM_PARAS,
         "ocr_roundtrip": _ORACLE_OCR_ROUNDTRIP,
         "ocr_best_of_rotations": _ORACLE_OCR_ROTATIONS,
+        "softdedup_weights": _ORACLE_SOFTDEDUP,
     }

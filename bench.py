@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "bloom_paragraph_dups",
     "ocr_roundtrip",
     "ocr_best_of_rotations",
+    "softdedup_weights",
 ]
 
 

@@ -195,6 +195,9 @@ def test_round3_operator_plan_budgets(spark):
         # fused render+decode kernel: one Arrow stage, zero shuffles
         "ocr_roundtrip": (0, 1),
         "ocr_best_of_rotations": (0, 1),
+        # weights materialize at build (B-bounded model collect +
+        # one doc rollup); returned plan is the checkpoint scan
+        "softdedup_weights": (0, 0),
         # checkpoint scan (live plan budgeted separately, see below)
         "heavy_hitters": (0, 0),
         # iterations run at build time over dim tables; the returned
