@@ -1515,7 +1515,7 @@ FROM (SELECT * FROM tiff UNION ALL SELECT * FROM png
 
 # Versioned so a corpus.py change invalidates the cached parquet; bump
 # when generate_corpus output changes.
-_ENTRY_CORPUS_DIR = "/tmp/des_corpus_entry_600_v6"
+_ENTRY_CORPUS_DIR = "/tmp/des_corpus_entry_600_v7"
 
 
 def _ensure_entry_corpus() -> str:
@@ -1834,6 +1834,11 @@ UNION ALL
 SELECT url, 'doc_extract_error' AS method, 'ERROR' AS status
 FROM '{_ENTRY_CORPUS_DIR}/expected_quarantine.parquet'
 WHERE fixture_class = 'doc' AND reason = 'doc_open_failed'
+UNION ALL
+-- truncated scan PNGs fail decode before any OCR pass runs
+SELECT url, 'none' AS method, 'ERROR' AS status
+FROM '{_ENTRY_CORPUS_DIR}/expected_quarantine.parquet'
+WHERE fixture_class = 'img_scan' AND reason = 'img_parse_failed'
 """
 
 

@@ -62,6 +62,11 @@ class PipelineConfig:
     # reference pass_doc.py:203 / entrypoint.sh:37: legacy .doc cutoff
     doc_cutoff: float = field(
         default_factory=lambda: _env_float("PASS_DOC_CUTOFF", 0.75))
+    # image OCR acceptance (reference pass_img.py keeps the best
+    # variant and gates on its reliability; OCR-B's 0.55 default,
+    # entrypoint.sh:37-40 family)
+    img_cutoff: float = field(
+        default_factory=lambda: _env_float("PASS_IMG_CUTOFF", 0.55))
     # E10 second chance (reference pass_doc.py:105-186): below-cutoff
     # .doc/.docx rows get a lenient re-extract accepted at cutoff=0.0
     # (method doc_salvage_text — the engine's doc_pdf_text analog)

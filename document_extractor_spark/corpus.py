@@ -70,7 +70,11 @@ _MIX = [
     ("doc", 0.925),
     ("gzip_html", 0.945),
     ("noise", 0.96),
-    ("unsupported", 0.98),
+    ("unsupported", 0.97),
+    # scanned pages (machine-font PNG, reference pass_img route);
+    # carved from the tail of the old unsupported range so every
+    # other fixture's class assignment is unchanged
+    ("img_scan", 0.98),
     ("dup", 1.00),
 ]
 
@@ -403,6 +407,37 @@ def generate_corpus(
             row["html"] = b"PK\x03\x04" + bytes(60)
             quarantine.append({"url": url, "reason": "unsupported",
                                "fixture_class": cls})
+
+        elif cls == "img_scan":
+            # scanned page in the machine-readable font (E4-E7 via
+            # pass_img route): clean upright -> OCR-A; 180-rotated or
+            # 2 px scanner dirt -> OCR-B recovery; truncated PNG ->
+            # quarantine
+            from .functions.bitfont import normalize_content, render_scan
+
+            truth = " ".join(_sentence(rng, lang)
+                             for _ in range(rng.randint(2, 5)))
+            content = normalize_content(truth)
+            variant = rng.random()
+            if variant < 0.40:
+                row["html"] = render_scan(truth)
+                method = "ocr_a"
+            elif variant < 0.65:
+                row["html"] = render_scan(truth, rotate=True)
+                method = "ocr_b"
+            elif variant < 0.90:
+                row["html"] = render_scan(truth, noise_seed=url,
+                                          noise_px=2)
+                method = "ocr_b"
+            else:
+                row["html"] = render_scan(truth)[:40]  # truncated PNG
+                quarantine.append({
+                    "url": url, "reason": "img_parse_failed",
+                    "fixture_class": cls})
+                pages.append(row)
+                continue
+            expected.append(_exp(content, method, method == "ocr_b",
+                                 score_reliability(content)))
 
         pages.append(row)
 

@@ -30,10 +30,15 @@ FMT_DOC = "doc"
 FMT_GZIP = "gzip"
 FMT_PRETEXT = "pretext"
 FMT_NOISE = "noise"
+FMT_IMG = "img"
 FMT_UNSUPPORTED = "unsupported"
 
 ALL_FORMATS = [FMT_PDF, FMT_HTML, FMT_TXT, FMT_DOCX, FMT_DOC, FMT_GZIP,
-               FMT_PRETEXT, FMT_NOISE, FMT_UNSUPPORTED]
+               FMT_PRETEXT, FMT_NOISE, FMT_IMG, FMT_UNSUPPORTED]
+
+# PNG signature, ISO-8859-1 view (scanned-page payloads -> OCR branch,
+# the reference's pass_img.py route)
+_PNG_MAGIC_STR = b"\x89PNG\r\n\x1a\n".decode("iso-8859-1")
 
 # OLE2/CFB magic (D0 CF 11 E0 A1 B1 1A E1) as an ISO-8859-1 string —
 # the lossless byte<->char decode makes startswith a byte comparison
@@ -88,6 +93,7 @@ def sniff_format(html: Column, text: Column) -> Column:
         .when(is_zip, F.lit(FMT_UNSUPPORTED))    # xlsx-style containers
         .when(is_cfb, F.lit(FMT_DOC))            # legacy Word binary
         .when(is_pdf, F.lit(FMT_PDF))
+        .when(prefix.startswith(_PNG_MAGIC_STR), F.lit(FMT_IMG))
         .when(looks_html, F.lit(FMT_HTML))
         .when(~has_nul, F.lit(FMT_TXT))
         .otherwise(F.lit(FMT_UNSUPPORTED))

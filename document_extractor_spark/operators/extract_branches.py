@@ -89,6 +89,31 @@ def _txt_core(url, warc_ts, lang, fmt, html, text) -> dict:
         "" if has_text else "empty_text")
 
 
+def _img_core(url, warc_ts, lang, payload, cfg: PipelineConfig) -> dict:
+    """Scanned-image branch (reference pass_img.py:23-84): template
+    OCR (A strict -> B best-of-rotations, operators/ocr.py), accept
+    the winning pass's text when its reliability clears
+    cfg.img_cutoff; used_fallback marks an OCR-B acceptance exactly
+    like the HTML lenient fallback does."""
+    from .ocr import ocr_page
+
+    text, method, status = ocr_page(
+        bytes(payload) if payload is not None else None)
+    if text is None:
+        return _row(url, warc_ts, lang, "img", "none", "ERROR",
+                    False, False, 0, [], [], 0.0, "img_parse_failed")
+    rel = score_reliability(text)
+    fallback = method == "ocr_b"
+    if status == "OK" and text.strip() and rel >= cfg.img_cutoff:
+        return _row(url, warc_ts, lang, "img", method, "OK", fallback,
+                    False, 1, [(1, text, rel)], [(0, len(text))],
+                    rel, "")
+    reason = ("img_unreadable_cells" if status != "OK"
+              else "extract_below_cutoff")
+    return _row(url, warc_ts, lang, "img", method, "ERROR", fallback,
+                False, 0, [], [], rel, reason)
+
+
 def _pdf_core(url, warc_ts, lang, payload, cfg: PipelineConfig,
               doc=None) -> dict:
     # `doc`: an already-parsed PdfDoc (the fused container probe has
@@ -406,6 +431,8 @@ def sniff_bytes(html: bytes | None, text: str | None) -> str:
         return "doc"  # OLE2/CFB container (legacy Word binary)
     if prefix.startswith(b"%PDF-"):
         return "pdf"
+    if prefix.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "img"  # scanned page -> OCR branch (pass_img route)
     low = prefix.decode("iso-8859-1").lower()
     if ("<!doctype html" in low or "<html" in low
             or ("<head" in low and "<body" in low)):
@@ -437,6 +464,9 @@ def make_extract_any(cfg: PipelineConfig, allow_container: bool = True):
             return
         if fmt == "doc":
             out.append(_doc_core(url, warc_ts, lang, html, cfg))
+            return
+        if fmt == "img":
+            out.append(_img_core(url, warc_ts, lang, html, cfg))
             return
         if fmt == "gzip":
             # Common-Crawl payloads are often stored gzip-compressed:

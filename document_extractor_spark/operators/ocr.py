@@ -80,19 +80,31 @@ def _cells(page: np.ndarray) -> np.ndarray | None:
             .reshape(nlines * ncols, GLYPH_H * GLYPH_W))
 
 
+_DECODE_CHUNK = 4096
+
+
 def _decode_cells(cells: np.ndarray) -> tuple[str, int, int]:
     """(text, n_exact, n_within) nearest-glyph decode of a cell
-    batch; cells beyond MAX_HAMMING decode as '?'."""
+    batch; cells beyond MAX_HAMMING decode as '?'.
+
+    Chunked: the (chunk, 95, 35) distance tensor is bounded at
+    ~13 MB however long the document is — a 1 MB whale page would
+    otherwise need ~3 GB in one allocation."""
     if not len(cells):
         return "", 0, 0
-    # Hamming distance to every glyph: |cell XOR glyph| summed
-    dists = (cells[:, None, :] ^ _GLYPHS[None, :, :]).sum(axis=2)
-    best = dists.argmin(axis=1)
-    bestd = dists[np.arange(len(cells)), best]
-    chars = np.where(bestd <= MAX_HAMMING, _CODES[best],
-                     ord("?")).astype(np.uint32)
-    text = "".join(map(chr, chars))
-    return text, int((bestd == 0).sum()), int((bestd <= MAX_HAMMING).sum())
+    parts, n_exact, n_within = [], 0, 0
+    for lo in range(0, len(cells), _DECODE_CHUNK):
+        chunk = cells[lo:lo + _DECODE_CHUNK]
+        # Hamming distance to every glyph: |cell XOR glyph| summed
+        dists = (chunk[:, None, :] ^ _GLYPHS[None, :, :]).sum(axis=2)
+        best = dists.argmin(axis=1)
+        bestd = dists[np.arange(len(chunk)), best]
+        chars = np.where(bestd <= MAX_HAMMING, _CODES[best],
+                         ord("?")).astype(np.uint32)
+        parts.append("".join(map(chr, chars)))
+        n_exact += int((bestd == 0).sum())
+        n_within += int((bestd <= MAX_HAMMING).sum())
+    return "".join(parts), n_exact, n_within
 
 
 def _join_lines(text: str, ncols: int) -> str:

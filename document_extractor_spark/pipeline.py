@@ -51,6 +51,7 @@ from .functions.sniff import (
     FMT_DOCX,
     FMT_GZIP,
     FMT_HTML,
+    FMT_IMG,
     FMT_PDF,
     FMT_PRETEXT,
     FMT_TXT,
@@ -155,6 +156,14 @@ def _staged_branches(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
                          schema=BRANCH_SCHEMA))
     )
 
+    # image rows (top-level or container children): per-row OCR is
+    # self-contained, so the staged path reuses the fused kernel on
+    # the img slice (identical semantics by construction, like gzip)
+    img_out = (
+        dispatched.filter(F.col("fmt") == FMT_IMG)
+        .mapInPandas(make_extract_any(cfg), schema=BRANCH_SCHEMA)
+    )
+
     txt_rows = dispatched.filter(F.col("fmt").isin(FMT_TXT, FMT_PRETEXT))
     docx_rows = dispatched.filter(F.col("fmt") == FMT_DOCX)
     doc_rows = dispatched.filter(F.col("fmt") == FMT_DOC)
@@ -207,7 +216,7 @@ def _staged_branches(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return (txt_out.unionByName(docx_out).unionByName(doc_out)
             .unionByName(pdf_out)
             .unionByName(html_out).unionByName(unsupported_out)
-            .unionByName(gzip_out))
+            .unionByName(gzip_out).unionByName(img_out))
 
 
 def granularity_project(branches: DataFrame, run_id: str) -> DataFrame:

@@ -28,7 +28,7 @@ def test_sniff_routes_every_fixture_class(spark, pages_df):
         "dup": "html", "pdf_text": "pdf", "pdf_big": "pdf",
         "pdf_scanonly": "pdf", "container": "pdf", "plaintext": "txt",
         "pretext": "pretext", "noise": "noise", "unsupported": "unsupported",
-        "docx": "docx", "gzip_html": "gzip",
+        "docx": "docx", "gzip_html": "gzip", "img_scan": "img",
     }
     for cls, expect in route.items():
         sub = got[got.cls == cls]
