@@ -1515,7 +1515,7 @@ FROM (SELECT * FROM tiff UNION ALL SELECT * FROM png
 
 # Versioned so a corpus.py change invalidates the cached parquet; bump
 # when generate_corpus output changes.
-_ENTRY_CORPUS_DIR = "/tmp/des_corpus_entry_600_v7"
+_ENTRY_CORPUS_DIR = "/tmp/des_corpus_entry_600_v8"
 
 
 def _ensure_entry_corpus() -> str:
@@ -1839,6 +1839,11 @@ UNION ALL
 SELECT url, 'none' AS method, 'ERROR' AS status
 FROM '{_ENTRY_CORPUS_DIR}/expected_quarantine.parquet'
 WHERE fixture_class = 'img_scan' AND reason = 'img_parse_failed'
+UNION ALL
+-- unreadable scanned PDFs fall off the end of the OCR cascade
+SELECT url, 'ocr_b' AS method, 'ERROR' AS status
+FROM '{_ENTRY_CORPUS_DIR}/expected_quarantine.parquet'
+WHERE fixture_class = 'pdf_scanned' AND reason = 'pdf_below_cutoff'
 """
 
 

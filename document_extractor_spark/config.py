@@ -62,6 +62,13 @@ class PipelineConfig:
     # reference pass_doc.py:203 / entrypoint.sh:37: legacy .doc cutoff
     doc_cutoff: float = field(
         default_factory=lambda: _env_float("PASS_DOC_CUTOFF", 0.75))
+    # scanned-PDF OCR cascade cutoffs (reference entrypoint.sh:37-40;
+    # pass_pdf_ocr_a.py:117 cutoff=0.70, pass_pdf_ocr_b.py:128
+    # cutoff=0.60; median-gated per doc like the text pass)
+    pdf_ocr_a_cutoff: float = field(
+        default_factory=lambda: _env_float("PASS_OCR_A_CUTOFF", 0.70))
+    pdf_ocr_b_cutoff: float = field(
+        default_factory=lambda: _env_float("PASS_OCR_B_CUTOFF", 0.60))
     # image OCR acceptance (reference pass_img.py keeps the best
     # variant and gates on its reliability; OCR-B's 0.55 default,
     # entrypoint.sh:37-40 family)

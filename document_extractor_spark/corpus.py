@@ -75,6 +75,9 @@ _MIX = [
     # carved from the tail of the old unsupported range so every
     # other fixture's class assignment is unchanged
     ("img_scan", 0.98),
+    # scanned PDFs (grayscale raster pages, no text layer): triage ->
+    # OCR-A/OCR-B cascade; carved from the head of the dup range
+    ("pdf_scanned", 0.985),
     ("dup", 1.00),
 ]
 
@@ -407,6 +410,51 @@ def generate_corpus(
             row["html"] = b"PK\x03\x04" + bytes(60)
             quarantine.append({"url": url, "reason": "unsupported",
                                "fixture_class": cls})
+
+        elif cls == "pdf_scanned":
+            # scanned PDF (E3-E6): raster-only pages through the
+            # reference's TXT -> OCR-A -> OCR-B cascade
+            # (pass_pdf.py:112-255); OCR forces per-page granularity
+            # (A7, pass_pdf.py:163-166)
+            from .functions.bitfont import (
+                normalize_content, render_page_bitmap)
+            from .pdf_gen import build_scanned_pdf
+
+            page_strs = [" ".join(_sentence(rng, lang)
+                                  for _ in range(rng.randint(1, 3)))
+                         for _ in range(rng.randint(2, 3))]
+            variant = rng.random()
+            if variant < 0.40:
+                bitmaps = [render_page_bitmap(t) for t in page_strs]
+                method = "ocr_a"
+            elif variant < 0.65:
+                bitmaps = [render_page_bitmap(t, rotate=True)
+                           for t in page_strs]
+                method = "ocr_b"
+            elif variant < 0.90:
+                bitmaps = [render_page_bitmap(
+                    t, noise_seed=f"{url}#{k}", noise_px=2)
+                    for k, t in enumerate(page_strs)]
+                method = "ocr_b"
+            else:
+                # unreadable mush: ink everywhere -> every cell is
+                # beyond both passes -> pdf_below_cutoff quarantine
+                import numpy as _np
+                bitmaps = [_np.zeros((17, 31), dtype=_np.uint8)
+                           for _ in page_strs]
+                method = None
+            row["html"] = build_scanned_pdf(bitmaps)
+            if method is None:
+                quarantine.append({"url": url,
+                                   "reason": "pdf_below_cutoff",
+                                   "fixture_class": cls})
+            else:
+                contents = [normalize_content(t) for t in page_strs]
+                for k, t in enumerate(contents, 1):
+                    expected.append(_exp(
+                        t, method, method == "ocr_b",
+                        score_reliability(t), page=k,
+                        pages_n=len(contents)))
 
         elif cls == "img_scan":
             # scanned page in the machine-readable font (E4-E7 via

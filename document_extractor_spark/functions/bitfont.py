@@ -119,11 +119,20 @@ def encode_png_gray(page: np.ndarray) -> bytes:
 def render_scan(text: str | None, width: int = 80, rotate: bool = False,
                 noise_seed: str | None = None,
                 noise_px: int = 0) -> bytes:
-    """Text -> scan-page PNG. `rotate` turns the page 180 degrees;
-    `noise_px` flips that many ink-cell pixels at md5(noise_seed)-
-    derived positions (deterministic scanner dirt — <= 2 px stays
-    below the OCR-B rejection threshold by the font's 5 px minimum
-    glyph distance)."""
+    """Text -> scan-page PNG (render_page_bitmap + PNG encode)."""
+    return encode_png_gray(render_page_bitmap(
+        text, width, rotate, noise_seed, noise_px))
+
+
+def render_page_bitmap(text: str | None, width: int = 80,
+                       rotate: bool = False,
+                       noise_seed: str | None = None,
+                       noise_px: int = 0) -> np.ndarray:
+    """Text -> scan-page uint8 bitmap. `rotate` turns the page 180
+    degrees; `noise_px` flips that many ink-cell pixels at
+    md5(noise_seed)-derived positions (deterministic scanner dirt —
+    <= 2 px stays below the OCR-B rejection threshold by the font's
+    5 px minimum glyph distance)."""
     lines = wrap_content(normalize_content(text), width)
     page = render_bitmap(lines)
     ncols = max((len(ln) for ln in lines), default=0)
@@ -146,4 +155,4 @@ def render_scan(text: str | None, width: int = 80, rotate: bool = False,
             page[1 + CELL_H * li + r, 1 + CELL_W * gi + c] ^= 0xFF
     if rotate:
         page = np.rot90(page, 2).copy()
-    return encode_png_gray(page)
+    return page

@@ -48,6 +48,11 @@ _OCTAL_RE = re.compile(rb"\\([0-7]{1,3})")
 class PdfDoc:
     n_pages: int = 0
     page_texts: list[str] = field(default_factory=list)
+    # per-page grayscale raster (np.uint8 HxW) when the page carries a
+    # decodable /DeviceGray 8-bit /FlateDecode Image XObject — the
+    # "page render" input of the OCR cascade (reference E3,
+    # pass_pdf_ocr_a.py:35-115 fitz rasterization); None otherwise
+    page_images: list = field(default_factory=list)
     attachments: list[tuple[str, bytes]] = field(default_factory=list)
     ok: bool = False
     error: str = ""
@@ -189,6 +194,38 @@ def _stream_to_lines(stream: bytes) -> list[str]:
     return lines
 
 
+_XOBJ_REF_RE = re.compile(rb"/XObject\s*<<([^>]*)>>")
+_IMG_DIM_RE = re.compile(rb"/(Width|Height)\s+(\d+)")
+
+
+def _page_image(page_body: bytes,
+                objects: dict[int, tuple[bytes, bytes | None]]):
+    """First decodable grayscale raster referenced by the page's
+    /Resources /XObject dict, as an HxW uint8 array; None when the
+    page has no such image (the common text-PDF case — zero cost)."""
+    import numpy as _np
+
+    xm = _XOBJ_REF_RE.search(page_body)
+    if xm is None:
+        return None
+    for ref in _REF_RE.findall(xm.group(1)):
+        entry = objects.get(int(ref))
+        if entry is None:
+            continue
+        head, stream = entry
+        if (b"/Image" not in head or stream is None
+                or b"/DeviceGray" not in head
+                or b"/BitsPerComponent 8" not in head):
+            continue
+        dims = {m.group(1): int(m.group(2))
+                for m in _IMG_DIM_RE.finditer(head)}
+        w, h = dims.get(b"Width"), dims.get(b"Height")
+        if not w or not h or len(stream) != w * h:
+            continue
+        return _np.frombuffer(stream, dtype=_np.uint8).reshape(h, w)
+    return None
+
+
 def _find_refs(body: bytes, key: bytes) -> list[int]:
     """All object refs following /Key (single ref or array)."""
     idx = body.find(key)
@@ -232,6 +269,7 @@ def parse_pdf(data: bytes | None) -> PdfDoc:
         for kid in kid_refs:
             if kid not in objects:
                 doc.page_texts.append("")
+                doc.page_images.append(None)
                 continue
             page_body, _ = objects[kid]
             content_refs = _find_refs(page_body, b"/Contents")
@@ -241,6 +279,7 @@ def parse_pdf(data: bytes | None) -> PdfDoc:
                 if entry and entry[1] is not None:
                     parts.extend(_stream_to_lines(entry[1]))
             doc.page_texts.append("\n".join(parts))
+            doc.page_images.append(_page_image(page_body, objects))
         doc.n_pages = len(doc.page_texts)
 
         # portfolio attachments: /Filespec objects with /EF streams

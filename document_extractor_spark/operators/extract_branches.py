@@ -130,6 +130,11 @@ def _pdf_core(url, warc_ts, lang, payload, cfg: PipelineConfig,
     idxs = sample_page_indices(n, target=min(cfg.triage_sample_pages, n))
     samples = [doc.page_texts[i - 1] for i in idxs]
     if likely_scan_only(samples, cfg.triage_min_chars, cfg.triage_rel_cap):
+        # scan-only triage hit: page rasters (E3) feed the OCR
+        # cascade (reference pass_pdf.py:112-255 TXT->OCR-A->OCR-B);
+        # with no rasters the doc fails exactly as before
+        if any(img is not None for img in doc.page_images):
+            return _pdf_ocr_cascade(url, warc_ts, lang, doc, cfg)
         return _row(url, warc_ts, lang, "pdf", "pdf_text", "ERROR",
                     False, per_page, n, [], [], 0.0,
                     "pdf_below_cutoff: likely scan-only, no text layer")
@@ -147,6 +152,53 @@ def _pdf_core(url, warc_ts, lang, payload, cfg: PipelineConfig,
         off += len(t) + 1  # the joining "\n"
     return _row(url, warc_ts, lang, "pdf", "pdf_text", "OK",
                 False, per_page, n, pages, spans, med)
+
+
+def _pdf_ocr_cascade(url, warc_ts, lang, doc, cfg: PipelineConfig) -> dict:
+    """OCR stages of the PDF cascade (reference pass_pdf.py:175-255):
+    OCR-A strict over every page raster, accept the DOC when the
+    median page reliability clears PASS_OCR_A_CUTOFF (A3 median
+    gating, common.py:205-214); else OCR-B best-of-rotations at
+    PASS_OCR_B_CUTOFF with used_fallback=True; else ERROR. Once OCR
+    is needed the doc is forced per-page (A7, pass_pdf.py:163-166).
+    Pages without a raster read as empty text (reliability 0), the
+    same contribution a failed tesseract page makes to the median."""
+    from .ocr import ocr_bitmap_best, ocr_bitmap_strict
+
+    n = doc.n_pages
+
+    def _accept(texts, method, cutoff, fallback):
+        rels = [score_reliability(t) for t in texts]
+        med = exact_median(rels)
+        if med < cutoff:
+            return None, med
+        pages = [(i + 1, t, rel)
+                 for i, (t, rel) in enumerate(zip(texts, rels))]
+        spans, off = [], 0
+        for t in texts:
+            spans.append((off, off + len(t)))
+            off += len(t) + 1
+        return _row(url, warc_ts, lang, "pdf", method, "OK", fallback,
+                    True, n, pages, spans, med), med
+
+    texts_a = [
+        (ocr_bitmap_strict(img) if img is not None else None) or ""
+        for img in doc.page_images
+    ]
+    row, med_a = _accept(texts_a, "ocr_a", cfg.pdf_ocr_a_cutoff, False)
+    if row is not None:
+        return row
+    texts_b = [
+        (ocr_bitmap_best(img)[0] if img is not None else None) or ""
+        for img in doc.page_images
+    ]
+    row, med_b = _accept(texts_b, "ocr_b", cfg.pdf_ocr_b_cutoff, True)
+    if row is not None:
+        return row
+    return _row(url, warc_ts, lang, "pdf", "ocr_b", "ERROR", True,
+                True, n, [], [], med_b,
+                f"pdf_below_cutoff: ocr medians a={med_a:.4f} "
+                f"b={med_b:.4f}")
 
 
 def _office_salvage(url, warc_ts, lang, fmt, salvage_text) -> dict | None:

@@ -116,6 +116,36 @@ def _join_lines(text: str, ncols: int) -> str:
     return "".join(lines).rstrip(" ")
 
 
+def ocr_bitmap_strict(page: np.ndarray) -> str | None:
+    """OCR-A on a grayscale raster: upright, every cell an exact
+    glyph — None on any ambiguity (off-grid page, inexact cell)."""
+    cells = _cells(page)
+    if cells is None:
+        return None
+    text, n_exact, _ = _decode_cells(cells)
+    if n_exact != len(cells):
+        return None
+    return _join_lines(text, (page.shape[1] - 1) // CELL_W)
+
+
+def ocr_bitmap_best(page: np.ndarray) -> tuple[str | None, bool]:
+    """OCR-B on a grayscale raster: decode 0/180 degrees, keep the
+    orientation with the most cells within MAX_HAMMING (ties prefer
+    upright). Returns (text, all_cells_placed); (None, False) for an
+    off-grid page."""
+    cells = _cells(page)
+    if cells is None:
+        return None, False
+    ncols = (page.shape[1] - 1) // CELL_W
+    candidates = []
+    for rot, cs in ((0, cells), (180, _cells(np.rot90(page, 2).copy()))):
+        txt, _, n_within = _decode_cells(cs)
+        score = n_within / len(cs) if len(cs) else 1.0
+        candidates.append((score, -rot, txt, n_within, len(cs)))
+    score, _negrot, txt, n_within, n = max(candidates)
+    return _join_lines(txt, ncols), n_within == n
+
+
 def ocr_page(payload: bytes | None) -> tuple[str | None, str, str]:
     """(text, method, status) for one scan PNG: OCR-A strict upright
     pass, then OCR-B best-of-rotations. status ERROR when even B
@@ -129,25 +159,13 @@ def ocr_page(payload: bytes | None) -> tuple[str | None, str, str]:
         return None, "none", "ERROR"
     w, h = _png_dims(payload)
     page = vals.astype(np.uint8).reshape(h, w)
-    cells = _cells(page)
-    if cells is None:
+    if _cells(page) is None:
         return None, "none", "ERROR"
-    ncols = (w - 1) // CELL_W
-
-    # --- OCR-A: strict, upright only, exact glyphs only ---------------
-    text, n_exact, _ = _decode_cells(cells)
-    if n_exact == len(cells):
-        return _join_lines(text, ncols), "ocr_a", "OK"
-
-    # --- OCR-B: best of rotations, nearest within MAX_HAMMING ---------
-    candidates = []
-    for rot, cs in ((0, cells), (180, _cells(np.rot90(page, 2).copy()))):
-        txt, _, n_within = _decode_cells(cs)
-        score = n_within / len(cs) if len(cs) else 1.0
-        candidates.append((score, -rot, txt, n_within, len(cs)))
-    score, negrot, txt, n_within, n = max(candidates)
-    status = "OK" if n_within == n else "ERROR"
-    return _join_lines(txt, ncols), "ocr_b", status
+    text = ocr_bitmap_strict(page)
+    if text is not None:
+        return text, "ocr_a", "OK"
+    text, placed = ocr_bitmap_best(page)
+    return text, "ocr_b", "OK" if placed else "ERROR"
 
 
 def ocr_scans_kernel(batches: Iterator[pd.DataFrame],

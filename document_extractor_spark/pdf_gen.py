@@ -88,6 +88,52 @@ def build_pdf(
     catalog += b" >>"
     objs[1] = catalog
 
+    return _assemble(objs)
+
+
+def build_scanned_pdf(bitmaps) -> bytes:
+    """A scanned PDF: every page is ONE grayscale raster (8-bit
+    /DeviceGray /FlateDecode Image XObject) drawn by a text-free
+    content stream — the page tree a scanner/print-to-PDF emits.
+    `bitmaps`: list of 2-D uint8 numpy arrays (255 paper, 0 ink).
+    The empty text layer sends the document through the reference's
+    scan-only triage into the OCR cascade (pass_pdf.py:112-255)."""
+    import zlib as _zlib
+
+    objs: dict[int, bytes] = {}
+    next_num = 3
+    page_nums: list[int] = []
+    for page in bitmaps:
+        h, w = page.shape
+        img_num, content_num, page_num = next_num, next_num + 1, next_num + 2
+        next_num += 3
+        raw = _zlib.compress(page.tobytes())
+        objs[img_num] = (
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+            b"/Filter /FlateDecode /Length %d >>\nstream\n"
+            % (w, h, len(raw)) + raw + b"\nendstream"
+        )
+        draw = b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h)
+        objs[content_num] = (
+            b"<< /Length %d >>\nstream\n" % len(draw) + draw
+            + b"\nendstream"
+        )
+        objs[page_num] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d] "
+            b"/Contents %d 0 R /Resources << /XObject "
+            b"<< /Im0 %d 0 R >> >> >>"
+            % (w, h, content_num, img_num)
+        )
+        page_nums.append(page_num)
+    kids = b" ".join(b"%d 0 R" % n for n in page_nums)
+    objs[2] = (b"<< /Type /Pages /Kids [%s] /Count %d >>"
+               % (kids, len(page_nums)))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    return _assemble(objs)
+
+
+def _assemble(objs: dict[int, bytes]) -> bytes:
     out = bytearray(b"%PDF-1.4\n")
     offsets: dict[int, int] = {}
     for num in sorted(objs):

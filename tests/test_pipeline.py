@@ -29,6 +29,7 @@ def test_sniff_routes_every_fixture_class(spark, pages_df):
         "pdf_scanonly": "pdf", "container": "pdf", "plaintext": "txt",
         "pretext": "pretext", "noise": "noise", "unsupported": "unsupported",
         "docx": "docx", "gzip_html": "gzip", "img_scan": "img",
+        "pdf_scanned": "pdf",
     }
     for cls, expect in route.items():
         sub = got[got.cls == cls]
