@@ -1515,7 +1515,7 @@ FROM (SELECT * FROM tiff UNION ALL SELECT * FROM png
 
 # Versioned so a corpus.py change invalidates the cached parquet; bump
 # when generate_corpus output changes.
-_ENTRY_CORPUS_DIR = "/tmp/des_corpus_entry_600_v8"
+_ENTRY_CORPUS_DIR = "/tmp/des_corpus_entry_600_v9"
 
 
 def _ensure_entry_corpus() -> str:

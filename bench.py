@@ -101,7 +101,7 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 
 def _corpus_dir(n: int) -> str:
-    cdir = f"/tmp/des_bench_corpus_{n}_s42_v5"
+    cdir = f"/tmp/des_bench_corpus_{n}_s42_v6"
     if not os.path.exists(f"{cdir}/pages.parquet"):
         write_corpus(cdir, n, seed=42)
     return cdir

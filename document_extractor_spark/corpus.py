@@ -311,6 +311,18 @@ def generate_corpus(
                 child_expected.append(_exp(
                     ctext, "txt", False, score_reliability(ctext),
                     u=f"{url}::{cname}"))
+            if rng.random() < 0.5:
+                # a scanned attachment: the explode re-sniff routes
+                # the PNG child into the OCR branch (r5)
+                from .functions.bitfont import (
+                    normalize_content, render_scan)
+                stext = _sentence(rng, lang)
+                cname = "scan.png"
+                children.append((cname, render_scan(stext)))
+                child_expected.append(_exp(
+                    normalize_content(stext), "ocr_a", False,
+                    score_reliability(normalize_content(stext)),
+                    u=f"{url}::{cname}"))
             row["html"] = build_pdf(
                 [["Container manifest page."]], attachments=children)
             expected.extend(child_expected)
