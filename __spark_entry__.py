@@ -4318,6 +4318,55 @@ _OCR_CONTENT = ("regexp_replace(trim(regexp_replace(coalesce(text, "
                 "'[^ -~]', '?', 'g')")
 
 
+def q_wet_export(spark, sf_dir):
+    """WET conversion-record export plan (Common Crawl's extracted-
+    text format, ISO 28500): per-doc record bytes built entirely from
+    JVM string expressions + the canonical md5 shard — shuffle-free;
+    the writer (artifacts.write_wet_shards) adds the one shard
+    shuffle."""
+    from document_extractor_spark.artifacts import wet_records
+
+    return wet_records(_docs(spark, sf_dir), n_shards=16).select(
+        "shard", "doc_id",
+        F.octet_length("record").cast("long").alias("rec_len"),
+        F.md5("record").alias("rec_md5"))
+
+
+_ORACLE_WET = r"""
+WITH w AS (
+  SELECT doc_id,
+         'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+         '2026-01-01T00:' ||
+         lpad(CAST((doc_id // 60) % 60 AS VARCHAR), 2, '0') || ':' ||
+         lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z' AS d,
+         coalesce(text, '') AS body
+  FROM documents),
+r AS (
+  SELECT doc_id, uri, d, body,
+         md5(uri || chr(10) || d) AS h
+  FROM w),
+rec AS (
+  SELECT doc_id,
+         'WARC/1.0' || e'\r\n' || 'WARC-Type: conversion' || e'\r\n'
+         || 'WARC-Record-ID: <urn:uuid:' || substr(h, 1, 8) || '-'
+         || substr(h, 9, 4) || '-' || substr(h, 13, 4) || '-'
+         || substr(h, 17, 4) || '-' || substr(h, 21, 12) || '>'
+         || e'\r\n' || 'WARC-Date: ' || d || e'\r\n'
+         || 'WARC-Target-URI: ' || uri || e'\r\n'
+         || 'Content-Type: text/plain' || e'\r\n'
+         || 'Content-Length: '
+         || CAST(octet_length(encode(body)) AS VARCHAR)
+         || e'\r\n\r\n' || body || e'\r\n\r\n' AS record
+  FROM r)
+SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+            % 16 AS INT) AS shard,
+       doc_id,
+       CAST(octet_length(encode(record)) AS BIGINT) AS rec_len,
+       md5(record) AS rec_md5
+FROM rec
+"""
+
+
 def q_softdedup(spark, sf_dir):
     """SoftDedup (He et al. 2024): per-doc data-commonness from the
     hashed-bigram frequency model, normalized inverse-commonness
@@ -4461,6 +4510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_roundtrip": q_ocr_roundtrip,
         "ocr_best_of_rotations": q_ocr_best_of_rotations,
         "softdedup_weights": q_softdedup,
+        "wet_export": q_wet_export,
         # changed-module rotations (policy: any query whose
         # implementing code changed since its last driver-green row
         # re-enters the window): ccnet_buckets was de-skewed this
@@ -4498,7 +4548,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         # rows-only (no SQL twin, independent pytest; justification in
         # COVERAGE.md)
-        "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         # --- round-4 additions (slots 37-50) ---
         "minhash_dedup_pipeline": q_minhash_dedup_pipeline,
@@ -4557,9 +4606,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_window_spans": q_dup_window_spans,
         "strip_dup_spans": q_strip_dup_spans,
         "decontaminate": q_decontaminate,
-        # rows-only (justified), unchanged since its r4 driver row;
-        # rotated out to keep changed-module queries in the window
+        # rows-only (justified), unchanged since their r4 driver
+        # rows; rotated out to keep changed-module queries in the
+        # window
         "cdc_chunks": q_cdc_chunks,
+        "lsh_ann_topk": q_lsh_ann_topk,
     }
 
 
@@ -4670,4 +4721,5 @@ def oracle_sql() -> dict[str, str]:
         "ocr_roundtrip": _ORACLE_OCR_ROUNDTRIP,
         "ocr_best_of_rotations": _ORACLE_OCR_ROTATIONS,
         "softdedup_weights": _ORACLE_SOFTDEDUP,
+        "wet_export": _ORACLE_WET,
     }

@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "ocr_roundtrip",
     "ocr_best_of_rotations",
     "softdedup_weights",
+    "wet_export",
 ]
 
 

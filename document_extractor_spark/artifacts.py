@@ -298,3 +298,95 @@ def write_jsonl_shards(
     # DataFrame and the corpus lineage is scanned exactly once
     return docs.sparkSession.createDataFrame(
         manifest, "shard int, n_lines long, n_bytes long")
+
+
+# ---------------------------------------------------------------------------
+# S14b (r5): WET export — Common Crawl's extracted-text distribution
+# format (ISO 28500 `conversion` records, one per document). The
+# record bytes are built ENTIRELY from JVM string expressions, so the
+# export plan is shuffle-free and the driver oracle reproduces every
+# byte in SQL.
+# ---------------------------------------------------------------------------
+def wet_records(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 16,
+) -> DataFrame:
+    """`(shard, <key_col>, record string)` — one WET `conversion`
+    record per doc.
+
+    Determinism notes (mirrored by the DuckDB twin and
+    warc_mini.build_conversion_record):
+    - uri/date are synthesized from the key (the documents table
+      carries no url/ts; a deployment passes real ones through);
+    - the record id hashes `uri \\n date` — newline, NOT the \\x00
+      separator response records use, because engine varchars cannot
+      hold NUL bytes;
+    - Content-Length counts UTF-8 bytes (octet_length, not length).
+    """
+    key = F.col(key_col).cast("string")
+    uri = F.concat(F.lit("https://example.com/doc/"), key)
+    date = F.concat(
+        F.lit("2026-01-01T00:"),
+        F.lpad(F.expr(f"pmod({key_col} div 60, 60)").cast("string"),
+               2, "0"),
+        F.lit(":"),
+        F.lpad(F.pmod(F.col(key_col), 60).cast("string"), 2, "0"),
+        F.lit("Z"))
+    h = F.md5(F.concat(uri, F.lit("\n"), date))
+    rid = F.concat(
+        F.lit("<urn:uuid:"), F.substring(h, 1, 8), F.lit("-"),
+        F.substring(h, 9, 4), F.lit("-"), F.substring(h, 13, 4),
+        F.lit("-"), F.substring(h, 17, 4), F.lit("-"),
+        F.substring(h, 21, 12), F.lit(">"))
+    body = F.coalesce(F.col(text_col), F.lit(""))
+    record = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Record-ID: "),
+        rid,
+        F.lit("\r\nWARC-Date: "), date,
+        F.lit("\r\nWARC-Target-URI: "), uri,
+        F.lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+        F.octet_length(body).cast("string"),
+        F.lit("\r\n\r\n"), body, F.lit("\r\n\r\n"))
+    return docs.select(
+        md5_shard(key_col, n_shards).alias("shard"),
+        F.col(key_col),
+        record.alias("record"))
+
+
+def write_wet_shards(
+    docs: DataFrame,
+    out_dir: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Write `out_dir/shard=K/` WET shard files (one record stream
+    per shard, gzip left to the filesystem layer) and return the
+    `(shard, n_records, n_bytes)` manifest. Same single-shuffle,
+    deterministic-byte contract as write_jsonl_shards."""
+    recs = wet_records(docs, key_col, text_col, n_shards).withColumn(
+        "hk", F.md5(F.col(key_col).cast("string"))).persist()
+    try:
+        # the text sink appends one '\n' per row: write the record
+        # minus its final LF so the sink byte-completes the
+        # '\r\n\r\n' terminator — shard files parse as valid WARC
+        # (pinned by test_wet) and the byte accounting is unchanged
+        (recs.repartition(n_shards, "shard")
+         .sortWithinPartitions("shard", "hk", "record")
+         .select("shard",
+                 F.expr("substring(record, 1, length(record) - 1)")
+                 .alias("value"))
+         .write.mode("overwrite").partitionBy("shard").text(out_dir))
+        # on-disk bytes == record bytes exactly: the sink's +1 LF per
+        # row replaces the LF trimmed from each record above
+        manifest = (
+            recs.groupBy("shard")
+            .agg(F.count("*").alias("n_records"),
+                 F.sum(F.octet_length("record")).alias("n_bytes"))
+            .collect())
+    finally:
+        recs.unpersist()
+    return docs.sparkSession.createDataFrame(
+        manifest, "shard int, n_records long, n_bytes long")

@@ -110,6 +110,30 @@ def build_response_record(
     return headers + http + _CRLF + _CRLF
 
 
+def build_conversion_record(uri: str, date: str, text: str) -> bytes:
+    """Serialize one WET `conversion` record (uncompressed) — Common
+    Crawl's extracted-text distribution format. The record id hashes
+    `uri \\n date` (newline separator, unlike response records'
+    \\x00: the Spark/DuckDB twins of this builder live in engine
+    varchars, which cannot hold NUL). Byte-identical to
+    artifacts.wet_records' JVM expression."""
+    body = text.encode("utf-8")
+    h = hashlib.md5(f"{uri}\n{date}".encode("utf-8")).hexdigest()
+    rid = (f"<urn:uuid:{h[0:8]}-{h[8:12]}-{h[12:16]}-"
+           f"{h[16:20]}-{h[20:32]}>")
+    headers = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: conversion\r\n"
+        f"WARC-Record-ID: {rid}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"Content-Type: text/plain\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        f"\r\n"
+    ).encode("ascii")
+    return headers + body + _CRLF + _CRLF
+
+
 def build_warc(records: list[bytes], per_record_gzip: bool = True) -> bytes:
     """Concatenate serialized records into one WARC file.
 

@@ -198,6 +198,9 @@ def test_round3_operator_plan_budgets(spark):
         # weights materialize at build (B-bounded model collect +
         # one doc rollup); returned plan is the checkpoint scan
         "softdedup_weights": (0, 0),
+        # pure JVM string expressions; the writer adds the one shard
+        # shuffle, the plan itself is shuffle-free
+        "wet_export": (0, 0),
         # checkpoint scan (live plan budgeted separately, see below)
         "heavy_hitters": (0, 0),
         # iterations run at build time over dim tables; the returned
