@@ -4405,7 +4405,12 @@ mn AS (SELECT min(mean_log_p) AS m FROM perdoc)
 SELECT d.doc_id,
        coalesce(p.n_grams, 0) AS n_grams,
        p.mean_log_p,
-       round(p.mean_log_p / mn.m, 4) AS soft_weight
+       -- degenerate-corpus branch mirrors functions/softdedup.py:
+       -- min 0.0 (single bucket) or NULL (no grams at all) -> weight
+       -- 1.0 where mean_log_p is defined, NULL where it is not
+       CASE WHEN mn.m IS NULL OR mn.m = 0.0
+            THEN CASE WHEN p.mean_log_p IS NOT NULL THEN 1.0 END
+            ELSE round(p.mean_log_p / mn.m, 4) END AS soft_weight
 FROM documents d LEFT JOIN perdoc p USING (doc_id) CROSS JOIN mn
 """
 

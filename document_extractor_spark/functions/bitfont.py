@@ -133,6 +133,11 @@ def render_page_bitmap(text: str | None, width: int = 80,
     md5(noise_seed)-derived positions (deterministic scanner dirt —
     <= 2 px stays below the OCR-B rejection threshold by the font's
     5 px minimum glyph distance)."""
+    if noise_px > 7:
+        # one md5 digest yields byte pairs for at most 7 flips (bytes
+        # 2..15); more would index past it — and >2 flips already
+        # exceeds every OCR threshold this fixture knob exists for
+        raise ValueError("noise_px must be <= 7")
     lines = wrap_content(normalize_content(text), width)
     page = render_bitmap(lines)
     ncols = max((len(ln) for ln in lines), default=0)

@@ -120,7 +120,10 @@ def with_bloom_flag(batch: DataFrame, words: DataFrame,
             F.col(f"_bits{i}").isNull(), F.lit(0)
         ).otherwise(F.expr(
             f"CAST(shiftright(_bits{i}, _b{i}) & 1 AS INT)")))
-    out = out.withColumn(flag_col, F.least(*presents))
+    # F.least needs >= 2 columns; k=1 (allowed by _check_params) is
+    # just the single probe
+    out = out.withColumn(
+        flag_col, presents[0] if k == 1 else F.least(*presents))
     drop = ["_bp"] + [c for i in range(k)
                       for c in (f"_w{i}", f"_b{i}", f"_bits{i}")]
     return out.drop(*drop)

@@ -116,10 +116,13 @@ def _join_lines(text: str, ncols: int) -> str:
     return "".join(lines).rstrip(" ")
 
 
-def ocr_bitmap_strict(page: np.ndarray) -> str | None:
+def ocr_bitmap_strict(page: np.ndarray,
+                      cells: np.ndarray | None = None) -> str | None:
     """OCR-A on a grayscale raster: upright, every cell an exact
-    glyph — None on any ambiguity (off-grid page, inexact cell)."""
-    cells = _cells(page)
+    glyph — None on any ambiguity (off-grid page, inexact cell).
+    `cells` lets a caller reuse an existing segmentation."""
+    if cells is None:
+        cells = _cells(page)
     if cells is None:
         return None
     text, n_exact, _ = _decode_cells(cells)
@@ -128,18 +131,26 @@ def ocr_bitmap_strict(page: np.ndarray) -> str | None:
     return _join_lines(text, (page.shape[1] - 1) // CELL_W)
 
 
-def ocr_bitmap_best(page: np.ndarray) -> tuple[str | None, bool]:
+def ocr_bitmap_best(
+    page: np.ndarray,
+    cells: np.ndarray | None = None,
+    upright: tuple[str, int, int] | None = None,
+) -> tuple[str | None, bool]:
     """OCR-B on a grayscale raster: decode 0/180 degrees, keep the
     orientation with the most cells within MAX_HAMMING (ties prefer
     upright). Returns (text, all_cells_placed); (None, False) for an
-    off-grid page."""
-    cells = _cells(page)
+    off-grid page. `cells`/`upright` let a caller reuse the
+    segmentation and the upright _decode_cells result the cascade
+    already computed for the strict pass."""
+    if cells is None:
+        cells = _cells(page)
     if cells is None:
         return None, False
     ncols = (page.shape[1] - 1) // CELL_W
     candidates = []
-    for rot, cs in ((0, cells), (180, _cells(np.rot90(page, 2).copy()))):
-        txt, _, n_within = _decode_cells(cs)
+    for rot, cs, pre in ((0, cells, upright),
+                         (180, _cells(np.rot90(page, 2).copy()), None)):
+        txt, _, n_within = pre if pre is not None else _decode_cells(cs)
         score = n_within / len(cs) if len(cs) else 1.0
         candidates.append((score, -rot, txt, n_within, len(cs)))
     score, _negrot, txt, n_within, n = max(candidates)
@@ -149,7 +160,13 @@ def ocr_bitmap_best(page: np.ndarray) -> tuple[str | None, bool]:
 def ocr_page(payload: bytes | None) -> tuple[str | None, str, str]:
     """(text, method, status) for one scan PNG: OCR-A strict upright
     pass, then OCR-B best-of-rotations. status ERROR when even B
-    cannot place every cell."""
+    cannot place every cell. The page is segmented once and the
+    upright decode computed once; A and B share both.
+
+    Total over bytes: a color/alpha PNG (3-4 channels, or gray+alpha)
+    is not a scan page — it decodes to w*h*channels samples, which is
+    reported as ERROR rather than crashing the Arrow kernel on a
+    bad reshape."""
     from .multimodal import _png_pixel_values, _png_dims
 
     if payload is None:
@@ -158,13 +175,18 @@ def ocr_page(payload: bytes | None) -> tuple[str | None, str, str]:
     if vals is None:
         return None, "none", "ERROR"
     w, h = _png_dims(payload)
-    page = vals.astype(np.uint8).reshape(h, w)
-    if _cells(page) is None:
+    if w is None or h is None or len(vals) != w * h:
         return None, "none", "ERROR"
-    text = ocr_bitmap_strict(page)
-    if text is not None:
-        return text, "ocr_a", "OK"
-    text, placed = ocr_bitmap_best(page)
+    page = vals.astype(np.uint8).reshape(h, w)
+    cells = _cells(page)
+    if cells is None:
+        return None, "none", "ERROR"
+    decoded = _decode_cells(cells)
+    text, n_exact, _ = decoded
+    if n_exact == len(cells):
+        return (_join_lines(text, (page.shape[1] - 1) // CELL_W),
+                "ocr_a", "OK")
+    text, placed = ocr_bitmap_best(page, cells=cells, upright=decoded)
     return text, "ocr_b", "OK" if placed else "ERROR"
 
 

@@ -174,4 +174,10 @@ def semdedup(docs: DataFrame, key_col: str = "doc_id",
     if checkpoint_result:
         out = out.localCheckpoint(eager=True)
         emb.unpersist(blocking=False)
+    else:
+        # caller opted out of the checkpoint: the returned lineage
+        # still references emb, so hand the release to a best-effort
+        # hook rather than caching it forever (CLAUDE.md persist
+        # lifecycle); recompute-on-eviction is correct, just slower
+        emb.unpersist(blocking=False)
     return out

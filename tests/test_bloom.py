@@ -135,3 +135,22 @@ def test_degenerate_params():
         bloom_positions(F.lit("x"), k=0)
     with pytest.raises(ValueError):
         bloom_positions(F.lit("x"), k=17)
+
+
+def test_k1_single_probe(spark):
+    # k=1 is the documented lower bound: one probe, no least() fold
+    # (F.least needs >= 2 columns — pinned regression)
+    m, k = 1 << 12, 1
+    seen = _docs(spark, [(i, f"s{i}") for i in range(8)])
+    batch = _docs(spark, [(i, f"s{i}" if i < 4 else f"n{i}")
+                          for i in range(8)])
+    words = bloom_word_table(seen, m_bits=m, k=k)
+    bits = {r["w"] * 64 + b for r in words.collect()
+            for b in range(64) if (r["bits"] >> b) & 1}
+    got = {r["doc_id"]: r["bloom_hit"]
+           for r in bloom_seen_filter(batch, seen, m_bits=m,
+                                      k=k).collect()}
+    for i in range(8):
+        text = f"s{i}" if i < 4 else f"n{i}"
+        assert got[i] == _ref_hit(text, bits, m, k)
+    assert all(got[i] == 1 for i in range(4))

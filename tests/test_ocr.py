@@ -120,3 +120,48 @@ def test_ocr_kernel_batch(spark):
     assert got[1] == ("one", "ocr_a", "OK")
     assert got[2] == ("two", "ocr_b", "OK")
     assert got[3] == (None, "none", "ERROR")
+
+
+def test_color_png_is_error_not_crash():
+    # sniff routes ANY png to the img branch; a multi-channel (RGB)
+    # payload decodes to w*h*3 samples — must report ERROR, never
+    # die on the (h, w) reshape inside the Arrow kernel
+    from document_extractor_spark.operators.multimodal import (
+        build_png_full)
+
+    assert ocr_page(build_png_full(6, 8)) == (None, "none", "ERROR")
+
+
+def test_noise_px_bound():
+    from document_extractor_spark.functions.bitfont import (
+        render_page_bitmap)
+
+    with pytest.raises(ValueError):
+        render_page_bitmap("x", noise_seed="s", noise_px=8)
+    # 7 is the last digest-addressable flip count
+    render_page_bitmap("x", noise_seed="s", noise_px=7)
+
+
+def test_cell_reuse_equivalence():
+    # ocr_page's shared segmentation/upright-decode must match the
+    # standalone strict/best passes on every cascade outcome
+    from document_extractor_spark.functions.bitfont import (
+        render_page_bitmap)
+    from document_extractor_spark.operators.ocr import (
+        ocr_bitmap_best, ocr_bitmap_strict)
+
+    for kw in ({}, {"rotate": True},
+               {"noise_seed": "s", "noise_px": 2},
+               {"noise_seed": "s", "noise_px": 3}):
+        page = render_page_bitmap("reuse equivalence text", **kw)
+        strict = ocr_bitmap_strict(page)
+        best = ocr_bitmap_best(page)
+        from document_extractor_spark.functions.bitfont import (
+            encode_png_gray)
+        text, method, status = ocr_page(encode_png_gray(page))
+        if strict is not None:
+            assert (text, method, status) == (strict, "ocr_a", "OK")
+        else:
+            assert method == "ocr_b"
+            assert text == best[0]
+            assert status == ("OK" if best[1] else "ERROR")

@@ -69,3 +69,31 @@ def test_weights_in_unit_interval(spark):
     for r in softdedup_weights(df).collect():
         assert 0.0 < r["soft_weight"] <= 1.0
         assert r["mean_log_p"] <= 0.0
+
+
+def test_degenerate_single_bucket_twin_parity(spark):
+    # every bigram in ONE bucket -> p=1 -> mean_log_p=0.0 -> min_log
+    # 0.0: the Spark side emits weight 1.0 where defined; the DuckDB
+    # twin must take the SAME degenerate branch (pinned: the branch
+    # was originally Spark-only and the twins diverged via 0.0/0.0)
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    rows = [(1, "a a a"), (2, "a a"), (3, "")]
+    got = {r["doc_id"]: (r["mean_log_p"], r["soft_weight"])
+           for r in softdedup_weights(_docs(spark, rows)).collect()}
+    assert got[1] == (0.0, 1.0) and got[2] == (0.0, 1.0)
+    assert got[3] == (None, None)
+
+    con = duckdb.connect()
+    con.register("documents",
+                 pd.DataFrame(rows, columns=["doc_id", "text"]))
+    odf = con.execute(entry.oracle_sql()["softdedup_weights"]).fetchdf()
+    oracle = {
+        int(r.doc_id): (
+            None if pd.isna(r.mean_log_p) else float(r.mean_log_p),
+            None if pd.isna(r.soft_weight) else float(r.soft_weight))
+        for r in odf.itertuples()}
+    assert oracle == got
