@@ -4487,6 +4487,118 @@ FROM documents
 """
 
 
+# ===========================================================================
+# BM25 ranked retrieval (round 5)
+
+_BM25_TERMS = ["vector", "stream", "merge", "customer"]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-20 retrieval for a fixed 4-term query. Rational
+    RSJ idf (no libm log — rank-equivalent per term, documented
+    engine variant), k1=6/5 b=3/4 folded into one int64-over-int64
+    fraction per term so every double op (4 divisions + 3 fixed-order
+    adds) is identical cross-engine. Stats pass = one 1-row
+    aggregate; score pass = projection + TakeOrdered top-k (no
+    corpus shuffle, no explode)."""
+    from document_extractor_spark.operators.bm25 import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=20)
+
+
+def _bm25_sql_term(i: int, term: str) -> str:
+    tf = f"len(list_filter(k.ts, x -> x = '{term}'))"
+    num = f"(2 * s.n - 2 * s.df{i} + 1) * 22 * s.t * {tf}"
+    den = (f"(2 * s.df{i} + 1) * (10 * {tf} * s.t + 3 * s.t"
+           f" + 9 * s.n * len(k.ts))")
+    return f"(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE))"
+
+
+_ORACLE_BM25 = """
+WITH toks AS (
+  SELECT doc_id,
+         coalesce(list_filter(string_split_regex(lower(text),
+                  '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> ''), []) AS ts
+  FROM documents),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(sum(len(ts)), 0) AS BIGINT) AS t,
+         {dfs}
+  FROM toks),
+scored AS (
+  SELECT k.doc_id, {score} AS bm25
+  FROM toks k CROSS JOIN stats s),
+ranked AS (
+  SELECT doc_id, bm25,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+  FROM scored WHERE bm25 > 0.0)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, round(bm25, 6) AS bm25
+FROM ranked WHERE rank <= 20
+""".format(
+    dfs=",\n         ".join(
+        f"CAST(coalesce(sum(CASE WHEN list_contains(ts, '{t}') "
+        f"THEN 1 ELSE 0 END), 0) AS BIGINT) AS df{i}"
+        for i, t in enumerate(_BM25_TERMS)),
+    score=" + ".join(
+        _bm25_sql_term(i, t) for i, t in enumerate(_BM25_TERMS)),
+)
+
+
+def q_quality_keeper_dedup(spark, sf_dir):
+    """Near-dup dedup with the QUALITY-keeper policy: each transitive
+    cluster keeps its highest-quality member (tie -> smallest id)
+    instead of the smallest id — the policy production dedup wants
+    when a clean original and a boilerplate mirror collide. Same
+    deterministic edge graph as dedup_clusters (shared closure
+    oracle); keeper layer = one component-keyed min-of-struct agg +
+    a same-key join (no per-cluster sort)."""
+    from document_extractor_spark.operators.components import (
+        dedup_decision_keep_best)
+
+    d = _docs(spark, sf_dir).withColumn(
+        "q", TS.quality_score(F.col("text")))
+    chain = d.filter((F.col("doc_id") % 10).isin(0, 1, 2)).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1).alias("id_b"))
+    fuse = d.filter(F.col("doc_id") % 23 == 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 17).alias("id_b"))
+    pairs = chain.unionByName(fuse)
+    out = dedup_decision_keep_best(d, pairs, quality_col="q")
+    return out.select(
+        "doc_id", F.col("component").cast("long").alias("component"),
+        "q", "is_keeper")
+
+
+_ORACLE_QUALITY_KEEPER = f"""
+WITH RECURSIVE
+e0 AS (
+  SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+  WHERE doc_id % 10 IN (0, 1, 2)
+  UNION ALL
+  SELECT doc_id AS a, doc_id + 17 AS b FROM documents
+  WHERE doc_id % 23 = 0),
+e AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+reach(src, dst) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+comp AS (SELECT src AS node, min(dst) AS component
+         FROM reach GROUP BY src),
+lab AS (
+  SELECT d.doc_id,
+         CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
+         {_SQL_QUALITY} AS q
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+ranked AS (
+  SELECT doc_id, component, q,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY q DESC, doc_id ASC) AS rn
+  FROM lab)
+SELECT doc_id, component, q, (rn = 1) AS is_keeper FROM ranked
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness gate checks the FIRST
     # 50 entries.  Round-3 additions (never driver-checked in r3) lead,
@@ -4516,6 +4628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_best_of_rotations": q_ocr_best_of_rotations,
         "softdedup_weights": q_softdedup,
         "wet_export": q_wet_export,
+        "bm25_topk": q_bm25_topk,
+        "quality_keeper_dedup": q_quality_keeper_dedup,
         # changed-module rotations (policy: any query whose
         # implementing code changed since its last driver-green row
         # re-enters the window): ccnet_buckets was de-skewed this
@@ -4727,4 +4841,6 @@ def oracle_sql() -> dict[str, str]:
         "ocr_best_of_rotations": _ORACLE_OCR_ROTATIONS,
         "softdedup_weights": _ORACLE_SOFTDEDUP,
         "wet_export": _ORACLE_WET,
+        "bm25_topk": _ORACLE_BM25,
+        "quality_keeper_dedup": _ORACLE_QUALITY_KEEPER,
     }

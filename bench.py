@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "ocr_best_of_rotations",
     "softdedup_weights",
     "wet_export",
+    "bm25_topk",
+    "quality_keeper_dedup",
 ]
 
 

@@ -143,6 +143,48 @@ def connected_components(edges: DataFrame, a_col: str = "a",
             .localCheckpoint(eager=True))
 
 
+def dedup_decision_keep_best(docs: DataFrame, pairs: DataFrame,
+                             quality_col: str = "q",
+                             id_col: str = "doc_id",
+                             pair_a: str = "id_a", pair_b: str = "id_b"
+                             ) -> DataFrame:
+    """(id, component, q, is_keeper): transitive near-dup closure
+    with a QUALITY keeper policy — each cluster's survivor is its
+    highest-`quality_col` document (tie -> smallest id), not the
+    smallest id. This is what production dedup actually wants: when
+    a boilerplate-ridden mirror and the clean original collide, keep
+    the clean one regardless of which crawled first.
+
+    Scale shape: closure as in dedup_decision, then ONE
+    component-keyed aggregation (argmax via min-of-struct — a single
+    map-side-combinable agg, no per-cluster window sort) and one join
+    back on the same component key. Cluster count <= doc count, so
+    both stages shard uniformly; a pathological mega-cluster costs
+    one hot aggregation key whose state is a single struct, not a
+    sort of its members.
+
+    Determinism: struct ordering on (-q, id) — q is IEEE-negated
+    (exact) so min(struct) == (max q, then min id); q values are the
+    engine's exactness-pinned quality scores, bit-identical to the
+    oracle's, so keeper choice is reproducible cross-engine.
+    """
+    comp = connected_components(pairs, pair_a, pair_b)
+    labeled = (
+        docs.select(F.col(id_col).alias("node"), F.col(quality_col))
+        .join(comp, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("comp"), F.col("node")).alias("component"),
+            F.col(quality_col))
+    )
+    best = labeled.groupBy("component").agg(
+        F.min(F.struct((-F.col(quality_col)).alias("nq"),
+                       F.col(id_col).alias("kid"))).alias("b"))
+    return (labeled.join(best, "component")
+            .withColumn("is_keeper", F.col(id_col) == F.col("b.kid"))
+            .drop("b"))
+
+
 def dedup_decision(docs: DataFrame, pairs: DataFrame,
                    id_col: str = "doc_id",
                    pair_a: str = "id_a", pair_b: str = "id_b"

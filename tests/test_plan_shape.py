@@ -201,6 +201,13 @@ def test_round3_operator_plan_budgets(spark):
         # pure JVM string expressions; the writer adds the one shard
         # shuffle, the plan itself is shuffle-free
         "wet_export": (0, 0),
+        # stats pass collects 1 row at build; returned plan is a
+        # projection + TakeOrdered (per-partition heap, no shuffle)
+        "bm25_topk": (0, 0),
+        # closure is a checkpoint scan; 6 = docs⋈comp (2) +
+        # groupBy(component) argmax (1) + labeled⋈best (2) + AQE
+        # re-split — every key uniform (node / component)
+        "quality_keeper_dedup": (6, 0),
         # checkpoint scan (live plan budgeted separately, see below)
         "heavy_hitters": (0, 0),
         # iterations run at build time over dim tables; the returned
