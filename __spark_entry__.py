@@ -4599,25 +4599,88 @@ SELECT doc_id, component, q, (rn = 1) AS is_keeper FROM ranked
 """
 
 
+def q_csv_index_export(spark, sf_dir):
+    """S5/R7 CSV index sink (reference output_writer CSV row per doc,
+    common.py:140-155, text cleaned per common_pdf.sh:37 clean_text):
+    the rendered QUOTE_ALL CSV line per extracted page row over the
+    full pipeline output, checked cell-for-cell against the
+    generator's non-circular golden table. Zero shuffles beyond the
+    pipeline's own; all string work is JVM `replace`/`concat`."""
+    from document_extractor_spark.artifacts import csv_index_lines
+
+    res = _run_entry_extraction(spark)
+    ok = res.extracted.filter(F.col("status") == "OK")
+    return csv_index_lines(ok).select(
+        "url", F.col("page").cast("long").alias("page"), "csv_line")
+
+
+_ORACLE_CSV_INDEX = f"""
+SELECT url,
+       TRY_CAST(page AS BIGINT) AS page,
+       '"' || regexp_extract(url, '([^/]+)$', 1) || '","'
+           || coalesce(CAST(TRY_CAST(page AS BIGINT) AS VARCHAR), '')
+           || '","'
+           || replace(replace(replace(coalesce(extracted_text, ''),
+                                      chr(13), ''),
+                              chr(10), '\\n'),
+                      '"', '""')
+           || '","' || method || '","'
+           || CASE WHEN used_fallback THEN 'True' ELSE 'False' END
+           || '","'
+           || printf('%.4f', reliability)
+           || '"' AS csv_line
+FROM '{_ENTRY_CORPUS_DIR}/expected.parquet'
+"""
+
+
+def q_single_file_naming(spark, sf_dir):
+    """S4 single-file-run naming (reference process_run.py:111-122):
+    a run (url host — the batch analog of one watched drop dir) with
+    exactly one processable top-level file names its output artifact
+    after that file's stem, else after the run. Processable is decided
+    by the ENGINE's magic-byte sniff; the oracle derives it from the
+    generator's fixture classes (non-circular) — the row only matches
+    when sniff routes every payload the way its class says."""
+    from document_extractor_spark.artifacts import single_file_run_names
+
+    cdir = _ensure_entry_corpus()
+    pages = spark.read.parquet(f"{cdir}/pages.parquet")
+    return single_file_run_names(pages)
+
+
+_ORACLE_SINGLE_FILE = f"""
+WITH p AS (
+  SELECT url,
+         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS run
+  FROM '{_ENTRY_CORPUS_DIR}/pages.parquet'
+  WHERE split_part(url, '/', 4) NOT IN ('noise', 'unsupported')),
+a AS (
+  SELECT run, count(*) AS n_processable,
+         min(regexp_replace(regexp_extract(url, '([^/]+)$', 1),
+                            '\\.[A-Za-z0-9]{{1,5}}$', '')) AS only_stem
+  FROM p GROUP BY run)
+SELECT run, n_processable,
+       CASE WHEN n_processable = 1 THEN only_stem ELSE run END
+           AS output_name
+FROM a
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness gate checks the FIRST
     # 50 entries.  Round-3 additions (never driver-checked in r3) lead,
     # round-4 additions follow, and long-stable round-1/2 queries that
     # already have green CORRECTNESS_r03 rows are rotated to the back.
     return {
-        "token_budget_sample": q_token_budget_sample,
-        "blocklist_filter": q_blocklist_filter,
-        "domain_reputation_filter": q_domain_reputation_filter,
+        # --- round-5 additions, never driver-checked ---
+        "csv_index_export": q_csv_index_export,
+        "single_file_naming": q_single_file_naming,
+        # changed-module re-entries: warc_mini (folded headers),
+        # artifacts (CSV/WET/S4 additions), charlm (r5 touch)
         "warc_ingest": q_warc_ingest,
         "jsonl_shard_plan": q_jsonl_shard_plan,
         "charlm_cross_entropy": q_charlm_cross_entropy,
-        "temperature_mix_sample": q_temperature_mix,
-        "nb_quality_classifier": q_nb_quality_classifier,
-        "domain_link_graph": q_domain_link_graph,
-        "link_pagerank": q_link_pagerank,
-        "anchor_text_index": q_anchor_text_index,
         "crawl_to_corpus": q_crawl_to_corpus,
-        "robots_filter": q_robots_filter,
         # --- round-5 additions ---
         "dsir_select": q_dsir_select,
         "semdedup": q_semdedup,
@@ -4665,28 +4728,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
-        # rows-only (no SQL twin, independent pytest; justification in
-        # COVERAGE.md)
-        "ivf_ann_topk": q_ivf_ann_topk,
-        # --- round-4 additions (slots 37-50) ---
+        # changed-module re-entries filling the window to 50:
+        # extract_branches (low-disk guard + r5 OCR/salvage work) ->
+        # office_salvage, cascade_union; sniff (img routing) ->
+        # route_dispatch; html_extract (fast-tokenizer micro-opts) ->
+        # extract_html_roundtrip; pipeline (OCR cascade routing) ->
+        # coverage_summary, granularity_switch; multimodal (TIFF) ->
+        # media_features; textnorm (csv_safe_text addition) ->
+        # unicode_nfc
         "minhash_dedup_pipeline": q_minhash_dedup_pipeline,
         "office_salvage": q_office_salvage,
         "media_features": q_media_features,
-        "eval_holdout": q_eval_holdout,
         "unicode_nfc": q_unicode_nfc,
+        "cascade_union": q_cascade_union,
+        "route_dispatch": q_route_dispatch,
+        "extract_html_roundtrip": q_extract_html_roundtrip,
+        "coverage_summary": q_coverage_summary,
+        "granularity_switch": q_granularity_switch,
+        # --- rotated out this round (green r4 driver rows, modules
+        # unchanged since): sampling/linkgraph/robots/nbquality/
+        # similarity families ---
+        "token_budget_sample": q_token_budget_sample,
+        "blocklist_filter": q_blocklist_filter,
+        "domain_reputation_filter": q_domain_reputation_filter,
+        "temperature_mix_sample": q_temperature_mix,
+        "nb_quality_classifier": q_nb_quality_classifier,
+        "domain_link_graph": q_domain_link_graph,
+        "link_pagerank": q_link_pagerank,
+        "anchor_text_index": q_anchor_text_index,
+        "robots_filter": q_robots_filter,
+        # rows-only (no SQL twin, independent pytest; justification in
+        # COVERAGE.md)
+        "ivf_ann_topk": q_ivf_ann_topk,
+        "eval_holdout": q_eval_holdout,
         "c4_filters": q_c4_filters,
         # --- previously driver-checked (green CORRECTNESS_r03 rows) ---
-        "extract_html_roundtrip": q_extract_html_roundtrip,
         "pricing_summary": q_pricing_summary,
         "top_revenue_nations": q_top_revenue_nations,
-        "route_dispatch": q_route_dispatch,
         "reliability_by_lang": q_reliability_by_lang,
         "median_gate": q_median_gate,
         "max_score_fallback": q_max_score_fallback,
-        "coverage_summary": q_coverage_summary,
-        "granularity_switch": q_granularity_switch,
         "chunk_pack_cumsum": q_chunk_pack_cumsum,
-        "cascade_union": q_cascade_union,
         "explode_sentences": q_explode_sentences,
         "best_doc_per_source": q_best_doc_per_source,
         "sessionize_events": q_sessionize_events,
@@ -4843,4 +4925,6 @@ def oracle_sql() -> dict[str, str]:
         "wet_export": _ORACLE_WET,
         "bm25_topk": _ORACLE_BM25,
         "quality_keeper_dedup": _ORACLE_QUALITY_KEEPER,
+        "csv_index_export": _ORACLE_CSV_INDEX,
+        "single_file_naming": _ORACLE_SINGLE_FILE,
     }

@@ -301,6 +301,126 @@ def write_jsonl_shards(
 
 
 # ---------------------------------------------------------------------------
+# S5/R7 (r5): the reference's CSV index sink, byte-faithful.  One CSV
+# row per extracted page row with the reference writer's exact column
+# set and QUOTE_ALL quoting (common.py:140-155: ["filename", "page",
+# "text", "method", "used_ocr", "reliability"], csv.QUOTE_ALL), text
+# cleaned by the R7 clean_text projection (common_pdf.sh:37).  Built
+# entirely from JVM string expressions — zero shuffles until the
+# writer's one repartition.
+# ---------------------------------------------------------------------------
+CSV_INDEX_HEADER = '"filename","page","text","method","used_ocr","reliability"'
+
+
+def csv_index_lines(extracted: DataFrame) -> DataFrame:
+    """`(url, run_id, page, csv_line)` — the rendered QUOTE_ALL CSV
+    index row per extracted page row.
+
+    Cell rendering pinned to the reference writer's Python csv module
+    semantics (common.py:147 csv.QUOTE_ALL):
+    - filename: last url path segment (the reference uses the file
+      basename, process_run.py naming);
+    - page: empty cell for a per-doc row (csv.writer renders None as
+      ''), else the integer;
+    - text: csv_safe_text (R7) — CR stripped, LF -> literal '\\n',
+      '"' doubled — so the cell is newline-free like the reference's
+      shell-cleaned rows;
+    - used_ocr: 'True'/'False' (str(bool)); our used_fallback is the
+      engine's used_ocr analog (SURVEY A-columns);
+    - reliability: 4dp fixed-point via `format_number` — Python
+      str(float) shortest-repr is engine-unportable, and
+      round()-based 4dp formatting diverges between engines on the
+      exact binary expansion (Spark HALF_UP vs DuckDB's scaled
+      std::round saw 0.8403 vs 0.8404 on 0.84034999…).
+      format_number is Java DecimalFormat HALF_EVEN on the exact
+      expansion, which equals C printf's correctly-rounded %.4f —
+      including on representable dyadic ties (0.03125 -> 0.0312 both
+      sides; pinned in tests).
+    """
+    from .functions.textnorm import csv_safe_text
+
+    filename = F.element_at(F.split(F.col("url"), "/"), -1)
+    page_s = F.when(
+        F.col("page").isNotNull(),
+        F.col("page").cast("long").cast("string")).otherwise(F.lit(""))
+    rel_s = F.format_number(F.col("reliability"), 4)
+    used = F.when(F.col("used_fallback"), F.lit("True")).otherwise(
+        F.lit("False"))
+    text = csv_safe_text(F.coalesce(F.col("text"), F.lit("")))
+
+    def _q(c):
+        return F.concat(F.lit('"'), c, F.lit('"'))
+
+    line = F.concat_ws(",", _q(filename), _q(page_s), _q(text),
+                       _q(F.col("method")), _q(used), _q(rel_s))
+    return extracted.select(
+        "url", "run_id", "page", line.alias("csv_line"))
+
+
+def write_csv_index(extracted: DataFrame, out_dir: str) -> None:
+    """Write `out_dir/run_id=X/part-*.txt` — one CSV index stream per
+    run with the reference's header row first (common.py:149-152) and
+    CRLF line endings (csv module default). One shuffle
+    (`repartition(run_id)`), rows in (url, page) order so the bytes
+    are deterministic regardless of input partitioning."""
+    ok = extracted.filter(F.col("status") == "OK")
+    lines = csv_index_lines(ok).select(
+        "run_id",
+        F.lit(1).alias("ord"), "url",
+        F.coalesce(F.col("page").cast("long"), F.lit(-1)).alias("pg"),
+        F.col("csv_line"))
+    headers = (lines.select("run_id").distinct()
+               .select("run_id", F.lit(0).alias("ord"),
+                       F.lit("").alias("url"),
+                       F.lit(-1).cast("long").alias("pg"),
+                       F.lit(CSV_INDEX_HEADER).alias("csv_line")))
+    (headers.unionByName(lines)
+     .repartition("run_id")
+     .sortWithinPartitions("run_id", "ord", "url", "pg")
+     # the text sink appends '\n'; pre-append '\r' for csv CRLF parity
+     .select("run_id", F.concat(F.col("csv_line"), F.lit("\r"))
+             .alias("value"))
+     .write.mode("overwrite").partitionBy("run_id").text(out_dir))
+
+
+# ---------------------------------------------------------------------------
+# S4 (r5): single-file-run naming (reference process_run.py:111-122
+# `_is_single_file_run`): a run whose top-level listing holds exactly
+# one *processable* file names its output artifact after that file's
+# stem; otherwise the run id names it.  Runs here are url hosts (the
+# batch analog of a watched drop directory); processable is decided
+# by the engine's own magic-byte sniff — the same routing the
+# extraction pipeline uses — not by filename extension.
+# ---------------------------------------------------------------------------
+def single_file_run_names(pages: DataFrame,
+                          run_expr: F.Column | None = None) -> DataFrame:
+    """`(run, n_processable, output_name)` per run.
+
+    Scale: one groupBy on the run key (map-side partial agg of
+    counter rows) — no corpus sort, no window. The stem is carried
+    through the aggregation as min(stem), which IS the stem whenever
+    n_processable == 1 (the only case it is read)."""
+    from .functions.sniff import FMT_NOISE, FMT_UNSUPPORTED, sniff_format
+
+    run = (run_expr if run_expr is not None
+           else F.regexp_extract(F.col("url"), "^[a-z]+://([^/]+)", 1))
+    fmt = sniff_format(F.col("html"), F.col("text"))
+    proc = (pages
+            .select(run.alias("run"), F.col("url"), fmt.alias("fmt"))
+            .filter(~F.col("fmt").isin(FMT_NOISE, FMT_UNSUPPORTED)))
+    stem = F.regexp_replace(
+        F.element_at(F.split(F.col("url"), "/"), -1),
+        r"\.[A-Za-z0-9]{1,5}$", "")
+    agg = proc.groupBy("run").agg(
+        F.count("*").alias("n_processable"),
+        F.min(stem).alias("_only_stem"))
+    return agg.select(
+        "run", "n_processable",
+        F.when(F.col("n_processable") == 1, F.col("_only_stem"))
+        .otherwise(F.col("run")).alias("output_name"))
+
+
+# ---------------------------------------------------------------------------
 # S14b (r5): WET export — Common Crawl's extracted-text distribution
 # format (ISO 28500 `conversion` records, one per document). The
 # record bytes are built ENTIRELY from JVM string expressions, so the

@@ -93,6 +93,19 @@ class PipelineConfig:
     bigdoc_page_limit: int = field(
         default_factory=lambda: _env_int("BIGDOC_PAGE_LIMIT", 500))
 
+    # --- R6 low-disk guardrail (reference common.py:123-132
+    # has_workdir_space; pass_pdf.py:168-173 fails the file with
+    # LOW_DISK before OCR when the workdir has <1 GiB free). The
+    # Spark analog: before a doc enters an OCR pass, the kernel
+    # checks executor-local free space and fails the doc to
+    # quarantine (reason low_disk) instead of starting the expensive
+    # branch. `workdir_free_bytes` injects a measured value for
+    # deterministic tests; None = measure tempfile.gettempdir() once
+    # per worker process (shutil.disk_usage, like the reference).
+    low_disk_min_bytes: int = field(
+        default_factory=lambda: _env_int("LOW_DISK_MIN_BYTES", 1 << 30))
+    workdir_free_bytes: int | None = None
+
     # --- gzip transport decode bound (R9): a high-ratio gzip bomb must
     # quarantine, not inflate fully in executor memory inside the Arrow
     # kernel. 64 MiB decompressed is ~30x the largest real crawl page.

@@ -51,6 +51,21 @@ def decode_detect(payload: bytes | None) -> tuple[str, str]:
 
 
 
+def csv_safe_text(text_col):
+    """R7 text-cleaning projection (reference common_pdf.sh:37
+    ``clean_text``): strip ``\\r``, escape newlines to the two-byte
+    literal ``\\n``, double every ``\"`` — the field is then safe to
+    embed in a QUOTE_ALL CSV cell. Pure JVM ``replace`` (literal, no
+    regex semantics), zero-shuffle projection; under parquet this
+    cleaning is unnecessary (binary-safe), it exists for the CSV
+    index sink's byte parity with the reference pipeline."""
+    from pyspark.sql import functions as F
+
+    c = F.replace(text_col, F.lit("\r"), F.lit(""))
+    c = F.replace(c, F.lit("\n"), F.lit("\\n"))
+    return F.replace(c, F.lit('"'), F.lit('""'))
+
+
 def nfc_normalize_col(text_col):
     """Arrow-batched Unicode NFC normalization (C4/CCNet-style text
     canonicalization slot): combining sequences composed so that

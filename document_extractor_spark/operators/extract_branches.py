@@ -55,6 +55,37 @@ _BRANCH_COLS = [
 ]
 
 
+_LOW_DISK_ERROR = "low_disk: workdir free below min before OCR"
+_FREE_BYTES_CACHE: int | None = None
+
+
+def _workdir_free_bytes() -> int:
+    """Executor-local free bytes, measured once per worker process
+    (reference common.py:123-132 shutil.disk_usage on WORK_DIR).
+    Permissive on error — a probe failure must never fail docs."""
+    global _FREE_BYTES_CACHE
+    if _FREE_BYTES_CACHE is None:
+        import shutil
+        import tempfile
+        try:
+            _FREE_BYTES_CACHE = shutil.disk_usage(
+                tempfile.gettempdir()).free
+        except Exception:
+            _FREE_BYTES_CACHE = 1 << 62
+    return _FREE_BYTES_CACHE
+
+
+def _has_workdir_space(cfg: PipelineConfig) -> bool:
+    """R6 guard: True when the OCR branch may run. The reference
+    fails the FILE before OCR when free < 1 GiB (pass_pdf.py:168-173,
+    exit 1 -> mandatory review); here the doc fails to quarantine
+    with reason `low_disk` and every cheap branch proceeds — one
+    straggling executor disk can't sink the whole job."""
+    free = (cfg.workdir_free_bytes if cfg.workdir_free_bytes is not None
+            else _workdir_free_bytes())
+    return free >= cfg.low_disk_min_bytes
+
+
 def _row(url, warc_ts, lang, fmt, method, status, used_fallback,
          per_page, n_pages, pages, spans, reliability, error="") -> dict:
     return {
@@ -97,6 +128,9 @@ def _img_core(url, warc_ts, lang, payload, cfg: PipelineConfig) -> dict:
     like the HTML lenient fallback does."""
     from .ocr import ocr_page
 
+    if not _has_workdir_space(cfg):  # R6: fail before OCR, not after
+        return _row(url, warc_ts, lang, "img", "none", "ERROR",
+                    False, False, 0, [], [], 0.0, _LOW_DISK_ERROR)
     text, method, status = ocr_page(
         bytes(payload) if payload is not None else None)
     if text is None:
@@ -134,6 +168,10 @@ def _pdf_core(url, warc_ts, lang, payload, cfg: PipelineConfig,
         # cascade (reference pass_pdf.py:112-255 TXT->OCR-A->OCR-B);
         # with no rasters the doc fails exactly as before
         if any(img is not None for img in doc.page_images):
+            if not _has_workdir_space(cfg):  # R6: fail before OCR
+                return _row(url, warc_ts, lang, "pdf", "pdf_text",
+                            "ERROR", False, per_page, n, [], [], 0.0,
+                            _LOW_DISK_ERROR)
             return _pdf_ocr_cascade(url, warc_ts, lang, doc, cfg)
         return _row(url, warc_ts, lang, "pdf", "pdf_text", "ERROR",
                     False, per_page, n, [], [], 0.0,

@@ -208,6 +208,11 @@ def test_round3_operator_plan_budgets(spark):
         # groupBy(component) argmax (1) + labeled⋈best (2) + AQE
         # re-split — every key uniform (node / component)
         "quality_keeper_dedup": (6, 0),
+        # r5: pipeline bucketing exchange + the ONE fused extraction
+        # kernel; the CSV render itself is pure JVM string work
+        "csv_index_export": (1, 1),
+        # r5: one groupBy on the run key (map-side combined counters)
+        "single_file_naming": (1, 0),
         # checkpoint scan (live plan budgeted separately, see below)
         "heavy_hitters": (0, 0),
         # iterations run at build time over dim tables; the returned
