@@ -1540,8 +1540,13 @@ def _run_entry_extraction(spark):
     pages = spark.read.parquet(f"{cdir}/pages.parquet")
     # bigdoc_page_limit=6 < the 8-page pdf_big fixtures, so big PDFs take
     # the per-page granularity path the golden table encodes (A7).
+    # workdir_free_bytes pinned: the R6 low-disk guard must not turn
+    # OCR fixtures into low_disk quarantines on a nearly-full gate
+    # host — expected.parquet encodes OCR success, so the gate's
+    # result has to be independent of the host's real /tmp.
     return run_extraction(
-        spark, pages, PipelineConfig(run_id="entry", bigdoc_page_limit=6))
+        spark, pages, PipelineConfig(run_id="entry", bigdoc_page_limit=6,
+                                     workdir_free_bytes=1 << 62))
 
 
 def q_extract_pipeline_full(spark, sf_dir):
@@ -4500,10 +4505,17 @@ def q_bm25_topk(spark, sf_dir):
     fraction per term so every double op (4 divisions + 3 fixed-order
     adds) is identical cross-engine. Stats pass = one 1-row
     aggregate; score pass = projection + TakeOrdered top-k (no
-    corpus shuffle, no explode)."""
+    corpus shuffle, no explode). The gate projects the score as
+    floor(bm25 * 1e6) — exact on the engines' identical doubles,
+    immune to the decimal round() tie divergence (Spark shortest-repr
+    HALF_UP vs DuckDB scaled std::round)."""
     from document_extractor_spark.operators.bm25 import bm25_topk
 
-    return bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=20)
+    out = bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=20)
+    return out.select(
+        "doc_id", "rank",
+        F.floor(F.col("bm25") * F.lit(1000000.0)).cast("long")
+        .alias("bm25_micro"))
 
 
 def _bm25_sql_term(i: int, term: str) -> str:
@@ -4532,7 +4544,8 @@ ranked AS (
   SELECT doc_id, bm25,
          row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
   FROM scored WHERE bm25 > 0.0)
-SELECT doc_id, CAST(rank AS BIGINT) AS rank, round(bm25, 6) AS bm25
+SELECT doc_id, CAST(rank AS BIGINT) AS rank,
+       CAST(floor(bm25 * 1000000.0) AS BIGINT) AS bm25_micro
 FROM ranked WHERE rank <= 20
 """.format(
     dfs=",\n         ".join(
@@ -4593,7 +4606,7 @@ lab AS (
 ranked AS (
   SELECT doc_id, component, q,
          row_number() OVER (PARTITION BY component
-                            ORDER BY q DESC, doc_id ASC) AS rn
+                            ORDER BY q DESC NULLS LAST, doc_id ASC) AS rn
   FROM lab)
 SELECT doc_id, component, q, (rn = 1) AS is_keeper FROM ranked
 """
@@ -4757,8 +4770,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": q_link_pagerank,
         "anchor_text_index": q_anchor_text_index,
         "robots_filter": q_robots_filter,
-        # rows-only (no SQL twin, independent pytest; justification in
-        # COVERAGE.md)
+        # (NB: the actual rows-only set — no SQL twin, independent
+        # pytest, justification in COVERAGE.md — is exactly
+        # approx_distinct_stats / cdc_chunks / lsh_ann_topk; the two
+        # below DO have twins)
         "ivf_ann_topk": q_ivf_ann_topk,
         "eval_holdout": q_eval_holdout,
         "c4_filters": q_c4_filters,

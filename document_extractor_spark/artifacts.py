@@ -351,8 +351,14 @@ def csv_index_lines(extracted: DataFrame) -> DataFrame:
     def _q(c):
         return F.concat(F.lit('"'), c, F.lit('"'))
 
-    line = F.concat_ws(",", _q(filename), _q(page_s), _q(text),
-                       _q(F.col("method")), _q(used), _q(rel_s))
+    # concat, not concat_ws: concat_ws silently DROPS a NULL cell,
+    # shifting the remaining columns into a malformed 5-cell line;
+    # concat propagates the NULL like the oracle's `||`, so a row
+    # with NULL method/reliability yields a NULL line (visible)
+    # rather than a corrupted one
+    line = F.concat(_q(filename), F.lit(","), _q(page_s), F.lit(","),
+                    _q(text), F.lit(","), _q(F.col("method")),
+                    F.lit(","), _q(used), F.lit(","), _q(rel_s))
     return extracted.select(
         "url", "run_id", "page", line.alias("csv_line"))
 

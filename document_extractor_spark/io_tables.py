@@ -265,6 +265,14 @@ def cleanup_run_dir(run_dir: str, input_root: str) -> dict:
     except Exception:
         return counters
 
+    # containment gate BEFORE the walk: junk unlink + empty-dir prune
+    # must also stay inside the input root, not just the final rmdir —
+    # a symlinked or mis-joined run_dir otherwise gets its whole tree
+    # swept (resolve() above already chased symlinks, so this compares
+    # physical paths)
+    if run_p != root_p and root_p not in run_p.parents:
+        return counters
+
     # junk files anywhere under the run dir (reference removes them
     # so an otherwise-empty dir can be rmdir'd)
     for base, _dirs, files in os.walk(run_p, topdown=False):

@@ -122,6 +122,13 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 20,
     # already-limited frame (k rows, single partition — bounded)
     from pyspark.sql import Window
     w = Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+    # raw double out: the score is a deterministic function of the
+    # integer lattice (identical num/den longs -> identical IEEE
+    # division and left-fold sum), so no decimal rounding is applied
+    # here — decimal ties under round() are engine-dependent (Spark
+    # shortest-repr HALF_UP vs DuckDB scaled std::round); the gated
+    # query projects floor(bm25 * 1e6) instead, which is exact on
+    # identical doubles
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("long")).select(
-        id_col, "rank", F.round("bm25", 6).alias("bm25"))
+        id_col, "rank", "bm25")

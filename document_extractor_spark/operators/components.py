@@ -177,8 +177,15 @@ def dedup_decision_keep_best(docs: DataFrame, pairs: DataFrame,
             F.coalesce(F.col("comp"), F.col("node")).alias("component"),
             F.col(quality_col))
     )
+    # NULL quality is pinned to -inf (NULLS-LAST semantics): struct
+    # min would otherwise sort a NULL nq FIRST and crown the NULL-q
+    # doc, while a SQL `ORDER BY q DESC` twin defaults NULLS LAST —
+    # the one corpus-dependent divergence in this operator. With the
+    # coalesce, an all-NULL cluster falls back to min-id (nq ties at
+    # +inf -> kid decides), matching `ORDER BY q DESC NULLS LAST, id`.
+    nq = -F.coalesce(F.col(quality_col), F.lit(float("-inf")))
     best = labeled.groupBy("component").agg(
-        F.min(F.struct((-F.col(quality_col)).alias("nq"),
+        F.min(F.struct(nq.alias("nq"),
                        F.col(id_col).alias("kid"))).alias("b"))
     return (labeled.join(best, "component")
             .withColumn("is_keeper", F.col(id_col) == F.col("b.kid"))

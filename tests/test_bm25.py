@@ -55,7 +55,9 @@ def test_scores_match_reference(spark):
     # doc 4 and doc 3 have no query terms -> excluded
     assert set(got) == {1, 2}
     for i, v in got.items():
-        assert abs(v - ref[i]) < 5e-7  # output rounded to 6dp
+        # raw double out; same int lattice + same IEEE fold order as
+        # the Fraction-exact reference -> bit-identical
+        assert v == ref[i]
     # ranking: doc 2 (3x stream + 1x vector) beats doc 1
     ranks = {r["doc_id"]: r["rank"] for r in out}
     assert ranks[2] == 1 and ranks[1] == 2

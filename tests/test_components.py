@@ -155,3 +155,23 @@ def test_equals_union_find_on_random_graphs(spark):
                .collect()}
         want = _unionfind(pairs)
         assert got == want, seed
+
+
+def test_keep_best_null_quality_loses(spark):
+    """NULLS-LAST pin: a NULL-quality member must never beat a scored
+    one (struct-min would otherwise sort NULL first), and an all-NULL
+    cluster falls back to the min-id keeper."""
+    from document_extractor_spark.operators.components import (
+        dedup_decision_keep_best)
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, None), (3, 0.9),      # cluster 1-2-3
+         (10, None), (11, None)],            # all-NULL cluster
+        "doc_id: long, q: double")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a: long, id_b: long")
+    out = {r["doc_id"]: r["is_keeper"]
+           for r in dedup_decision_keep_best(
+               docs, pairs, quality_col="q").collect()}
+    assert out == {1: False, 2: False, 3: True,   # 0.9 wins, not NULL
+                   10: True, 11: False}           # all-NULL -> min id

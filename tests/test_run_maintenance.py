@@ -214,3 +214,27 @@ def test_cleanup_run_dir_keeps_nonempty_and_guards_root(tmp_path):
     nested.mkdir(parents=True)
     got = cleanup_run_dir(str(nested), str(root))
     assert got["run_dir_removed"] is False and nested.exists()
+
+
+def test_cleanup_run_dir_refuses_outside_root(tmp_path):
+    """Containment gate: a run_dir outside the input root (mis-join or
+    symlink escape) must not be walked at all — no junk unlink, no
+    empty-dir prune."""
+    from document_extractor_spark.io_tables import cleanup_run_dir
+
+    root = tmp_path / "input"
+    outside = tmp_path / "elsewhere" / "runA"
+    (outside / "empty").mkdir(parents=True)
+    (outside / ".DS_Store").write_bytes(b"")
+    got = cleanup_run_dir(str(outside), str(root))
+    assert got == {"junk_removed": 0, "dirs_removed": 0,
+                   "run_dir_removed": False}
+    assert (outside / ".DS_Store").exists()
+    assert (outside / "empty").is_dir()
+
+    # symlink under the root resolving outside: also refused
+    root.mkdir()
+    link = root / "runL"
+    link.symlink_to(outside)
+    got = cleanup_run_dir(str(link), str(root))
+    assert got["junk_removed"] == 0 and (outside / ".DS_Store").exists()
