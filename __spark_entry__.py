@@ -4093,11 +4093,18 @@ def q_semdedup(spark, sf_dir):
     in-engine hashed embeddings, within-cluster cosine near-dup pairs
     by exact cross-multiplication (tau = 7/10), transitive closure ->
     keeper per semantic-duplicate group. Every stage bit-stable (see
-    operators/semdedup.py)."""
+    operators/semdedup.py).
+
+    k scales with the corpus (the paper's knob: cluster count grows
+    so cluster size stays ~constant at 125): the within-cluster pair
+    join is quadratic in cluster size, so pinning k would make this
+    O(n^2/k) at 100x the data. At the sf0.01 gate (500 docs) the
+    formula yields exactly the oracle's k=4."""
     from document_extractor_spark.operators.semdedup import semdedup
 
-    return semdedup(_docs(spark, sf_dir), dim=16, k=4, iters=2,
-                    tau=(7, 10))
+    docs = _docs(spark, sf_dir)
+    k = max(4, docs.count() // 125)
+    return semdedup(docs, dim=16, k=k, iters=2, tau=(7, 10))
 
 
 def _semdedup_oracle_sql(dim: int = 16, k: int = 4,

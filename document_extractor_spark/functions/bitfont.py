@@ -81,21 +81,45 @@ def wrap_content(content: str, width: int = 80) -> list[str]:
     return [content[i:i + width] for i in range(0, len(content), width)]
 
 
+_SPRITES: np.ndarray | None = None
+
+
+def _sprites() -> np.ndarray:
+    """(95, CELL_H, CELL_W) uint8 paper/ink cells for 0x20..0x7E —
+    the per-pixel glyph_rows loop run ONCE at first use; rendering
+    then just gathers whole cells (same bytes, ~30x fewer Python
+    ops per character)."""
+    global _SPRITES
+    if _SPRITES is None:
+        arr = np.full((95, CELL_H, CELL_W), 255, dtype=np.uint8)
+        for i, code in enumerate(range(0x20, 0x7F)):
+            for r, bits in enumerate(glyph_rows(chr(code))):
+                for c in range(GLYPH_W):
+                    if (bits >> (GLYPH_W - 1 - c)) & 1:
+                        arr[i, r, c] = 0
+        _SPRITES = arr
+    return _SPRITES
+
+
 def render_bitmap(lines: list[str]) -> np.ndarray:
     """uint8 page bitmap (255 = paper, 0 = ink)."""
     ncols = max((len(ln) for ln in lines), default=0)
     w, h = CELL_W * ncols + 1, CELL_H * len(lines) + 1
     page = np.full((h, w), 255, dtype=np.uint8)
+    sprites = _sprites()
     for li, ln in enumerate(lines):
+        if not ln:
+            continue
+        codes = np.array([ord(ch) for ch in ln], dtype=np.int64)
+        bad = (codes < 0x20) | (codes > 0x7E)
+        if bad.any():
+            code = int(codes[bad][0])
+            raise ValueError(f"unrenderable codepoint {code:#x}")
+        strip = (sprites[codes - 0x20]
+                 .transpose(1, 0, 2)
+                 .reshape(CELL_H, len(ln) * CELL_W))
         y0 = 1 + CELL_H * li
-        for gi, ch in enumerate(ln):
-            x0 = 1 + CELL_W * gi
-            for r, bits in enumerate(glyph_rows(ch)):
-                if not bits:
-                    continue
-                for c in range(GLYPH_W):
-                    if (bits >> (GLYPH_W - 1 - c)) & 1:
-                        page[y0 + r, x0 + c] = 0
+        page[y0:y0 + CELL_H, 1:1 + len(ln) * CELL_W] = strip
     return page
 
 

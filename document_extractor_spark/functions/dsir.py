@@ -14,29 +14,39 @@ then select the top-k documents by weight (the paper resamples via
 Gumbel-top-k; the deterministic top-k variant it ablates is the
 oracle-checkable one implemented here — no RNG, bit-stable).
 
-In-engine, from scratch, two passes sharing ONE corpus explode:
+In-engine, from scratch, two passes sharing ONE corpus featurization
+(the hashed feature ARRAY is materialized per doc BEFORE any explode
+— a select that mixes a generator with expensive expressions puts
+those expressions in the Project ABOVE Generate, re-evaluating them
+once per emitted feature instead of once per doc; measured 5x on
+this very operator):
 
-  pass 1  feature counts: explode hashed n-grams with the seed flag
-          -> groupBy(bucket): (ct, cr) target/raw counts in one
-          map-side-combined shuffle; cardinality is bounded by B, so
-          the model is a dim table collected to the driver (the
+  pass 1  feature counts: explode the cached per-doc arrays with the
+          seed flag -> groupBy(bucket): (ct, cr) target/raw counts in
+          one map-side-combined shuffle; cardinality is bounded by B,
+          so the model is a dim table collected to the driver (the
           charlm LM pattern).
-  pass 2  scoring: the SAME cached feature stream joins the
-          broadcast B-row model; per-doc sum of per-occurrence log
-          ratios, rounded to 4dp (floats only with bounded
-          aggregation + rounding, identical expression structure in
-          the DuckDB twin — the exactness rule charlm pinned).
+  pass 2  scoring: a ZERO-shuffle projection — the per-bucket log
+          ratios are computed JVM-side over the full B-row model
+          (F.log2, bit-identical to the join formulation) and ride
+          the plan as one B-double array literal; per-doc weight =
+          F.aggregate over the cached feature array, rounded to 4dp
+          (floats only with bounded aggregation + rounding, identical
+          expression structure in the DuckDB twin — the exactness
+          rule charlm pinned). No broadcast join, no doc-keyed
+          shuffle, no second explode.
 
 The seed set is bootstrapped in-engine exactly like the NB quality
 classifier (functions/nbquality.py): target = docs whose rule-based
 `quality_score` clears `seed_cutoff`. A deployment with a real
 curated target corpus passes it as `target_docs` instead.
 
-Scale shape: one corpus explode feeding one B-bounded groupBy and one
-broadcast join + doc-keyed groupBy; the top-k selection runs on the
-4dp score via the skew-safe two-phase top-k (operators/topk.py) — no
-global corpus sort. Laplace add-1 over the B buckets keeps unseen
-buckets finite on both sides.
+Scale shape: one corpus featurization pass (persisted compact — one
+int array per doc, NOT the exploded stream), one B-bounded groupBy
+over the exploded arrays, then a zero-shuffle scoring projection; the
+top-k selection runs on the 4dp score via the skew-safe two-phase
+top-k (operators/topk.py) — no global corpus sort. Laplace add-1 over
+the B buckets keeps unseen buckets finite on both sides.
 """
 from __future__ import annotations
 
@@ -81,63 +91,70 @@ def dsir_weights(docs: DataFrame,
     (quality_score >= seed_cutoff); the raw model is always estimated
     over `docs` itself.
     """
+    # compact per-doc featurization FIRST (one md5 pass, _hi once per
+    # doc); everything downstream — model explode and scoring — reads
+    # this small persisted table, never the raw text again
     if target_docs is None:
-        flagged = docs.select(
+        compact = docs.select(
             key_col,
             (quality_score(F.col(text_col)) >= F.lit(seed_cutoff))
             .cast("int").alias("_hi"),
-            F.explode_outer(
-                hashed_ngram_features(text_col, n_buckets))
-            .alias("bucket"))
-        feats = flagged.persist()
-        model_src = feats.filter(F.col("bucket").isNotNull()) \
-            .groupBy("bucket").agg(
-                F.sum("_hi").alias("ct"),
-                F.count("*").alias("cr"))
+            hashed_ngram_features(text_col, n_buckets).alias("_farr")
+        ).persist()
+        model_src = (compact
+                     .select("_hi", F.explode("_farr").alias("bucket"))
+                     .groupBy("bucket").agg(
+                         F.sum("_hi").alias("ct"),
+                         F.count("*").alias("cr")))
     else:
         # explicit target corpus: its features only feed the target
         # counts; the raw counts still come from `docs`
         tgt = target_docs.select(F.explode(
             hashed_ngram_features(text_col, n_buckets)).alias("bucket")) \
             .groupBy("bucket").agg(F.count("*").alias("ct"))
-        feats = docs.select(
+        compact = docs.select(
             key_col,
-            F.explode_outer(
-                hashed_ngram_features(text_col, n_buckets))
-            .alias("bucket")).persist()
-        raw = feats.filter(F.col("bucket").isNotNull()) \
-            .groupBy("bucket").agg(F.count("*").alias("cr"))
+            hashed_ngram_features(text_col, n_buckets).alias("_farr")
+        ).persist()
+        raw = (compact.select(F.explode("_farr").alias("bucket"))
+               .groupBy("bucket").agg(F.count("*").alias("cr")))
         model_src = raw.join(tgt, "bucket", "full").select(
             "bucket",
             F.coalesce("ct", F.lit(0)).alias("ct"),
             F.coalesce("cr", F.lit(0)).alias("cr"))
-    rows = [(int(r.bucket), int(r.ct), int(r.cr))
-            for r in model_src.collect()]
-    nt = sum(ct for _, ct, _ in rows)
-    nr = sum(cr for _, _, cr in rows)
+    by_bucket = {int(r.bucket): (int(r.ct), int(r.cr))
+                 for r in model_src.collect()}
+    nt = sum(ct for ct, _ in by_bucket.values())
+    nr = sum(cr for _, cr in by_bucket.values())
     dt = float(nt + n_buckets)
     dr = float(nr + n_buckets)
     spark = docs.sparkSession
+    # per-bucket log ratio for ALL B buckets, computed by the SAME JVM
+    # F.log2 expression the join formulation used (bit-identical
+    # doubles), collected as a B-sized dim table (plan-building-scalar
+    # allowance) and inlined as one array literal
     model = spark.createDataFrame(
-        rows or [(None, None, None)],
-        "bucket int, ct long, cr long").filter(F.col("bucket").isNotNull())
-    lw = (F.log2((F.coalesce(F.col("ct"), F.lit(0)) + 1) / F.lit(dt))
-          - F.log2((F.coalesce(F.col("cr"), F.lit(0)) + 1) / F.lit(dr)))
-    joined = feats.join(F.broadcast(model), "bucket", "left")
-    result = (
-        joined.groupBy(key_col)
-        .agg(
-            F.sum(F.when(F.col("bucket").isNotNull(), 1).otherwise(0))
-            .cast("long").alias("n_feat"),
-            F.sum(F.when(F.col("bucket").isNotNull(), lw))
-            .alias("_sum_lw"))
-        .select(
-            key_col, "n_feat",
-            F.when(F.col("n_feat") > 0,
-                   F.round(F.col("_sum_lw"), round_dp))
-            .alias("dsir_logw"))
-    ).localCheckpoint(eager=True)
-    feats.unpersist(blocking=False)
+        [(b, *by_bucket.get(b, (0, 0))) for b in range(n_buckets)],
+        "bucket int, ct long, cr long")
+    lw_rows = model.select(
+        "bucket",
+        (F.log2((F.col("ct") + 1) / F.lit(dt))
+         - F.log2((F.col("cr") + 1) / F.lit(dr))).alias("lw")).collect()
+    lw_by_bucket = [0.0] * n_buckets
+    for r in lw_rows:
+        lw_by_bucket[int(r.bucket)] = float(r.lw)
+    lw_arr = F.array(*[F.lit(v) for v in lw_by_bucket])
+    farr = F.coalesce(F.col("_farr"), F.array().cast("array<int>"))
+    n_feat = F.size(farr).cast("long")
+    sum_lw = F.aggregate(
+        farr, F.lit(0.0),
+        lambda acc, b: acc + F.element_at(lw_arr, b + F.lit(1)))
+    result = compact.select(
+        key_col,
+        n_feat.alias("n_feat"),
+        F.when(n_feat > 0, F.round(sum_lw, round_dp))
+        .alias("dsir_logw")).localCheckpoint(eager=True)
+    compact.unpersist(blocking=False)
     return result
 
 

@@ -49,16 +49,45 @@ def hashed_embeddings(docs: DataFrame, key_col: str = "doc_id",
     """
     if not 1 <= dim <= 64:
         raise ValueError("dim must be in 1..64 (one md5 per token)")
-    toks = docs.select(
-        key_col,
-        F.explode_outer(tokens_col(text_col)).alias("_tok"),
-    ).withColumn("_h", F.md5(F.col("_tok")))
-    sums = toks.groupBy(key_col).agg(*[
-        F.sum(F.when(F.col("_tok").isNotNull(),
-                     F.expr(_sign_expr(d))).otherwise(0))
-        .cast("long").alias(f"_e{d}")
-        for d in range(dim)
-    ])
+    if dim <= 60:
+        # zero-shuffle path: ONE conv of the md5's first
+        # ceil(dim/4) hex chars packs every needed sign bit into a
+        # single BIGINT per token (<=60 bits — signed-long safe), so
+        # the embedding is dim in-array integer folds over a per-doc
+        # column — no token explode, no doc groupBy, no exchange.
+        # Bit d of hex digit q=d//4 is bit 4*(L-1-q)+(d%4) of the
+        # packed value: identical ints to the per-digit conv the
+        # docstring's oracle twin spells out.
+        n_hex = (dim + 3) // 4
+        toks = F.coalesce(tokens_col(text_col),
+                          F.array().cast("array<string>"))
+        packed = F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), 1, n_hex), 16, 10)
+            .cast("long"))
+        def _e(d: int) -> F.Column:
+            shift = 4 * (n_hex - 1 - d // 4) + (d % 4)
+            return F.aggregate(
+                F.col("_tv"), F.lit(0).cast("long"),
+                lambda acc, v: acc + (
+                    F.shiftright(v, shift).bitwiseAND(F.lit(1))
+                    * F.lit(2) - F.lit(1)))
+        # two projections: _tv is referenced `dim` times — the
+        # separate select keeps CollapseProject from re-inlining the
+        # md5 transform once per dimension
+        sums = docs.select(key_col, packed.alias("_tv")).select(
+            key_col, *[_e(d).alias(f"_e{d}") for d in range(dim)])
+    else:
+        toks = docs.select(
+            key_col,
+            F.explode_outer(tokens_col(text_col)).alias("_tok"),
+        ).withColumn("_h", F.md5(F.col("_tok")))
+        sums = toks.groupBy(key_col).agg(*[
+            F.sum(F.when(F.col("_tok").isNotNull(),
+                         F.expr(_sign_expr(d))).otherwise(0))
+            .cast("long").alias(f"_e{d}")
+            for d in range(dim)
+        ])
     emb = F.array(*[F.col(f"_e{d}") for d in range(dim)])
     if not normalized:
         return sums.select(key_col, emb.alias("embedding"))

@@ -59,6 +59,13 @@ def _font_matrix() -> tuple[np.ndarray, np.ndarray]:
 
 
 _GLYPHS, _CODES = _font_matrix()
+# BLAS form of the Hamming distance: |c xor g| = |c| + |g| - 2 c.g
+# for 0/1 vectors; the 35-term dot products are integers <= 35, far
+# inside float32's exact-integer range, so the matmul reproduces the
+# XOR-sum distances bit-for-bit at ~25x the throughput of the
+# (n, 95, 35) byte broadcast.
+_GLYPHS_F = _GLYPHS.astype(np.float32)
+_GLYPH_POP = _GLYPHS_F.sum(axis=1)
 
 
 def _cells(page: np.ndarray) -> np.ndarray | None:
@@ -95,8 +102,11 @@ def _decode_cells(cells: np.ndarray) -> tuple[str, int, int]:
     parts, n_exact, n_within = [], 0, 0
     for lo in range(0, len(cells), _DECODE_CHUNK):
         chunk = cells[lo:lo + _DECODE_CHUNK]
-        # Hamming distance to every glyph: |cell XOR glyph| summed
-        dists = (chunk[:, None, :] ^ _GLYPHS[None, :, :]).sum(axis=2)
+        # Hamming distance to every glyph via the exact float32
+        # matmul identity (see _GLYPHS_F note)
+        cf = chunk.astype(np.float32)
+        dists = (cf.sum(axis=1)[:, None] + _GLYPH_POP[None, :]
+                 - 2.0 * (cf @ _GLYPHS_F.T)).astype(np.int64)
         best = dists.argmin(axis=1)
         bestd = dists[np.arange(len(chunk)), best]
         chars = np.where(bestd <= MAX_HAMMING, _CODES[best],

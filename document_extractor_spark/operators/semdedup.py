@@ -66,15 +66,12 @@ def _dist2(emb_col: F.Column, centroid: list[int]) -> F.Column:
 
 def _assign_col(emb_col: F.Column, centroids: list[list[int]]) -> F.Column:
     """Argmin cluster id over literal centroids, tie -> lowest id
-    (strict < while scanning in id order)."""
-    best_d = _dist2(emb_col, centroids[0])
-    best_j = F.lit(0)
-    for j in range(1, len(centroids)):
-        d = _dist2(emb_col, centroids[j])
-        cond = d < best_d
-        best_j = F.when(cond, F.lit(j)).otherwise(best_j)
-        best_d = F.when(cond, d).otherwise(best_d)
-    return best_j
+    (array_position finds the FIRST minimum). Built as a flat
+    k-element distance array — a when-chain argmin nests each step's
+    best inside the next (O(k^2) expression tree; the converter
+    stack-overflows near k~20), while this stays O(k*dim)."""
+    darr = F.array(*[_dist2(emb_col, c) for c in centroids])
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
 
 
 def kmeans_assign(emb: DataFrame, k: int = 4, iters: int = 2,
