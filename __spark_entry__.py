@@ -4740,7 +4740,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_error_rows": q_extract_error_rows,
         "url_canonical_dedup": q_url_canonical_dedup,
         "paragraph_dedup": q_paragraph_dedup,
-        "token_windows": q_token_windows,
+        # embed.py changed this round (zero-shuffle fast path) ->
+        # its normalized-path consumer re-enters the window;
+        # token_windows (chunker.py unchanged since its green r4
+        # row) rotates back
+        "ann_cosine_topk": q_ann_cosine_topk,
         "streaming_dedup": q_streaming_dedup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "media_metadata": q_media_metadata,
@@ -4812,7 +4816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratios": q_repetition_ratios,
         "vocab_topk": q_vocab_topk,
         "fingerprints": q_fingerprints,
-        "ann_cosine_topk": q_ann_cosine_topk,
+        "token_windows": q_token_windows,
         "embedding_neardup": q_embedding_neardup,
         "chunk_pack_greedy": q_chunk_pack_greedy,
         "salted_domain_stats": q_salted_domain_stats,
