@@ -4098,8 +4098,9 @@ def q_semdedup(spark, sf_dir):
     k scales with the corpus (the paper's knob: cluster count grows
     so cluster size stays ~constant at 125): the within-cluster pair
     join is quadratic in cluster size, so pinning k would make this
-    O(n^2/k) at 100x the data. At the sf0.01 gate (500 docs) the
-    formula yields exactly the oracle's k=4."""
+    O(n^2/k) at 100x the data. The oracle twin computes the SAME
+    max(4, n // 125) in its init CTE's LIMIT (scalar subquery), so
+    engine and oracle stay in lockstep at every corpus size."""
     from document_extractor_spark.operators.semdedup import semdedup
 
     docs = _docs(spark, sf_dir)
@@ -4107,7 +4108,8 @@ def q_semdedup(spark, sf_dir):
     return semdedup(docs, dim=16, k=k, iters=2, tau=(7, 10))
 
 
-def _semdedup_oracle_sql(dim: int = 16, k: int = 4,
+def _semdedup_oracle_sql(dim: int = 16, k_min: int = 4,
+                         per_cluster: int = 125,
                          p: int = 7, q: int = 10) -> str:
     sums = ",\n         ".join(
         f"sum(2 * ((('0x' || substr(h, {1 + d // 4}, 1))::BIGINT"
@@ -4142,8 +4144,13 @@ emb AS (
   SELECT d.doc_id, {ecols}
   FROM documents d LEFT JOIN s USING (doc_id)),
 init AS (
+  -- k stays in LOCKSTEP with q_semdedup's corpus-scaled formula
+  -- (max(k_min, n // per_cluster)); a pinned literal here would
+  -- silently diverge on any corpus past k_min*per_cluster docs
   SELECT row_number() OVER (ORDER BY doc_id) - 1 AS cluster, *
-  FROM emb ORDER BY doc_id LIMIT {k}),
+  FROM emb ORDER BY doc_id
+  LIMIT (SELECT greatest({k_min}, count(*) // {per_cluster})
+         FROM documents)),
 asg1 AS (
   SELECT e.doc_id, i.cluster FROM emb e CROSS JOIN init i
   QUALIFY row_number() OVER (PARTITION BY e.doc_id
@@ -4740,11 +4747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_error_rows": q_extract_error_rows,
         "url_canonical_dedup": q_url_canonical_dedup,
         "paragraph_dedup": q_paragraph_dedup,
-        # embed.py changed this round (zero-shuffle fast path) ->
-        # its normalized-path consumer re-enters the window;
-        # token_windows (chunker.py unchanged since its green r4
-        # row) rotates back
-        "ann_cosine_topk": q_ann_cosine_topk,
+        "token_windows": q_token_windows,
         "streaming_dedup": q_streaming_dedup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "media_metadata": q_media_metadata,
@@ -4816,7 +4819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratios": q_repetition_ratios,
         "vocab_topk": q_vocab_topk,
         "fingerprints": q_fingerprints,
-        "token_windows": q_token_windows,
+        "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "chunk_pack_greedy": q_chunk_pack_greedy,
         "salted_domain_stats": q_salted_domain_stats,

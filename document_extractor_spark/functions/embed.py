@@ -46,6 +46,12 @@ def hashed_embeddings(docs: DataFrame, key_col: str = "doc_id",
     counts (the oracle-checkable form). `normalized=True`:
     `array<double>` unit vectors ready for the cosine/ANN operators
     (all-zero vectors stay all-zero).
+
+    `key_col` must be UNIQUE per row (it is a document primary key
+    everywhere in this engine): the dim<=60 fast path is a per-row
+    projection, while the dim>60 legacy path groupBy-merges rows
+    sharing a key — duplicate keys would get per-fragment vectors on
+    one path and a summed vector on the other.
     """
     if not 1 <= dim <= 64:
         raise ValueError("dim must be in 1..64 (one md5 per token)")

@@ -69,9 +69,16 @@ def _assign_col(emb_col: F.Column, centroids: list[list[int]]) -> F.Column:
     (array_position finds the FIRST minimum). Built as a flat
     k-element distance array — a when-chain argmin nests each step's
     best inside the next (O(k^2) expression tree; the converter
-    stack-overflows near k~20), while this stays O(k*dim)."""
+    stack-overflows near k~20), while this stays O(k*dim).
+
+    A NULL embedding (every distance NULL -> array_min NULL ->
+    position NULL) coalesces to cluster 0 — the when-chain's
+    behavior (NULL < best is false at every step), which the
+    centroid-update collect depends on (int(None) would raise)."""
     darr = F.array(*[_dist2(emb_col, c) for c in centroids])
-    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    return F.coalesce(
+        (F.array_position(darr, F.array_min(darr)) - 1).cast("int"),
+        F.lit(0))
 
 
 def kmeans_assign(emb: DataFrame, k: int = 4, iters: int = 2,

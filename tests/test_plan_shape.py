@@ -170,7 +170,10 @@ def test_round3_operator_plan_budgets(spark):
         "cdc_chunks": (0, 1),
         "corpus_overview": (1, 0),
         "dom_blocks": (0, 1),
-        "hashed_embeddings": (1, 0),
+        # 0 exchanges: the dim<=60 fast path is a pure projection
+        # (packed md5-prefix array + per-dim integer folds) — pinned
+        # at zero so the token-explode shuffle can't silently return
+        "hashed_embeddings": (0, 0),
         # 2: skew-safe two-phase top-k — phase-1 exchange keys on
         # (source, doc_id-hash bucket); phase-2 re-ranks only the
         # <= B*k survivors per source, so neither sorts a

@@ -96,3 +96,18 @@ def test_semdedup_null_text(spark):
     out = {r.doc_id: r for r in semdedup(docs, k=1).collect()}
     # NULL text -> zero vector -> dot 0 -> never a near-dup
     assert out[0].is_keeper and out[1].is_keeper
+
+
+def test_kmeans_null_embedding_goes_to_cluster_zero(spark):
+    """A NULL embedding must deterministically land in cluster 0 (the
+    when-chain's historical behavior) and must not crash the centroid
+    update's int() collect on a NULL cluster label."""
+    from document_extractor_spark.operators.semdedup import kmeans_assign
+
+    emb = spark.createDataFrame(
+        [(1, [3, -1]), (2, [0, 4]), (3, None), (4, [-2, -2])],
+        "doc_id: long, embedding: array<long>")
+    out = {r["doc_id"]: r["cluster"]
+           for r in kmeans_assign(emb, k=2, iters=2).collect()}
+    assert out[3] == 0
+    assert set(out) == {1, 2, 3, 4}
