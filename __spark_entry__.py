@@ -4108,9 +4108,12 @@ def q_semdedup(spark, sf_dir):
     return semdedup(docs, dim=16, k=k, iters=2, tau=(7, 10))
 
 
-def _semdedup_oracle_sql(dim: int = 16, k_min: int = 4,
-                         per_cluster: int = 125,
-                         p: int = 7, q: int = 10) -> str:
+def _cluster_assign_ctes(dim: int = 16, k_min: int = 4,
+                         per_cluster: int = 125) -> str:
+    """The shared CTE chain `tk -> s -> emb -> init -> asg1 -> c1 ->
+    cent1 -> asg2`: hashed embeddings + 2-round integer-lattice
+    k-means assignment, k computed IN SQL in lockstep with the
+    engine's max(k_min, n // per_cluster)."""
     sums = ",\n         ".join(
         f"sum(2 * ((('0x' || substr(h, {1 + d // 4}, 1))::BIGINT"
         f" >> {d % 4}) & 1) - 1) AS _e{d}"
@@ -4130,11 +4133,7 @@ def _semdedup_oracle_sql(dim: int = 16, k_min: int = 4,
         f"COALESCE(CASE WHEN c.s{d} < 0 THEN -((-c.s{d}) // c.n)"
         f" ELSE c.s{d} // c.n END, i.e{d}) AS e{d}"
         for d in range(dim))
-    dot = " + ".join(f"x.e{d}*y.e{d}" for d in range(dim))
-    n2 = " + ".join(f"e{d}*e{d}" for d in range(dim))
-    return f"""
-WITH RECURSIVE
-tk AS (
+    return f"""tk AS (
   SELECT doc_id, md5(t.tok) AS h
   FROM documents, unnest(list_filter(string_split_regex(
       lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+'),
@@ -4164,7 +4163,17 @@ cent1 AS (
 asg2 AS (
   SELECT e.doc_id, i.cluster FROM emb e CROSS JOIN cent1 i
   QUALIFY row_number() OVER (PARTITION BY e.doc_id
-                             ORDER BY {dist('e', 'i')}, i.cluster) = 1),
+                             ORDER BY {dist('e', 'i')}, i.cluster) = 1)"""
+
+
+def _semdedup_oracle_sql(dim: int = 16, k_min: int = 4,
+                         per_cluster: int = 125,
+                         p: int = 7, q: int = 10) -> str:
+    dot = " + ".join(f"x.e{d}*y.e{d}" for d in range(dim))
+    n2 = " + ".join(f"e{d}*e{d}" for d in range(dim))
+    return f"""
+WITH RECURSIVE
+{_cluster_assign_ctes(dim, k_min, per_cluster)},
 side AS (
   SELECT a.cluster, e.*, ({n2}) AS n2
   FROM asg2 a JOIN emb e USING (doc_id)),
@@ -4192,6 +4201,46 @@ LEFT JOIN comp c ON d.doc_id = c.node
 
 
 _ORACLE_SEMDEDUP = _semdedup_oracle_sql()
+
+
+def q_cluster_balanced_sample(spark, sf_dir):
+    """Topic-balanced selection (ClusterClip-style cluster-capped
+    sampling): k-means over the hashed embeddings (same corpus-scaled
+    k as semdedup), then every cluster keeps at most cap=100 members
+    chosen by the deterministic md5 lattice (16-bit prefix of the
+    decimal id, tie -> smallest id). keep=false is the trimmed tail
+    of over-represented topic clusters. Per-cluster selection runs
+    through the skew-safe two-phase top-k — no cluster-wide sort even
+    for a degenerate giant cluster."""
+    from document_extractor_spark.operators.semdedup import (
+        cluster_balanced_sample)
+
+    return cluster_balanced_sample(
+        _docs(spark, sf_dir), cap=100, dim=16, iters=2)
+
+
+def _cluster_balance_oracle_sql(dim: int = 16, k_min: int = 4,
+                                per_cluster: int = 125,
+                                cap: int = 100) -> str:
+    return f"""
+WITH
+{_cluster_assign_ctes(dim, k_min, per_cluster)},
+pri AS (
+  SELECT doc_id, cluster,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+             AS h
+  FROM asg2),
+ranked AS (
+  SELECT doc_id, cluster,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY h ASC, doc_id ASC) AS rn
+  FROM pri)
+SELECT doc_id, CAST(cluster AS INT) AS cluster, (rn <= {cap}) AS keep
+FROM ranked
+"""
+
+
+_ORACLE_CLUSTER_BALANCE = _cluster_balance_oracle_sql()
 
 
 def q_unimax_mix(spark, sf_dir):
@@ -4711,6 +4760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 additions ---
         "dsir_select": q_dsir_select,
         "semdedup": q_semdedup,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
         "unimax_mix": q_unimax_mix,
         "bloom_seen_filter": q_bloom_seen_filter,
         "bloom_paragraph_dups": q_bloom_paragraph_dups,
@@ -4747,7 +4797,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_error_rows": q_extract_error_rows,
         "url_canonical_dedup": q_url_canonical_dedup,
         "paragraph_dedup": q_paragraph_dedup,
-        "token_windows": q_token_windows,
         "streaming_dedup": q_streaming_dedup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "media_metadata": q_media_metadata,
@@ -4819,6 +4868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratios": q_repetition_ratios,
         "vocab_topk": q_vocab_topk,
         "fingerprints": q_fingerprints,
+        "token_windows": q_token_windows,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "chunk_pack_greedy": q_chunk_pack_greedy,
@@ -4945,6 +4995,7 @@ def oracle_sql() -> dict[str, str]:
         "top_docs_per_source": _ORACLE_TOP_DOCS,
         "dsir_select": _ORACLE_DSIR,
         "semdedup": _ORACLE_SEMDEDUP,
+        "cluster_balanced_sample": _ORACLE_CLUSTER_BALANCE,
         "unimax_mix": _ORACLE_UNIMAX,
         "bloom_seen_filter": _ORACLE_BLOOM_SEEN,
         "bloom_paragraph_dups": _ORACLE_BLOOM_PARAS,

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     # round-5 additions
     "dsir_select",
     "semdedup",
+    "cluster_balanced_sample",
     "unimax_mix",
     "bloom_seen_filter",
     "bloom_paragraph_dups",

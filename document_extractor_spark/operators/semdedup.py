@@ -185,3 +185,58 @@ def semdedup(docs: DataFrame, key_col: str = "doc_id",
         # lifecycle); recompute-on-eviction is correct, just slower
         emb.unpersist(blocking=False)
     return out
+
+
+def cluster_balanced_sample(docs: DataFrame, cap: int,
+                            key_col: str = "doc_id",
+                            text_col: str = "text", dim: int = 16,
+                            k: int | None = None,
+                            iters: int = 2) -> DataFrame:
+    """`(key_col, cluster, keep)` — topic-balanced selection: cap
+    every embedding cluster at `cap` members (the cluster-capped
+    sampling idea behind ClusterClip-style balanced corpora: a
+    dominant topic cluster is trimmed to the quota instead of
+    dominating the mix; repetition-prone clusters lose their tail).
+
+    Within a cluster the kept members are chosen by the engine's
+    deterministic md5 lattice — priority = 16-bit md5 prefix of the
+    id's decimal string, tie -> smallest id — so the sample is
+    reproducible and SQL-checkable, not RNG-dependent.
+
+    `k=None` derives the cluster count from the corpus (constant
+    ~125-doc clusters, same lockstep formula as the semdedup query).
+
+    Scale shape: zero-shuffle embeddings + the dim-bounded k-means
+    collect, then skew-safe two-phase per-cluster top-cap (no
+    cluster-wide sort even for a degenerate giant cluster) and one
+    id-keyed left join to flag the trimmed tail. No corpus sort, no
+    quadratic stage.
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    from ..functions.embed import hashed_embeddings
+    from .topk import skew_safe_topk
+
+    emb = hashed_embeddings(docs, key_col=key_col, text_col=text_col,
+                            dim=dim).persist()
+    if k is None:
+        k = max(4, emb.count() // 125)
+    clusters = kmeans_assign(emb, k=k, iters=iters, key_col=key_col)
+    # 16-bit md5 prefix of the DECIMAL string form (cross-engine:
+    # DuckDB md5(CAST(id AS VARCHAR)); conv returns string -> cast)
+    pri = clusters.withColumn(
+        "_h",
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4),
+               16, 10).cast("long"))
+    kept = skew_safe_topk(
+        pri, ["cluster"], [F.col("_h").asc(), F.col(key_col).asc()],
+        cap, bucket_col=key_col, rank_name="_rk")
+    out = (clusters.join(
+        kept.select(F.col(key_col).alias("_kid")).withColumn(
+            "_keep", F.lit(True)),
+        clusters[key_col] == F.col("_kid"), "left")
+        .select(key_col, "cluster",
+                F.coalesce(F.col("_keep"), F.lit(False)).alias("keep"))
+    ).localCheckpoint(eager=True)
+    emb.unpersist(blocking=False)
+    return out

@@ -186,6 +186,10 @@ def test_round3_operator_plan_budgets(spark):
         # decision materializes at build (checkpointed); returned
         # plan is the checkpoint scan
         "semdedup": (0, 0),
+        # same checkpoint-at-build shape: the two-phase per-cluster
+        # top-cap + keep-flag join run eagerly, the returned plan is
+        # the checkpoint scan
+        "cluster_balanced_sample": (0, 0),
         # corpus groupBy(lang) runs eagerly at build (dim-bounded
         # collect); the returned plan is a local scan of the
         # languages-sized allocation table

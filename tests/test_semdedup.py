@@ -111,3 +111,69 @@ def test_kmeans_null_embedding_goes_to_cluster_zero(spark):
            for r in kmeans_assign(emb, k=2, iters=2).collect()}
     assert out[3] == 0
     assert set(out) == {1, 2, 3, 4}
+
+
+def _cbs(spark, rows, **kw):
+    from document_extractor_spark.operators.semdedup import (
+        cluster_balanced_sample)
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    return cluster_balanced_sample(df, **kw)
+
+
+def test_cluster_balance_caps_each_cluster(spark):
+    rows = [(i, f"alpha beta w{i % 7} w{i % 3}") for i in range(60)]
+    out = _cbs(spark, rows, cap=5, dim=8, k=3).collect()
+    assert len(out) == 60
+    from collections import Counter
+    kept = Counter(r["cluster"] for r in out if r["keep"])
+    assert all(v <= 5 for v in kept.values())
+    # a cluster with <= cap members keeps all of them
+    sizes = Counter(r["cluster"] for r in out)
+    for c, n in sizes.items():
+        assert kept[c] == min(n, 5)
+
+
+def test_cluster_balance_matches_naive_window(spark):
+    """skew_safe two-phase selection == the naive per-cluster
+    row_number window on the same md5 priority."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from document_extractor_spark.operators.semdedup import (
+        kmeans_assign)
+    from document_extractor_spark.functions.embed import (
+        hashed_embeddings)
+
+    rows = [(i, f"tok{i % 11} tok{i % 5} filler text") for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: (r["cluster"], r["keep"])
+           for r in _cbs(spark, rows, cap=7, dim=8, k=4).collect()}
+    emb = hashed_embeddings(df, dim=8)
+    cl = kmeans_assign(emb, k=4, iters=2)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+               16, 10).cast("long")
+    w = Window.partitionBy("cluster").orderBy(h.asc(),
+                                              F.col("doc_id").asc())
+    want = {r["doc_id"]: (r["cluster"], r["rn"] <= 7)
+            for r in cl.withColumn("rn", F.row_number().over(w))
+            .collect()}
+    assert got == want
+
+
+def test_cluster_balance_edges(spark):
+    import pytest as _pytest
+    # empty corpus
+    out = _cbs(spark, [], cap=3, dim=8, k=2)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "cluster", "keep"]
+    # cap=1: exactly one keeper per non-empty cluster
+    rows = [(i, "same text everywhere") for i in range(10)]
+    res = _cbs(spark, rows, cap=1, dim=8, k=2).collect()
+    from collections import Counter
+    kept = Counter(r["cluster"] for r in res if r["keep"])
+    assert all(v == 1 for v in kept.values())
+    # NULL text embeds as zeros and still gets clustered + flagged
+    res2 = _cbs(spark, [(1, None), (2, "x")], cap=5, dim=8, k=2).collect()
+    assert len(res2) == 2 and all(r["keep"] for r in res2)
+    with _pytest.raises(ValueError):
+        _cbs(spark, rows, cap=0, dim=8, k=2)
