@@ -4243,6 +4243,38 @@ FROM ranked
 _ORACLE_CLUSTER_BALANCE = _cluster_balance_oracle_sql()
 
 
+def q_inverted_index(spark, sf_dir):
+    """Retrieval-index build: one row per vocabulary term (pinned
+    whitespace tokenizer) with document frequency and the doc-sorted
+    posting list rendered `"id:tf id:tf"`. max_df drops stop-grade
+    terms BEFORE their postings collect — the IR stop-df rule
+    doubling as the whale guard (no posting row ever exceeds max_df
+    structs, however common the term). The gate corpus has a tiny
+    31-term vocabulary with median df ~0.78n, so the gate cap is 400
+    (trims only the most corpus-wide terms while keeping the result
+    substantive); a real crawl uses a far smaller absolute cap."""
+    from document_extractor_spark.operators.bm25 import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir), max_df=400)
+
+
+_ORACLE_INVERTED_INDEX = """
+WITH td AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest(list_filter(string_split_regex(
+      lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+'),
+      x -> x <> '')) AS t(tok)),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM td GROUP BY 1, 2),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+        GROUP BY 1 HAVING count(*) <= 400)
+SELECT f.term, d.df,
+       string_agg(f.doc_id || ':' || f.tf, ' ' ORDER BY f.doc_id)
+           AS postings
+FROM tf f JOIN dft d USING (term)
+GROUP BY f.term, d.df
+"""
+
+
 def q_unimax_mix(spark, sf_dir):
     """UniMax mixture budgeting (Chung et al. 2023): total token
     budget allocated by sequential fair share with a per-language
@@ -4761,6 +4793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "semdedup": q_semdedup,
         "cluster_balanced_sample": q_cluster_balanced_sample,
+        "inverted_index": q_inverted_index,
         "unimax_mix": q_unimax_mix,
         "bloom_seen_filter": q_bloom_seen_filter,
         "bloom_paragraph_dups": q_bloom_paragraph_dups,
@@ -4797,7 +4830,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_error_rows": q_extract_error_rows,
         "url_canonical_dedup": q_url_canonical_dedup,
         "paragraph_dedup": q_paragraph_dedup,
-        "streaming_dedup": q_streaming_dedup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "media_metadata": q_media_metadata,
         "media_frames": q_media_frames,
@@ -4869,6 +4901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "fingerprints": q_fingerprints,
         "token_windows": q_token_windows,
+        "streaming_dedup": q_streaming_dedup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "chunk_pack_greedy": q_chunk_pack_greedy,
@@ -4996,6 +5029,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _ORACLE_DSIR,
         "semdedup": _ORACLE_SEMDEDUP,
         "cluster_balanced_sample": _ORACLE_CLUSTER_BALANCE,
+        "inverted_index": _ORACLE_INVERTED_INDEX,
         "unimax_mix": _ORACLE_UNIMAX,
         "bloom_seen_filter": _ORACLE_BLOOM_SEEN,
         "bloom_paragraph_dups": _ORACLE_BLOOM_PARAS,

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "dsir_select",
     "semdedup",
     "cluster_balanced_sample",
+    "inverted_index",
     "unimax_mix",
     "bloom_seen_filter",
     "bloom_paragraph_dups",

@@ -132,3 +132,50 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 20,
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("long")).select(
         id_col, "rank", "bm25")
+
+
+def inverted_index(docs: DataFrame, max_df: int,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """`(term, df, postings)` — the retrieval-index build artifact:
+    one row per vocabulary term with document frequency and the
+    doc-sorted posting list rendered as `"id:tf id:tf ..."`.
+
+    `max_df` drops stop-grade terms BEFORE their postings are
+    collected (the standard IR stop-list-by-df rule, and the whale
+    guard: a term in half the corpus would otherwise collect a
+    posting array the size of the corpus into one row). The string
+    rendering keeps the result driver-canonicalizable (top-level
+    arrays crash the gate's pandas sort — the r4 hashed_embeddings
+    lesson).
+
+    Scale shape: one (term, doc)-keyed corpus shuffle for tf (key
+    includes the doc, so a whale TERM still shards), one term-keyed
+    map-side-combined count for df (whale state = one counter), and
+    the posting collect runs only on df<=max_df survivors, bounding
+    every collect_list at max_df structs.
+    """
+    if max_df < 1:
+        raise ValueError("max_df must be >= 1")
+    from ..operators.dedup import tokens_col
+
+    tf = (docs
+          .select(F.col(id_col), F.explode(tokens_col(text_col))
+                  .alias("term"))
+          .groupBy("term", id_col)
+          .agg(F.count("*").alias("tf")))
+    df_t = (tf.groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df))
+    return (tf.join(df_t, "term")
+            .groupBy("term", "df")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col(id_col).alias("d"),
+                                 F.col("tf").alias("t")))),
+                    lambda s: F.concat(s["d"].cast("string"),
+                                       F.lit(":"),
+                                       s["t"].cast("string"))),
+                " ").alias("postings"))
+            .select("term", "df", "postings"))

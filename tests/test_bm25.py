@@ -172,3 +172,30 @@ def test_keeper_transitive_closure(spark):
 def test_keeper_empty_pairs(spark):
     out = _keeper(spark, [(1, 0.3), (2, 0.4)], [])
     assert all(r["is_keeper"] for r in out.values())
+
+
+def test_inverted_index_postings_and_cap(spark):
+    from document_extractor_spark.operators.bm25 import inverted_index
+
+    rows = [(1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "apple banana banana"),
+            (4, None)]
+    out = {r["term"]: (r["df"], r["postings"])
+           for r in inverted_index(_df(spark, rows), max_df=2).collect()}
+    # banana (df=3) exceeds the cap and is dropped entirely
+    assert set(out) == {"apple", "cherry"}
+    assert out["apple"] == (2, "1:2 3:1")
+    assert out["cherry"] == (1, "2:1")
+
+
+def test_inverted_index_edges(spark):
+    import pytest as _pytest
+    from document_extractor_spark.operators.bm25 import inverted_index
+
+    assert inverted_index(_df(spark, []), max_df=5).collect() == []
+    out = inverted_index(_df(spark, [(7, None), (8, "")]),
+                         max_df=5).collect()
+    assert out == []  # NULL/empty text contributes no terms
+    with _pytest.raises(ValueError):
+        inverted_index(_df(spark, [(1, "x")]), max_df=0)

@@ -190,6 +190,10 @@ def test_round3_operator_plan_budgets(spark):
         # top-cap + keep-flag join run eagerly, the returned plan is
         # the checkpoint scan
         "cluster_balanced_sample": (0, 0),
+        # 3 exchanges: (term,doc) tf groupBy, term df groupBy +
+        # capped-join re-shuffle, posting groupBy (collect bounded at
+        # max_df structs); AQE coalesces
+        "inverted_index": (4, 0),
         # corpus groupBy(lang) runs eagerly at build (dim-bounded
         # collect); the returned plan is a local scan of the
         # languages-sized allocation table
