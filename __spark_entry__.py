@@ -4249,13 +4249,18 @@ def q_inverted_index(spark, sf_dir):
     posting list rendered `"id:tf id:tf"`. max_df drops stop-grade
     terms BEFORE their postings collect — the IR stop-df rule
     doubling as the whale guard (no posting row ever exceeds max_df
-    structs, however common the term). The gate corpus has a tiny
-    31-term vocabulary with median df ~0.78n, so the gate cap is 400
-    (trims only the most corpus-wide terms while keeping the result
-    substantive); a real crawl uses a far smaller absolute cap."""
+    structs, however common the term).
+
+    The gate cap SCALES with the corpus — max(2, 4n//5), computed
+    identically in the oracle's HAVING via a scalar subquery (the
+    semdedup-k lockstep rule) — because the gate corpus has a tiny
+    31-term vocabulary with median df ~0.78n: a pinned absolute cap
+    would be substantive at exactly one SF and near-vacuous at every
+    other. A real crawl uses a far smaller absolute cap."""
     from document_extractor_spark.operators.bm25 import inverted_index
 
-    return inverted_index(_docs(spark, sf_dir), max_df=400)
+    docs = _docs(spark, sf_dir)
+    return inverted_index(docs, max_df=max(2, docs.count() * 4 // 5))
 
 
 _ORACLE_INVERTED_INDEX = """
@@ -4266,7 +4271,8 @@ WITH td AS (
       x -> x <> '')) AS t(tok)),
 tf AS (SELECT term, doc_id, count(*) AS tf FROM td GROUP BY 1, 2),
 dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
-        GROUP BY 1 HAVING count(*) <= 400)
+        GROUP BY 1 HAVING count(*) <=
+            (SELECT greatest(2, count(*) * 4 // 5) FROM documents))
 SELECT f.term, d.df,
        string_agg(f.doc_id || ':' || f.tf, ' ' ORDER BY f.doc_id)
            AS postings

@@ -157,8 +157,6 @@ def inverted_index(docs: DataFrame, max_df: int,
     """
     if max_df < 1:
         raise ValueError("max_df must be >= 1")
-    from ..operators.dedup import tokens_col
-
     tf = (docs
           .select(F.col(id_col), F.explode(tokens_col(text_col))
                   .alias("term"))

@@ -191,7 +191,8 @@ def cluster_balanced_sample(docs: DataFrame, cap: int,
                             key_col: str = "doc_id",
                             text_col: str = "text", dim: int = 16,
                             k: int | None = None,
-                            iters: int = 2) -> DataFrame:
+                            iters: int = 2,
+                            checkpoint_result: bool = True) -> DataFrame:
     """`(key_col, cluster, keep)` — topic-balanced selection: cap
     every embedding cluster at `cap` members (the cluster-capped
     sampling idea behind ClusterClip-style balanced corpora: a
@@ -236,7 +237,11 @@ def cluster_balanced_sample(docs: DataFrame, cap: int,
             "_keep", F.lit(True)),
         clusters[key_col] == F.col("_kid"), "left")
         .select(key_col, "cluster",
-                F.coalesce(F.col("_keep"), F.lit(False)).alias("keep"))
-    ).localCheckpoint(eager=True)
+                F.coalesce(F.col("_keep"), F.lit(False)).alias("keep")))
+    if checkpoint_result:
+        out = out.localCheckpoint(eager=True)
+    # checkpoint_result=False keeps the LIVE plan (for plan-shape
+    # budgeting); the returned lineage still reads the persisted emb,
+    # released best-effort here (recompute-on-eviction is correct)
     emb.unpersist(blocking=False)
     return out

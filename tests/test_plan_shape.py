@@ -281,3 +281,17 @@ def test_checkpointed_operators_live_plan_budgets(spark):
     n_ex, n_py = _counts(heavy_hitters(
         docs, capacity=4096, k=5, checkpoint_result=False))
     assert n_ex <= 3 and n_py == 1, (n_ex, n_py)
+
+    # cluster-balanced sampling LIVE plan: zero-shuffle embeddings +
+    # literal-centroid assignment, 2 two-phase top-cap windows, and
+    # the keep-flag join — all JVM, and never a nested-loop join
+    from document_extractor_spark.operators.semdedup import (
+        cluster_balanced_sample)
+
+    live = cluster_balanced_sample(
+        docs, cap=5, dim=8, k=4, checkpoint_result=False)
+    n_ex, n_py = _counts(live)
+    plan = live._jdf.queryExecution().executedPlan().toString()
+    assert n_ex <= 5 and n_py == 0, (n_ex, n_py)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
