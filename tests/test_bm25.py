@@ -199,3 +199,43 @@ def test_inverted_index_edges(spark):
     assert out == []  # NULL/empty text contributes no terms
     with _pytest.raises(ValueError):
         inverted_index(_df(spark, [(1, "x")]), max_df=0)
+
+
+def test_inverted_index_matches_python_reference(spark):
+    """Seeded-random corpora (pinned whitespace class, odd separators
+    \\x0B/\\f/\\r included) vs an independent driver-side reference."""
+    import random
+    import re
+
+    ws = re.compile("[ \t\n\x0b\f\r]+")
+    vocab = ["Alpha", "beta", "GAMMA", "délta", "x1", "--", "?"]
+    seps = [" ", "\t", "\n", "\x0b", "\f", "\r", "  "]
+    from document_extractor_spark.operators.bm25 import inverted_index
+
+    for seed in (3, 17, 99):
+        rng = random.Random(seed)
+        docs = {}
+        for i in range(60):
+            n = rng.randrange(0, 12)
+            parts = []
+            for _ in range(n):
+                parts.append(rng.choice(vocab))
+                parts.append(rng.choice(seps))
+            docs[i] = "".join(parts)
+        cap = rng.randrange(1, 50)
+        # reference
+        ref: dict[str, dict[int, int]] = {}
+        for i, txt in docs.items():
+            for tok in ws.split(txt.lower()):
+                if tok:
+                    ref.setdefault(tok, {}).setdefault(i, 0)
+                    ref[tok][i] += 1
+        want = {
+            t: (len(p), " ".join(f"{d}:{c}"
+                                 for d, c in sorted(p.items())))
+            for t, p in ref.items() if len(p) <= cap}
+        got = {r["term"]: (r["df"], r["postings"])
+               for r in inverted_index(
+                   _df(spark, sorted(docs.items())), max_df=cap)
+               .collect()}
+        assert got == want, (seed, cap)
