@@ -40,16 +40,25 @@ def _pin_utc(spark: SparkSession) -> None:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # widen: the sf documents table is ONE parquet row group = ONE
+    # scan split, so without this every query's first stage (usually
+    # the expensive tokenize/score pass) runs on a single core no
+    # matter how many the session has (guide §2.6/§6). At real scale
+    # the scan has plenty of splits and the round-robin is a no-op
+    # (widen_narrow_input only fires when splits < parallelism).
+    return DD.widen_narrow_input(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     _pin_utc(spark)
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return DD.widen_narrow_input(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return DD.widen_narrow_input(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _ratio():
@@ -1301,8 +1310,10 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     which MUST be recovered (identical vectors share every sign bit)."""
     emb = _emb(spark, sf_dir)
     dups = emb.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    # dim=64 is the embeddings table's fixed width: flat codegen dot
+    # (bit-identical to the fold; see _flat_float_dot)
     pairs = DD.embedding_neardup_pairs_lsh(
-        emb.unionByName(dups), threshold=0.99, n_bits=6)
+        emb.unionByName(dups), threshold=0.99, n_bits=6, dim=64)
     return pairs.select(
         "id_a", "id_b", "cosine").filter(F.col("id_b") - F.col("id_a")
                                          == 1_000_000)

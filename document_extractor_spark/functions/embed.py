@@ -59,11 +59,25 @@ def hashed_embeddings(docs: DataFrame, key_col: str = "doc_id",
         # zero-shuffle path: ONE conv of the md5's first
         # ceil(dim/4) hex chars packs every needed sign bit into a
         # single BIGINT per token (<=60 bits — signed-long safe), so
-        # the embedding is dim in-array integer folds over a per-doc
-        # column — no token explode, no doc groupBy, no exchange.
-        # Bit d of hex digit q=d//4 is bit 4*(L-1-q)+(d%4) of the
-        # packed value: identical ints to the per-digit conv the
-        # docstring's oracle twin spells out.
+        # the embedding is a handful of in-array integer folds over a
+        # per-doc column — no token explode, no doc groupBy, no
+        # exchange. Bit d of hex digit q=d//4 is bit 4*(L-1-q)+(d%4)
+        # of the packed value: identical ints to the per-digit conv
+        # the docstring's oracle twin spells out.
+        #
+        # r6: ONE fold per NIBBLE instead of one per dim — the folds
+        # are interpreted (higher-order functions never codegen,
+        # CLAUDE.md), so fold count is the cost driver. A nibble's 4
+        # sign bits spread into four 16-bit counter fields of one
+        # accumulator via multiply-and-mask ((x*M)&MASK puts bit j of
+        # x at position 16j; fields can't collide for x<16), so
+        # ceil(dim/4) folds of ~4 integer ops replace `dim` folds.
+        # e_d = 2*count_d - n_tokens recovers the exact signed sum.
+        # Counter fields hold counts < 2^16 and the top field ends at
+        # bit 62, so the fast path is guarded to < 32768 tokens; the
+        # (vanishingly rare) longer docs take the legacy per-dim fold
+        # in the same projection — identical integers either way
+        # (pytest pins the equality across the boundary).
         n_hex = (dim + 3) // 4
         toks = F.coalesce(tokens_col(text_col),
                           F.array().cast("array<string>"))
@@ -71,18 +85,44 @@ def hashed_embeddings(docs: DataFrame, key_col: str = "doc_id",
             toks,
             lambda t: F.conv(F.substring(F.md5(t), 1, n_hex), 16, 10)
             .cast("long"))
-        def _e(d: int) -> F.Column:
+        spread_m = 1 + (1 << 15) + (1 << 30) + (1 << 45)
+        spread_mask = 0x0001000100010001
+        token_lim = 32768
+
+        def _acc(q: int) -> F.Column:
+            return F.aggregate(
+                F.col("_tv"), F.lit(0).cast("long"),
+                lambda acc, v: acc + (
+                    F.shiftright(v, 4 * q).bitwiseAND(F.lit(15))
+                    * F.lit(spread_m)).bitwiseAND(F.lit(spread_mask)))
+
+        def _e_legacy(d: int) -> F.Column:
             shift = 4 * (n_hex - 1 - d // 4) + (d % 4)
             return F.aggregate(
                 F.col("_tv"), F.lit(0).cast("long"),
                 lambda acc, v: acc + (
                     F.shiftright(v, shift).bitwiseAND(F.lit(1))
                     * F.lit(2) - F.lit(1)))
-        # two projections: _tv is referenced `dim` times — the
-        # separate select keeps CollapseProject from re-inlining the
-        # md5 transform once per dimension
-        sums = docs.select(key_col, packed.alias("_tv")).select(
-            key_col, *[_e(d).alias(f"_e{d}") for d in range(dim)])
+
+        def _e(d: int) -> F.Column:
+            q = n_hex - 1 - d // 4
+            cnt = F.shiftright(F.col(f"_a{q}"),
+                               16 * (d % 4)).bitwiseAND(F.lit(0xFFFF))
+            return F.when(F.col("_n") < token_lim,
+                          cnt * 2 - F.col("_n")).otherwise(_e_legacy(d))
+
+        # staged projections: _tv is referenced by every fold and _n,
+        # and each _aq by up to 4 dims — separate selects keep
+        # CollapseProject from re-inlining the md5 transform (or a
+        # fold) once per consumer
+        sums = (docs.select(key_col, packed.alias("_tv"))
+                .select(key_col, "_tv",
+                        F.size("_tv").cast("long").alias("_n"))
+                .select(key_col, "_tv", "_n",
+                        *[F.when(F.col("_n") < token_lim, _acc(q))
+                          .alias(f"_a{q}") for q in range(n_hex)])
+                .select(key_col,
+                        *[_e(d).alias(f"_e{d}") for d in range(dim)]))
     else:
         toks = docs.select(
             key_col,

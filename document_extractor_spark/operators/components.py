@@ -91,7 +91,15 @@ def connected_components(edges: DataFrame, a_col: str = "a",
     node id. Nodes appear even if their only edge is a self-loop;
     callers union isolated nodes afterwards if needed.
     """
-    raw = edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    # Materialize the INPUT edge plan once before anything consumes
+    # it: `nodes` and the canonical edge set below would otherwise
+    # each re-execute the caller's pair-generation plan — for the
+    # dedup pipelines that plan is the expensive posting-list /
+    # verification subquery, so the duplicate evaluation used to
+    # double the whole candidate stage (guide §5: cut lineage, reuse
+    # the materialized intermediate).
+    raw = (edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+           .localCheckpoint(eager=True))
     # localCheckpoint (not persist): an iterative self-join DOUBLES
     # the logical plan every round, and Catalyst re-analyzes the full
     # lineage at each action — by round ~10 the plan tree alone OOMs
@@ -104,16 +112,22 @@ def connected_components(edges: DataFrame, a_col: str = "a",
              .distinct()
              .localCheckpoint(eager=True))
     e = _canon(raw).localCheckpoint(eager=True)
+    e_count = e.count()
     converged = False
     for _ in range(max_rounds):
         new_e = _canon(_small_star(_large_star(e))) \
             .localCheckpoint(eager=True)
         # set equality: both sides distinct, so equal counts plus an
-        # empty one-sided difference proves the sets identical
-        changed = (new_e.count() != e.count()
+        # empty one-sided difference proves the sets identical. The
+        # anti-join probe only runs when the counts already agree
+        # (unequal counts prove change without a second job), and the
+        # previous round's count is remembered instead of recounted.
+        new_count = new_e.count()
+        changed = (new_count != e_count
                    or new_e.join(e, ["u", "v"], "left_anti")
                    .limit(1).count() > 0)
         e = new_e
+        e_count = new_count
         if not changed:
             converged = True
             break

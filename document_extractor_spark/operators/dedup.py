@@ -513,15 +513,35 @@ def simhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _flat_float_dot(va, vb, dim: int) -> "F.Column":
+    """Bit-identical flat spelling of the interpreted
+    `aggregate(zip_with(va, vb, x*y), 0.0, +)` fold for fixed-`dim`
+    vectors: the leading 0.0 literal and left-to-right element order
+    reproduce the fold's exact IEEE op sequence (so even signed zeros
+    match), but the flat tree whole-stage-codegens while higher-order
+    functions are interpreted (CLAUDE.md r5 convention)."""
+    out = F.lit(0.0)
+    for d in range(dim):
+        out = out + (F.element_at(va, d + 1).cast("double")
+                     * F.element_at(vb, d + 1))
+    return out
+
+
 def embedding_neardup_pairs_lsh(emb: DataFrame, id_col: str = "vec_id",
                                 vec_col: str = "embedding",
                                 threshold: float = 0.8,
-                                n_bits: int = 8, seed: int = 7) -> DataFrame:
+                                n_bits: int = 8, seed: int = 7,
+                                dim: int | None = None) -> DataFrame:
     """Scale path for embedding near-dup: random-hyperplane LSH buckets
     first (similarity.lsh_bucketed), exact cosine only within buckets.
     At 10^12 rows the candidate set is O(n * avg_bucket_size), never a
     cross join; near-identical vectors share all sign bits, so recall
-    for threshold >= ~0.8 is high by construction."""
+    for threshold >= ~0.8 is high by construction.
+
+    Pass `dim` when every vector has that exact length: the in-bucket
+    cosine then uses the flat codegen dot (identical IEEE sequence,
+    pytest-pinned) instead of the interpreted fold — the candidate
+    stream pays O(pairs*dim) lambda interpretation otherwise."""
     from .similarity import lsh_bucketed
 
     bucketed = lsh_bucketed(emb, n_bits=n_bits, seed=seed,
@@ -530,10 +550,14 @@ def embedding_neardup_pairs_lsh(emb: DataFrame, id_col: str = "vec_id",
 
     withn = bucketed.withColumn("norm", _norm_expr(F.col(vec_col)))
     a, b = withn.alias("a"), withn.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"),
-                   lambda x, y: x.cast("double") * y),
-        F.lit(0.0), lambda acc, x: acc + x)
+    if dim is not None:
+        dot = _flat_float_dot(F.col(f"a.{vec_col}"),
+                              F.col(f"b.{vec_col}"), dim)
+    else:
+        dot = F.aggregate(
+            F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"),
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, x: acc + x)
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

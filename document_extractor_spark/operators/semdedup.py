@@ -48,12 +48,41 @@ from pyspark.sql import functions as F
 
 from .components import dedup_decision
 
+# Above this k the literal-centroid expression argmin is replaced by
+# an Arrow-batched numpy kernel (bit-identical; see _assign_arrow):
+# the expression form costs O(k*dim) interpreted expression nodes PER
+# ROW (ADVICE r5: at corpus-scaled k the assignment is O(n^2/125)
+# interpreted work and the plan itself grows with the corpus), while
+# the kernel is two BLAS matmuls per batch with an O(1) plan. Below
+# the bound the expression path keeps the plan Python-free.
+_KERNEL_MIN_K = 32
+
+
+def _f64_exact_bound(dim: int) -> int:
+    """Max |value| for which the kernel's float64 arithmetic is EXACT:
+    every intermediate is an integer of magnitude <= 4*dim*maxv^2
+    (distance terms |x|^2, 2*x.c, |c|^2 and their sums), and float64
+    represents integers exactly up to 2^53 — so require
+    4*dim*maxv^2 <= 2^53. Values past the bound take the int64 path."""
+    import math
+
+    return math.isqrt((1 << 53) // (4 * dim))
+
 
 def _trunc_div(s: int, n: int) -> int:
     """Truncating integer division toward zero (matches the
     sign-explicit SQL `CASE WHEN s < 0 THEN -((-s) // n) ELSE
     s // n END`; Python's // alone floors)."""
     return -((-s) // n) if s < 0 else s // n
+
+
+def _flat_sum(terms: list[F.Column]) -> F.Column:
+    """Left-assoc sum of dim-bounded int64 terms (exact in any
+    grouping; spelled left-to-right to mirror the fold it replaces)."""
+    out = terms[0].cast("long")
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 def _dist2(emb_col: F.Column, centroid: list[int]) -> F.Column:
@@ -81,6 +110,199 @@ def _assign_col(emb_col: F.Column, centroids: list[list[int]]) -> F.Column:
         F.lit(0))
 
 
+def _batch_vectors(batch, dim: int):
+    """(X int64 ndarray n x dim, null_mask) from an Arrow record
+    batch's second column (`array<long>` embeddings). Row-level NULL
+    vectors are masked (assigned cluster 0, excluded from centroid
+    sums — the expression path's coalesce/NULL-sum semantics).
+    Element-level NULLs inside a non-NULL vector have no analog in
+    any producer in this engine and raise loudly rather than diverge
+    silently from the expression path's NULL-propagation quirks."""
+    import numpy as np
+
+    col = batch.column(1)
+    n = len(col)
+    null_mask = np.zeros(n, dtype=bool)
+    if col.null_count:
+        null_mask = col.is_null().to_numpy(zero_copy_only=False)
+    flat = col.flatten()
+    if flat.null_count:
+        raise ValueError(
+            "kmeans kernel: NULL element inside an embedding vector")
+    lengths = col.value_lengths().to_numpy(zero_copy_only=False)
+    if not ((lengths == dim) | null_mask).all():
+        raise ValueError("kmeans kernel: ragged embedding vectors")
+    vals = flat.to_numpy(zero_copy_only=False).astype(np.int64)
+    X = np.zeros((n, dim), dtype=np.int64)
+    X[~null_mask] = vals.reshape(-1, dim)
+    return X, null_mask
+
+
+def _argmin_clusters(X, null_mask, C, cn2):
+    """First-min argmin cluster ids, exactly as `_assign_col`: integer
+    distances, tie -> lowest cluster id, NULL vector -> 0. float64
+    matmul when every value is exact-representable, int64 otherwise."""
+    import numpy as np
+
+    bound = _f64_exact_bound(C.shape[1])
+    if (np.abs(X).max(initial=0) <= bound
+            and np.abs(C).max(initial=0) <= bound):
+        # exact: integer products < 2^50, integer-valued sums < 2^53
+        xc = X.astype(np.float64) @ C.T.astype(np.float64)
+        x2 = (X.astype(np.float64) ** 2).sum(axis=1)
+        d2 = x2[:, None] - 2.0 * xc + cn2.astype(np.float64)[None, :]
+    else:
+        xc = X @ C.T
+        x2 = (X * X).sum(axis=1)
+        d2 = x2[:, None] - 2 * xc + cn2[None, :]
+    cl = np.argmin(d2, axis=1).astype(np.int32)  # first min = low id
+    cl[null_mask] = 0
+    return cl
+
+
+def _assign_arrow(emb: DataFrame, centroids: list[list[int]],
+                  key_col: str, emb_col: str) -> DataFrame:
+    """(key_col, cluster) via one Arrow-batched numpy kernel —
+    bit-identical to the `_assign_col` expression path (differential
+    pytest + the sf0.1 oracle run pin it) with an O(1) plan."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.int64)
+    cn2 = (C * C).sum(axis=1)
+    dim = C.shape[1]
+
+    def kernel(batches):
+        import pyarrow as pa
+        for batch in batches:
+            X, null_mask = _batch_vectors(batch, dim)
+            cl = _argmin_clusters(X, null_mask, C, cn2)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(cl, pa.int32())],
+                [key_col, "cluster"])
+
+    return emb.select(key_col, emb_col).mapInArrow(
+        kernel, schema=f"{key_col} long, cluster int")
+
+
+def _centroid_partials(emb: DataFrame, centroids: list[list[int]],
+                       key_col: str, emb_col: str) -> DataFrame:
+    """Per-batch (cluster, _n, _s0.._s{dim-1}) partial sums for the
+    centroid update, computed inside the same Arrow kernel as the
+    assignment so no per-doc row ever crosses the Python boundary
+    twice. Bincount weights are integer-valued float64 (< 2^53 for
+    any real corpus) -> exact."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.int64)
+    cn2 = (C * C).sum(axis=1)
+    k, dim = C.shape
+
+    def kernel(batches):
+        import pyarrow as pa
+        for batch in batches:
+            X, null_mask = _batch_vectors(batch, dim)
+            cl = _argmin_clusters(X, null_mask, C, cn2)
+            counts = np.bincount(cl, minlength=k).astype(np.int64)
+            sums = np.empty((dim, k), dtype=np.int64)
+            live = ~null_mask  # NULL rows count toward _n only
+            for d in range(dim):
+                sums[d] = np.bincount(
+                    cl[live], weights=X[live, d].astype(np.float64),
+                    minlength=k).astype(np.int64)
+            arrays = [pa.array(np.arange(k, dtype=np.int32)),
+                      pa.array(counts)]
+            arrays += [pa.array(sums[d]) for d in range(dim)]
+            yield pa.RecordBatch.from_arrays(
+                arrays, ["cluster", "_n"]
+                + [f"_s{d}" for d in range(dim)])
+
+    schema = ("cluster int, _n long, "
+              + ", ".join(f"_s{d} long" for d in range(dim)))
+    return emb.select(key_col, emb_col).mapInArrow(kernel, schema=schema)
+
+
+def _pairs_arrow(side: DataFrame, p: int, q: int, dim: int) -> DataFrame:
+    """Within-cluster near-dup pairs `(id_a, id_b)` — the Arrow/BLAS
+    twin of the expression pair join, bit-identical by construction:
+    integer dot products (float64 matmul under `_f64_exact_bound`,
+    int64 past it) and the SAME exact integer predicate
+    `dot > 0 AND q^2*dot^2 > p^2*|x|^2*|y|^2`, evaluated in int64 when
+    the magnitude bound proves it overflow-free and with Python
+    bigints otherwise. One unordered pair per (id_a < id_b).
+
+    Why: the a.join(b, "cluster") form explodes a hot cluster's pairs
+    inside ONE sort-merge-join task (AQE's skew split keys on input
+    BYTES and never fires on output-skew), and every candidate pair
+    pays row-decode of two arrays plus decimal(38) multiplies. Here a
+    cluster's pair search is one numpy gram matrix per group, emitting
+    only the passing pairs (guide §4.2).
+
+    `side` must be `(cluster int, id long, v array<long>)` with
+    non-NULL fixed-`dim` vectors (semdedup's embeddings are total)."""
+    import numpy as np
+
+    qq, pp = q * q, p * p
+    int63 = (1 << 63) - 1
+
+    def kern(pdf):
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        m = len(ids)
+        if m < 2:
+            return _EMPTY_PAIRS_PDF()
+        X = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+        maxv = int(np.abs(X).max(initial=0))
+        exact_f64 = maxv <= _f64_exact_bound(dim)
+        Xc = X.astype(np.float64) if exact_f64 else X
+        n2 = np.einsum("ij,ij->i", Xc, Xc)
+        n2 = n2.astype(np.int64) if exact_f64 else n2
+        # overflow-free int64 predicate iff the dot/norm bound B keeps
+        # q^2*B^2 and p^2*B^2 inside int64
+        bound = dim * maxv * maxv
+        int64_ok = max(qq, pp) * bound * bound <= int63
+        col = np.arange(m)
+        out_a, out_b = [], []
+        blk = 1024  # bound gram-block memory to ~blk*m cells
+        for s in range(0, m, blk):
+            e = min(s + blk, m)
+            G = Xc[s:e] @ Xc.T  # exact integer dots
+            Gi = G.astype(np.int64) if exact_f64 else G
+            # strict upper triangle in POSITION; each unordered pair
+            # visited once, emitted as (min_id, max_id) — identical to
+            # the join's id_a < id_b orientation
+            upper = col[None, :] > np.arange(s, e)[:, None]
+            if int64_ok:
+                hit = upper & (Gi > 0) & (
+                    qq * Gi * Gi > pp * (n2[s:e, None] * n2[None, :]))
+            else:
+                hit = np.zeros_like(upper)
+                for r, c in np.argwhere(upper & (Gi > 0)):
+                    d = int(Gi[r, c])
+                    if qq * d * d > pp * int(n2[s + r]) * int(n2[c]):
+                        hit[r, c] = True
+            r_idx, c_idx = np.nonzero(hit)
+            if len(r_idx):
+                ia = ids[s + r_idx]
+                ib = ids[c_idx]
+                out_a.append(np.minimum(ia, ib))
+                out_b.append(np.maximum(ia, ib))
+        if not out_a:
+            return _EMPTY_PAIRS_PDF()
+        import pandas as pd
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b)})
+
+    return side.groupBy("cluster").applyInPandas(
+        lambda _key, pdf: kern(pdf), schema="id_a long, id_b long")
+
+
+def _EMPTY_PAIRS_PDF():
+    import pandas as pd
+
+    return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                         "id_b": pd.Series([], dtype="int64")})
+
+
 def kmeans_assign(emb: DataFrame, k: int = 4, iters: int = 2,
                   key_col: str = "doc_id",
                   emb_col: str = "embedding") -> DataFrame:
@@ -91,6 +313,13 @@ def kmeans_assign(emb: DataFrame, k: int = 4, iters: int = 2,
     fewer clusters. `iters` counts ASSIGNMENT rounds: round 1 uses
     the init centroids (k smallest keys' vectors), each later round
     uses quantized means of the previous assignment.
+
+    Above `_KERNEL_MIN_K` the per-row argmin runs as an Arrow numpy
+    kernel instead of k literal-centroid expressions: same integers,
+    same first-min tie-break (differential pytest), but the plan stays
+    O(1) and the per-row cost is a BLAS matmul — the ADVICE-r5 fix for
+    corpus-scaled k (no k-element literal array in the plan, no
+    O(n*k*dim) interpreted expression evaluation).
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -103,19 +332,24 @@ def kmeans_assign(emb: DataFrame, k: int = 4, iters: int = 2,
         spark = emb.sparkSession
         return spark.createDataFrame(
             [], f"{key_col} long, cluster int")
-    assigned = None
-    for it in range(iters):
-        assigned = emb.select(
-            key_col,
-            F.col(emb_col).alias("_v"),
-            _assign_col(F.col(emb_col), centroids).alias("cluster"))
-        if it == iters - 1:
-            break
-        dim = len(centroids[0])
-        sums = assigned.groupBy("cluster").agg(
-            F.count("*").alias("_n"),
-            *[F.sum(F.element_at("_v", d + 1)).alias(f"_s{d}")
-              for d in range(dim)])
+    use_kernel = k >= _KERNEL_MIN_K
+    dim = len(centroids[0])
+    for it in range(iters - 1):
+        if use_kernel:
+            sums = _centroid_partials(
+                emb, centroids, key_col, emb_col).groupBy("cluster").agg(
+                F.sum("_n").alias("_n"),
+                *[F.sum(f"_s{d}").alias(f"_s{d}") for d in range(dim)])
+            sums = sums.filter(F.col("_n") > 0)
+        else:
+            assigned_it = emb.select(
+                key_col,
+                F.col(emb_col).alias("_v"),
+                _assign_col(F.col(emb_col), centroids).alias("cluster"))
+            sums = assigned_it.groupBy("cluster").agg(
+                F.count("*").alias("_n"),
+                *[F.sum(F.element_at("_v", d + 1)).alias(f"_s{d}")
+                  for d in range(dim)])
         by_cluster = {int(r["cluster"]): r for r in sums.collect()}
         centroids = [
             [_trunc_div(int(by_cluster[j][f"_s{d}"]), int(by_cluster[j]["_n"]))
@@ -123,7 +357,11 @@ def kmeans_assign(emb: DataFrame, k: int = 4, iters: int = 2,
             if j in by_cluster else centroids[j]  # empty cluster
             for j in range(len(centroids))
         ]
-    return assigned.select(key_col, "cluster")
+    if use_kernel:
+        return _assign_arrow(emb, centroids, key_col, emb_col)
+    return emb.select(
+        key_col,
+        _assign_col(F.col(emb_col), centroids).alias("cluster"))
 
 
 def semdedup(docs: DataFrame, key_col: str = "doc_id",
@@ -147,30 +385,46 @@ def semdedup(docs: DataFrame, key_col: str = "doc_id",
     emb = emb.persist()
     clusters = kmeans_assign(emb, k=k, iters=iters, key_col=key_col,
                              emb_col="embedding")
-    norm2 = F.aggregate(F.col("embedding"), F.lit(0).cast("long"),
-                        lambda acc, x: acc + x * x)
-    side = (emb.join(clusters, key_col)
-            .select(F.col(key_col).alias("id"), "cluster",
-                    F.col("embedding").alias("v"),
-                    norm2.alias("n2")))
-    a = side.select(F.col("id").alias("id_a"), "cluster",
-                    F.col("v").alias("va"), F.col("n2").alias("na"))
-    b = side.select(F.col("id").alias("id_b"), "cluster",
-                    F.col("v").alias("vb"), F.col("n2").alias("nb"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
-                      F.lit(0).cast("long"), lambda acc, x: acc + x)
-    pairs = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("_dot", dot)
-        # cos > p/q on the integer lattice: positive dot AND
-        # q^2 dot^2 > p^2 |x|^2 |y|^2 (decimal headroom for the
-        # 4-factor product at large counts)
-        .filter(
-            (F.col("_dot") > 0)
-            & (F.expr(f"cast(_dot as decimal(38,0)) * _dot * {q * q}")
-               > F.expr(f"cast(na as decimal(38,0)) * nb * {p * p}")))
-        .select("id_a", "id_b"))
+    if k >= _KERNEL_MIN_K:
+        # Arrow pair kernel (bit-identical; see _pairs_arrow): a hot
+        # cluster's quadratic pair search is one numpy gram matrix in
+        # its group task instead of an SMJ pair explosion that AQE's
+        # byte-based skew split never touches
+        side_k = emb.join(clusters, key_col).select(
+            "cluster", F.col(key_col).alias("id"),
+            F.col("embedding").alias("v"))
+        pairs = _pairs_arrow(side_k, p, q, dim)
+    else:
+        # flat element_at sums, not aggregate/zip_with lambdas:
+        # higher-order functions are interpreted (CLAUDE.md r5
+        # convention) while the flat dim-bounded sum is whole-stage-
+        # codegen'd — identical int64 values in the identical order
+        norm2 = _flat_sum(
+            [F.element_at("embedding", d + 1)
+             * F.element_at("embedding", d + 1) for d in range(dim)])
+        side = (emb.join(clusters, key_col)
+                .select(F.col(key_col).alias("id"), "cluster",
+                        F.col("embedding").alias("v"),
+                        norm2.alias("n2")))
+        a = side.select(F.col("id").alias("id_a"), "cluster",
+                        F.col("v").alias("va"), F.col("n2").alias("na"))
+        b = side.select(F.col("id").alias("id_b"), "cluster",
+                        F.col("v").alias("vb"), F.col("n2").alias("nb"))
+        dot = _flat_sum(
+            [F.element_at("va", d + 1) * F.element_at("vb", d + 1)
+             for d in range(dim)])
+        pairs = (
+            a.join(b, "cluster")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("_dot", dot)
+            # cos > p/q on the integer lattice: positive dot AND
+            # q^2 dot^2 > p^2 |x|^2 |y|^2 (decimal headroom for the
+            # 4-factor product at large counts)
+            .filter(
+                (F.col("_dot") > 0)
+                & (F.expr(f"cast(_dot as decimal(38,0)) * _dot * {q * q}")
+                   > F.expr(f"cast(na as decimal(38,0)) * nb * {p * p}")))
+            .select("id_a", "id_b"))
     decision = dedup_decision(docs, pairs, id_col=key_col)
     out = (decision
            .join(clusters, key_col, "left")

@@ -164,6 +164,33 @@ def test_embedding_neardup_lsh(spark, emb):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_embedding_lsh_flat_dot_matches_fold(spark):
+    """dim= (flat codegen dot) must be BIT-identical to the default
+    interpreted fold on every pair — adversarial floats included
+    (negative zeros, denormal-ish magnitudes, sign cancellations)."""
+    import random
+
+    from document_extractor_spark.operators.dedup import (
+        embedding_neardup_pairs_lsh,
+    )
+
+    random.seed(7)
+    rows = []
+    for i in range(60):
+        v = [random.choice([0.0, -0.0, 1e-20, -1e-20,
+                            random.uniform(-2, 2)])
+             for _ in range(8)]
+        rows.append((i, v))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+    kw = dict(threshold=-2.0, n_bits=2)  # keep every candidate pair
+    flat = sorted(map(tuple, embedding_neardup_pairs_lsh(
+        emb, dim=8, **kw).collect()))
+    fold = sorted(map(tuple, embedding_neardup_pairs_lsh(
+        emb, **kw).collect()))
+    assert flat == fold
+
+
 def test_embedding_neardup_lsh_empty(spark):
     from pyspark.sql import types as T
 

@@ -33,6 +33,23 @@ def test_matches_pure_python_reference(spark):
     assert out[2] == [0] * 32 and out[3] == [0] * 32
 
 
+def test_token_limit_boundary_fast_vs_legacy_fold(spark):
+    """The nibble-packed fold is guarded to < 32768 tokens; docs at
+    and past the boundary take the legacy per-dim fold. Both must
+    match the pure-Python reference exactly."""
+    vocab = [f"w{i}" for i in range(37)]
+    long_doc = " ".join(vocab[i % 37] for i in range(32768))
+    just_under = " ".join(vocab[i % 31] for i in range(32767))
+    docs = spark.createDataFrame(
+        [(0, long_doc), (1, just_under), (2, "tiny doc")],
+        "doc_id long, text string")
+    out = {r.doc_id: list(r.embedding)
+           for r in hashed_embeddings(docs, dim=16).collect()}
+    assert out[0] == _ref_vector(long_doc, 16)
+    assert out[1] == _ref_vector(just_under, 16)
+    assert out[2] == _ref_vector("tiny doc", 16)
+
+
 def test_normalized_unit_vectors_feed_ann(spark):
     docs = spark.createDataFrame(
         [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"),

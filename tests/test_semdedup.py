@@ -113,6 +113,78 @@ def test_kmeans_null_embedding_goes_to_cluster_zero(spark):
     assert set(out) == {1, 2, 3, 4}
 
 
+def test_kmeans_kernel_matches_expression_path(spark, monkeypatch):
+    """The Arrow argmin kernel (k >= _KERNEL_MIN_K) must be
+    bit-identical to the literal-centroid expression path on every
+    row — including the tie -> lowest-cluster and NULL -> cluster 0
+    rules — across multiple centroid-update iterations."""
+    import document_extractor_spark.operators.semdedup as sd
+
+    # seeded adversarial mix: clusterable blobs, exact ties (identical
+    # vectors), zero vectors, negatives, one NULL embedding
+    rows = []
+    for i in range(400):
+        v = [((i * 7 + d * 13) % 29) - 14 for d in range(6)]
+        if i % 17 == 0:
+            v = [0] * 6                    # zero vectors tie everywhere
+        if i % 50 == 3:
+            v = [5, -5, 5, -5, 5, -5]      # repeated identical vectors
+        rows.append((i, v))
+    emb = _emb(spark, rows).unionByName(spark.createDataFrame(
+        [(999, None)], "doc_id long, embedding array<long>"))
+
+    k = max(40, sd._KERNEL_MIN_K + 8)
+    assert k >= sd._KERNEL_MIN_K
+    kern = sorted(map(tuple,
+                      kmeans_assign(emb, k=k, iters=3).collect()))
+    monkeypatch.setattr(sd, "_KERNEL_MIN_K", 10 ** 9)
+    expr = sorted(map(tuple,
+                      kmeans_assign(emb, k=k, iters=3).collect()))
+    assert kern == expr
+    assert dict(kern)[999] == 0  # NULL embedding -> cluster 0
+
+
+def test_semdedup_pair_kernel_matches_expression_path(spark, monkeypatch):
+    """Full semdedup with the Arrow pair kernel (k >= _KERNEL_MIN_K)
+    must equal the expression pair-join path row for row — near-dup
+    groups, exact duplicates, empty docs and all."""
+    import document_extractor_spark.operators.semdedup as sd
+
+    rows = []
+    for i in range(200):
+        base = f"alpha beta w{i % 9} gamma delta common tokens here"
+        if i % 3 == 0:
+            base += f" extra{i % 5}"
+        if i % 23 == 0:
+            base = ""          # zero vectors never pair
+        rows.append((i, base))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    k = max(40, sd._KERNEL_MIN_K + 8)
+    kern = sorted(map(tuple,
+                      semdedup(docs, dim=16, k=k, iters=2).collect()))
+    monkeypatch.setattr(sd, "_KERNEL_MIN_K", 10 ** 9)
+    expr = sorted(map(tuple,
+                      semdedup(docs, dim=16, k=k, iters=2).collect()))
+    assert kern == expr
+    # sanity: the corpus really produces near-dup components
+    assert any(not r[3] for r in kern)
+
+
+def test_kmeans_kernel_int64_fallback_exact(spark, monkeypatch):
+    """Values past the float64-exact bound must take the int64 matmul
+    branch and still match the expression path."""
+    import document_extractor_spark.operators.semdedup as sd
+
+    big = sd._f64_exact_bound(3) * 4
+    rows = [(i, [big + i, -big - 2 * i, i * 3]) for i in range(80)]
+    emb = _emb(spark, rows)
+    k = max(40, sd._KERNEL_MIN_K)
+    kern = sorted(map(tuple, kmeans_assign(emb, k=k, iters=2).collect()))
+    monkeypatch.setattr(sd, "_KERNEL_MIN_K", 10 ** 9)
+    expr = sorted(map(tuple, kmeans_assign(emb, k=k, iters=2).collect()))
+    assert kern == expr
+
+
 def _cbs(spark, rows, **kw):
     from document_extractor_spark.operators.semdedup import (
         cluster_balanced_sample)
