@@ -50,6 +50,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UN-widened scan for cheap plan-building references (counts,
+    # id-only edge projections): those pay the widen exchange without
+    # any parallel-compute payoff (measured +3.4s on
+    # quality_keeper_dedup from three such references)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     _pin_utc(spark)
     return DD.widen_narrow_input(
@@ -1310,10 +1318,12 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     which MUST be recovered (identical vectors share every sign bit)."""
     emb = _emb(spark, sf_dir)
     dups = emb.withColumn("vec_id", F.col("vec_id") + 1_000_000)
-    # dim=64 is the embeddings table's fixed width: flat codegen dot
-    # (bit-identical to the fold; see _flat_float_dot)
+    # dim=64 is the embeddings table's fixed width; arrow_pairs moves
+    # the in-bucket quadratic into a per-bucket gram kernel
+    # (bit-identical to the join+fold; see _bucket_pairs_arrow)
     pairs = DD.embedding_neardup_pairs_lsh(
-        emb.unionByName(dups), threshold=0.99, n_bits=6, dim=64)
+        emb.unionByName(dups), threshold=0.99, n_bits=6, dim=64,
+        arrow_pairs=True)
     return pairs.select(
         "id_a", "id_b", "cosine").filter(F.col("id_b") - F.col("id_a")
                                          == 1_000_000)
@@ -4115,7 +4125,8 @@ def q_semdedup(spark, sf_dir):
     from document_extractor_spark.operators.semdedup import semdedup
 
     docs = _docs(spark, sf_dir)
-    k = max(4, docs.count() // 125)
+    # plan-building count on the raw scan (no widen exchange)
+    k = max(4, _docs_raw(spark, sf_dir).count() // 125)
     return semdedup(docs, dim=16, k=k, iters=2, tau=(7, 10))
 
 
@@ -4271,7 +4282,9 @@ def q_inverted_index(spark, sf_dir):
     from document_extractor_spark.operators.bm25 import inverted_index
 
     docs = _docs(spark, sf_dir)
-    return inverted_index(docs, max_df=max(2, docs.count() * 4 // 5))
+    # plan-building count on the raw scan (no widen exchange)
+    return inverted_index(
+        docs, max_df=max(2, _docs_raw(spark, sf_dir).count() * 4 // 5))
 
 
 _ORACLE_INVERTED_INDEX = """
@@ -4682,14 +4695,20 @@ def q_quality_keeper_dedup(spark, sf_dir):
 
     d = _docs(spark, sf_dir).withColumn(
         "q", TS.quality_score(F.col("text")))
-    chain = d.filter((F.col("doc_id") % 10).isin(0, 1, 2)).select(
+    # id-only edge projections read the RAW scan: they carry no heavy
+    # compute, so the widen exchange is pure overhead for them
+    raw = _docs_raw(spark, sf_dir)
+    chain = raw.filter((F.col("doc_id") % 10).isin(0, 1, 2)).select(
         F.col("doc_id").alias("id_a"),
         (F.col("doc_id") + 1).alias("id_b"))
-    fuse = d.filter(F.col("doc_id") % 23 == 0).select(
+    fuse = raw.filter(F.col("doc_id") % 23 == 0).select(
         F.col("doc_id").alias("id_a"),
         (F.col("doc_id") + 17).alias("id_b"))
     pairs = chain.unionByName(fuse)
-    out = dedup_decision_keep_best(d, pairs, quality_col="q")
+    # trivial id-projection edge plan: a lazy double-eval is cheaper
+    # than the input-materialization job
+    out = dedup_decision_keep_best(d, pairs, quality_col="q",
+                                   materialize_pairs=False)
     return out.select(
         "doc_id", F.col("component").cast("long").alias("component"),
         "q", "is_keeper")

@@ -71,12 +71,21 @@ def _large_star(e: DataFrame) -> DataFrame:
             .select(F.col("v").alias("u"), F.col("m").alias("v")))
 
 
-def _small_star(e: DataFrame) -> DataFrame:
+def _small_star(e: DataFrame, pre_oriented: bool = False) -> DataFrame:
     """Flatten local fan-in: orient each edge big→small; for each
     node u with smaller neighbours S(u), m = min(S(u)); emit (w, m)
     for w in S(u) ∪ {u} (self loops dropped by the caller's
-    _canon)."""
-    directed = _canon(e)  # u > v for every row
+    _canon).
+
+    `pre_oriented=True` skips the input _canon when the caller
+    guarantees u > v with no self loops (true of `_large_star` output:
+    it emits (v, m) with m <= u < v). Duplicate input edges are then
+    possible but harmless — the min aggregation is duplicate-
+    insensitive and `leaves` duplicates collapse in the caller's outer
+    _canon — so skipping the inner distinct drops one shuffle per
+    round without changing the round's RESULT (pytest pins the loop's
+    fixpoint)."""
+    directed = e if pre_oriented else _canon(e)  # u > v for every row
     mins = directed.groupBy("u").agg(F.min("v").alias("m"))
     leaves = (directed.join(mins, "u")
               .select(F.col("v").alias("u"), F.col("m").alias("v")))
@@ -86,10 +95,15 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 def connected_components(edges: DataFrame, a_col: str = "a",
                          b_col: str = "b",
-                         max_rounds: int = MAX_ROUNDS) -> DataFrame:
+                         max_rounds: int = MAX_ROUNDS,
+                         materialize_input: bool = True) -> DataFrame:
     """(node, comp) for every node in `edges`, comp = min reachable
     node id. Nodes appear even if their only edge is a self-loop;
     callers union isolated nodes afterwards if needed.
+
+    `materialize_input=False` skips the input-edge checkpoint: for a
+    caller whose edge plan is a trivial projection, one extra lazy
+    evaluation is cheaper than an eager materialization job.
     """
     # Materialize the INPUT edge plan once before anything consumes
     # it: `nodes` and the canonical edge set below would otherwise
@@ -98,8 +112,9 @@ def connected_components(edges: DataFrame, a_col: str = "a",
     # verification subquery, so the duplicate evaluation used to
     # double the whole candidate stage (guide §5: cut lineage, reuse
     # the materialized intermediate).
-    raw = (edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-           .localCheckpoint(eager=True))
+    raw = edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    if materialize_input:
+        raw = raw.localCheckpoint(eager=True)
     # localCheckpoint (not persist): an iterative self-join DOUBLES
     # the logical plan every round, and Catalyst re-analyzes the full
     # lineage at each action — by round ~10 the plan tree alone OOMs
@@ -107,15 +122,17 @@ def connected_components(edges: DataFrame, a_col: str = "a",
     # from a flat scan of materialized blocks. (On a real cluster,
     # reliable checkpoint() to HDFS trades speed for executor-loss
     # tolerance; localCheckpoint is the right call for bounded loops.)
+    # nodes stays LAZY off the checkpointed raw edges: it is consumed
+    # exactly once (the final left join), so an eager checkpoint here
+    # was one full job of pure overhead per closure
     nodes = (raw.select(F.col("u").alias("node"))
              .unionByName(raw.select(F.col("v").alias("node")))
-             .distinct()
-             .localCheckpoint(eager=True))
+             .distinct())
     e = _canon(raw).localCheckpoint(eager=True)
     e_count = e.count()
     converged = False
     for _ in range(max_rounds):
-        new_e = _canon(_small_star(_large_star(e))) \
+        new_e = _canon(_small_star(_large_star(e), pre_oriented=True)) \
             .localCheckpoint(eager=True)
         # set equality: both sides distinct, so equal counts plus an
         # empty one-sided difference proves the sets identical. The
@@ -160,7 +177,9 @@ def connected_components(edges: DataFrame, a_col: str = "a",
 def dedup_decision_keep_best(docs: DataFrame, pairs: DataFrame,
                              quality_col: str = "q",
                              id_col: str = "doc_id",
-                             pair_a: str = "id_a", pair_b: str = "id_b"
+                             pair_a: str = "id_a", pair_b: str = "id_b",
+                             checkpoint_result: bool = True,
+                             materialize_pairs: bool = True
                              ) -> DataFrame:
     """(id, component, q, is_keeper): transitive near-dup closure
     with a QUALITY keeper policy — each cluster's survivor is its
@@ -182,7 +201,8 @@ def dedup_decision_keep_best(docs: DataFrame, pairs: DataFrame,
     engine's exactness-pinned quality scores, bit-identical to the
     oracle's, so keeper choice is reproducible cross-engine.
     """
-    comp = connected_components(pairs, pair_a, pair_b)
+    comp = connected_components(pairs, pair_a, pair_b,
+                                materialize_input=materialize_pairs)
     labeled = (
         docs.select(F.col(id_col).alias("node"), F.col(quality_col))
         .join(comp, "node", "left")
@@ -191,6 +211,13 @@ def dedup_decision_keep_best(docs: DataFrame, pairs: DataFrame,
             F.coalesce(F.col("comp"), F.col("node")).alias("component"),
             F.col(quality_col))
     )
+    # labeled feeds BOTH the keeper argmax and the final join, and its
+    # quality column is typically an expensive per-doc score — persist
+    # it for the build, materialize the small decision, release (the
+    # charlm lifecycle; checkpoint_result=False keeps the live plan
+    # for plan-shape budgeting at the cost of the double evaluation)
+    if checkpoint_result:
+        labeled = labeled.persist()
     # NULL quality is pinned to -inf (NULLS-LAST semantics): struct
     # min would otherwise sort a NULL nq FIRST and crown the NULL-q
     # doc, while a SQL `ORDER BY q DESC` twin defaults NULLS LAST —
@@ -201,19 +228,25 @@ def dedup_decision_keep_best(docs: DataFrame, pairs: DataFrame,
     best = labeled.groupBy("component").agg(
         F.min(F.struct(nq.alias("nq"),
                        F.col(id_col).alias("kid"))).alias("b"))
-    return (labeled.join(best, "component")
-            .withColumn("is_keeper", F.col(id_col) == F.col("b.kid"))
-            .drop("b"))
+    out = (labeled.join(best, "component")
+           .withColumn("is_keeper", F.col(id_col) == F.col("b.kid"))
+           .drop("b"))
+    if checkpoint_result:
+        out = out.localCheckpoint(eager=True)
+        labeled.unpersist(blocking=False)
+    return out
 
 
 def dedup_decision(docs: DataFrame, pairs: DataFrame,
                    id_col: str = "doc_id",
-                   pair_a: str = "id_a", pair_b: str = "id_b"
+                   pair_a: str = "id_a", pair_b: str = "id_b",
+                   materialize_pairs: bool = True
                    ) -> DataFrame:
     """(id, component, is_keeper) for every document: transitive
     near-dup closure over `pairs`, keeper = smallest id per cluster;
     docs without any pair keep themselves (singleton component)."""
-    comp = connected_components(pairs, pair_a, pair_b)
+    comp = connected_components(pairs, pair_a, pair_b,
+                                materialize_input=materialize_pairs)
     return (
         docs.select(F.col(id_col).alias("node"))
         .join(comp, "node", "left")

@@ -78,6 +78,22 @@ def seed_hash(col, seed: int):
     ).cast("long")
 
 
+def tokhash_set_col(text_col: str = "text"):
+    """Distinct token set as 60-bit md5 hashes (`array<long>`).
+
+    For exact-Jaccard verification the intersection/union CARDINALITY
+    is all that matters, and |h(A) ∩ h(B)| == |A ∩ B| unless two
+    distinct tokens collide in 60 bits — the same negligible-collision
+    argument `ngram_jaccard_pairs` documents for shuffling shingles as
+    hashes. An 8-byte element vs a string shrinks the verify join's
+    shuffle and makes the per-pair intersect a primitive-long set
+    probe instead of a string one."""
+    return F.array_distinct(F.transform(
+        tokens_col(text_col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+        .cast("long")))
+
+
 def widen_narrow_input(df: DataFrame) -> DataFrame:
     """Round-robin a narrow scan up to cluster parallelism.
 
@@ -343,9 +359,11 @@ def minhash_incremental_decision(new_docs: DataFrame,
         seen_b = seen_b.join(hot, ["band", "band_sig"], "left_anti")
     cand = (new_b.join(seen_b, ["band", "band_sig"])
             .select("id_new", "id_seen").distinct())
+    # token sets verify as 60-bit hashes (identical cardinalities
+    # modulo 2^-60 collisions — see tokhash_set_col)
     toks = lambda d, name: widen_narrow_input(d).select(  # noqa: E731
         F.col(id_col).alias(name),
-        F.array_distinct(tokens_col(text_col)).alias(f"toks_{name}"))
+        tokhash_set_col(text_col).alias(f"toks_{name}"))
     joined = (cand.join(toks(new_docs, "id_new"), "id_new")
               .join(toks(seen_docs, "id_seen"), "id_seen"))
     inter = F.size(F.array_intersect("toks_id_new", "toks_id_seen"))
@@ -385,9 +403,11 @@ def minhash_verified_pairs(docs: DataFrame, id_col: str = "doc_id",
     (localCheckpoint spills the result to local disk)."""
     cand = minhash_candidate_pairs(
         docs, id_col, text_col, k, bands, max_bucket_df)
+    # token sets verify as 60-bit hashes (identical cardinalities
+    # modulo 2^-60 collisions — see tokhash_set_col)
     toksets = widen_narrow_input(docs).select(
         F.col(id_col).alias("id"),
-        F.array_distinct(tokens_col(text_col)).alias("toks"))
+        tokhash_set_col(text_col).alias("toks"))
     if checkpoint_result:
         toksets = toksets.persist()
     a = toksets.select(F.col("id").alias("id_a"),
@@ -527,11 +547,87 @@ def _flat_float_dot(va, vb, dim: int) -> "F.Column":
     return out
 
 
+def _bucket_pairs_arrow(withn: DataFrame, id_col: str, vec_col: str,
+                        dim: int, threshold: float) -> DataFrame:
+    """Within-bucket candidate pairs `(id_a, id_b, _dot, _na, _nb)` —
+    the Arrow/BLAS twin of the self-join + per-pair fold. Bit-exact:
+    the dot accumulates dimension-by-dimension across the whole
+    gram block (`acc += X[:,d] * X[:,d]^T`), which is EXACTLY the
+    fold's `((0.0 + p1) + p2) + ...` IEEE sequence per pair; norms
+    arrive precomputed from the same JVM expression as before. The
+    final round/divide/threshold stays in JVM so `F.round` semantics
+    are untouched; the kernel only pre-filters with a safe margin
+    (5.1e-5 > half an ulp at 4dp) so it never drops a pair the exact
+    filter would keep.
+
+    Why: a hot bucket's pairs explode inside one SMJ task (AQE skew
+    handling keys on input bytes) and every pair pays row decode plus
+    an interpreted fold; here a bucket is one blocked numpy gram
+    computation emitting only near-threshold pairs (guide §4.2)."""
+    import numpy as np
+
+    def kern(pdf):
+        m = len(pdf)
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "_dot": pd.Series([], dtype="float64"),
+            "_na": pd.Series([], dtype="float64"),
+            "_nb": pd.Series([], dtype="float64")})
+        if m < 2:
+            return empty
+        ids = pdf["__id"].to_numpy(dtype=np.int64)
+        X = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+        norms = pdf["__n"].to_numpy(dtype=np.float64)
+        denom = norms[:, None] * norms[None, :]
+        col = np.arange(m)
+        out = []
+        blk = 1024
+        margin = threshold - 5.1e-5
+        for s in range(0, m, blk):
+            e = min(s + blk, m)
+            # dimension-by-dimension accumulation = the fold's exact
+            # per-pair IEEE op order, vectorized across pairs
+            acc = np.zeros((e - s, m))
+            for d in range(dim):
+                acc += X[s:e, d, None] * X[None, :, d]
+            upper = col[None, :] > np.arange(s, e)[:, None]
+            # denom>0: a zero-norm side makes the JVM cosine NaN and
+            # the exact filter drops it unconditionally — skip those
+            # pairs here instead of shipping them out
+            hit = upper & (denom[s:e] > 0) & (acc >= margin * denom[s:e])
+            r_idx, c_idx = np.nonzero(hit)
+            if len(r_idx):
+                ia, ib = ids[s + r_idx], ids[c_idx]
+                na, nb = norms[s + r_idx], norms[c_idx]
+                swap = ia > ib  # orient by id value like the join's
+                ia2 = np.where(swap, ib, ia)  # a.id < b.id condition
+                ib2 = np.where(swap, ia, ib)
+                na2 = np.where(swap, nb, na)
+                nb2 = np.where(swap, na, nb)
+                out.append(pd.DataFrame({
+                    "id_a": ia2, "id_b": ib2,
+                    "_dot": acc[r_idx, c_idx],
+                    "_na": na2, "_nb": nb2}))
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)
+
+    side = withn.select(F.col("bucket"),
+                        F.col(id_col).alias("__id"),
+                        F.col(vec_col).alias("__v"),
+                        F.col("norm").alias("__n"))
+    return side.groupBy("bucket").applyInPandas(
+        lambda _k, pdf: kern(pdf),
+        schema="id_a long, id_b long, _dot double, _na double, _nb double")
+
+
 def embedding_neardup_pairs_lsh(emb: DataFrame, id_col: str = "vec_id",
                                 vec_col: str = "embedding",
                                 threshold: float = 0.8,
                                 n_bits: int = 8, seed: int = 7,
-                                dim: int | None = None) -> DataFrame:
+                                dim: int | None = None,
+                                arrow_pairs: bool = False) -> DataFrame:
     """Scale path for embedding near-dup: random-hyperplane LSH buckets
     first (similarity.lsh_bucketed), exact cosine only within buckets.
     At 10^12 rows the candidate set is O(n * avg_bucket_size), never a
@@ -541,7 +637,13 @@ def embedding_neardup_pairs_lsh(emb: DataFrame, id_col: str = "vec_id",
     Pass `dim` when every vector has that exact length: the in-bucket
     cosine then uses the flat codegen dot (identical IEEE sequence,
     pytest-pinned) instead of the interpreted fold — the candidate
-    stream pays O(pairs*dim) lambda interpretation otherwise."""
+    stream pays O(pairs*dim) lambda interpretation otherwise.
+    `arrow_pairs=True` (requires `dim`) moves the whole in-bucket
+    pair search into a blocked numpy gram kernel per bucket
+    (`_bucket_pairs_arrow` — same IEEE dot sequence, norms/round/
+    threshold still the JVM expressions), which is the scale path
+    when hyperplane buckets go hot: the self-join otherwise explodes
+    a hot bucket's pairs inside one task."""
     from .similarity import lsh_bucketed
 
     bucketed = lsh_bucketed(emb, n_bits=n_bits, seed=seed,
@@ -549,6 +651,16 @@ def embedding_neardup_pairs_lsh(emb: DataFrame, id_col: str = "vec_id",
     from .similarity import _norm_expr
 
     withn = bucketed.withColumn("norm", _norm_expr(F.col(vec_col)))
+    if arrow_pairs:
+        if dim is None:
+            raise ValueError("arrow_pairs requires dim")
+        cand = _bucket_pairs_arrow(withn, id_col, vec_col, dim,
+                                   threshold)
+        return (cand.select(
+            "id_a", "id_b",
+            F.round(F.col("_dot") / (F.col("_na") * F.col("_nb")), 4)
+            .alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
     a, b = withn.alias("a"), withn.alias("b")
     if dim is not None:
         dot = _flat_float_dot(F.col(f"a.{vec_col}"),

@@ -40,6 +40,12 @@ def build_session(
             str(arrow_max_records_per_batch),
         )
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # guide §3.1: allow shuffled-hash join where its size
+        # conditions hold — skips the per-partition sorts of SMJ.
+        # The planner still falls back to sort-merge when the build
+        # side can't be proven to fit, so this is size-gated at any
+        # scale, not a local-mode tune.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # (runtime bloom-filter join pushdown — the feature that lets
         # a selective join side prune the other side's scan — already
         # defaults to ON in this Spark line; verified via conf.get,

@@ -191,6 +191,38 @@ def test_embedding_lsh_flat_dot_matches_fold(spark):
     assert flat == fold
 
 
+def test_embedding_lsh_arrow_pairs_matches_join(spark):
+    """arrow_pairs=True (per-bucket gram kernel) must equal the
+    join+fold path exactly — ids, cosines, everything. (No zero
+    vectors here: the join path's double division raises ANSI
+    DIVIDE_BY_ZERO on a zero norm — pre-existing r5 behavior — while
+    the kernel path skips such pairs; every real producer filters or
+    never emits zero vectors.)"""
+    import random
+
+    from document_extractor_spark.operators.dedup import (
+        embedding_neardup_pairs_lsh,
+    )
+
+    random.seed(11)
+    rows = []
+    for i in range(120):
+        v = [random.uniform(-2, 2) for _ in range(8)]
+        rows.append((i, v))
+    # salted exact dups must all be recovered on both paths
+    rows += [(i + 1000, list(v)) for i, v in rows[:40]]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+    for thr in (0.95, 0.5, -0.5):
+        kern = sorted(map(tuple, embedding_neardup_pairs_lsh(
+            emb, threshold=thr, n_bits=3, dim=8,
+            arrow_pairs=True).collect()))
+        join = sorted(map(tuple, embedding_neardup_pairs_lsh(
+            emb, threshold=thr, n_bits=3, dim=8).collect()))
+        assert kern == join, thr
+    assert len(kern) > 0  # the -0.5 sweep really produced pairs
+
+
 def test_embedding_neardup_lsh_empty(spark):
     from pyspark.sql import types as T
 
