@@ -364,15 +364,34 @@ def minhash_incremental_decision(new_docs: DataFrame,
     toks = lambda d, name: widen_narrow_input(d).select(  # noqa: E731
         F.col(id_col).alias(name),
         tokhash_set_col(text_col).alias(f"toks_{name}"))
-    joined = (cand.join(toks(new_docs, "id_new"), "id_new")
-              .join(toks(seen_docs, "id_seen"), "id_seen"))
-    inter = F.size(F.array_intersect("toks_id_new", "toks_id_seen"))
-    jac = F.round(inter / (F.size("toks_id_new")
-                           + F.size("toks_id_seen") - inter), 6)
-    dups = (joined.select("id_new", "id_seen", jac.alias("j"))
-            .filter(F.col("j") >= threshold)
-            .groupBy("id_new")
-            .agg(F.min("id_seen").alias("dup_of")))
+    # join ORDER is the guide-§8 move: attach the seen-side arrays
+    # via the LIGHT shuffle (the candidate stream is still bare id
+    # pairs there), then attach the new side by BROADCAST so the now
+    # array-laden stream never shuffles again. Broadcasting the NEW
+    # side is scale-safe by contract: it is the per-batch crawl (the
+    # bounded input of this operator), while the seen corpus — which
+    # may be 10^12 docs — only ever joins through the keyed shuffle.
+    joined = (cand.join(toks(seen_docs, "id_seen"), "id_seen")
+              .join(F.broadcast(toks(new_docs, "id_new")), "id_new"))
+    # The threshold decision rides INSIDE the aggregate, not a Filter:
+    # a Filter on the Jaccard gets predicate-pushed into the verify
+    # JOIN CONDITION with the alias inlined, so the two references
+    # (numerator + union denominator) evaluated array_intersect twice
+    # per candidate pair (observed in the executed plan; codegen has
+    # no CSE across them). min(when(...)) cannot be pushed into a
+    # join, the intersect is referenced once, and a NULL dup_of for
+    # an id_new whose candidates all failed is indistinguishable
+    # downstream from the id_new being absent (the caller left-joins
+    # and reads dup_of IS NULL as unique).
+    stats = joined.select(
+        "id_new", "id_seen",
+        F.size(F.array_intersect("toks_id_new", "toks_id_seen"))
+        .alias("_i"),
+        (F.size("toks_id_new") + F.size("toks_id_seen")).alias("_s"))
+    jac = F.round(F.col("_i") / (F.col("_s") - F.col("_i")), 6)
+    dups = (stats.groupBy("id_new")
+            .agg(F.min(F.when(jac >= threshold, F.col("id_seen")))
+                 .alias("dup_of")))
     return (new_docs.select(F.col(id_col))
             .join(dups.withColumnRenamed("id_new", id_col), id_col, "left")
             .select(id_col, "dup_of",
@@ -414,12 +433,22 @@ def minhash_verified_pairs(docs: DataFrame, id_col: str = "doc_id",
                        F.col("toks").alias("toks_a"))
     b = toksets.select(F.col("id").alias("id_b"),
                        F.col("toks").alias("toks_b"))
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    jac = F.round(
-        inter / (F.size("toks_a") + F.size("toks_b") - inter), 6)
+    # The intersect is computed ONCE per candidate in its own
+    # projection; without the nondeterministic barrier column the
+    # threshold Filter gets predicate-pushed into the verify JOIN
+    # CONDITION with the alias inlined, evaluating array_intersect
+    # twice per candidate (observed in the executed plan — codegen
+    # has no CSE across the numerator and union-denominator
+    # references). _nd is dropped before returning.
+    stats = (cand.join(a, "id_a").join(b, "id_b")
+             .select("id_a", "id_b",
+                     F.size(F.array_intersect("toks_a", "toks_b"))
+                     .alias("_i"),
+                     (F.size("toks_a") + F.size("toks_b")).alias("_s"),
+                     F.monotonically_increasing_id().alias("_nd")))
+    jac = F.round(F.col("_i") / (F.col("_s") - F.col("_i")), 6)
     result = (
-        cand.join(a, "id_a").join(b, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
+        stats.select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
     if checkpoint_result:
