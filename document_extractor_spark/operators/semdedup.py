@@ -221,25 +221,39 @@ def _centroid_partials(emb: DataFrame, centroids: list[list[int]],
     return emb.select(key_col, emb_col).mapInArrow(kernel, schema=schema)
 
 
-def _pairs_arrow(side: DataFrame, p: int, q: int, dim: int) -> DataFrame:
-    """Within-cluster near-dup pairs `(id_a, id_b)` — the Arrow/BLAS
-    twin of the expression pair join, bit-identical by construction:
-    integer dot products (float64 matmul under `_f64_exact_bound`,
-    int64 past it) and the SAME exact integer predicate
-    `dot > 0 AND q^2*dot^2 > p^2*|x|^2*|y|^2`, evaluated in int64 when
-    the magnitude bound proves it overflow-free and with Python
-    bigints otherwise. One unordered pair per (id_a < id_b).
+def _cluster_decision_arrow(side: DataFrame, p: int, q: int,
+                            dim: int) -> DataFrame:
+    """Per-cluster near-dup DECISION `(cluster, id, component)` — the
+    Arrow/BLAS twin of the expression pair join + distributed
+    transitive closure, bit-identical by construction.
+
+    Pair test: integer dot products (float64 matmul under
+    `_f64_exact_bound`, int64 past it) and the SAME exact integer
+    predicate `dot > 0 AND q^2*dot^2 > p^2*|x|^2*|y|^2`, evaluated in
+    int64 when the magnitude bound proves it overflow-free and with
+    Python bigints otherwise.
+
+    Closure: semdedup's pairs are CLUSTER-CONFINED by construction
+    (the join was keyed on cluster), so the global closure equals the
+    per-cluster closure — computed here as vectorized min-label
+    propagation with pointer jumping over the in-group pair arrays.
+    Rows are sorted by id first so index order == id order and the
+    propagated minimum INDEX is the minimum reachable ID — the exact
+    fixpoint `connected_components` produces. The pair stream never
+    leaves the Python worker.
 
     Why: the a.join(b, "cluster") form explodes a hot cluster's pairs
     inside ONE sort-merge-join task (AQE's skew split keys on input
-    BYTES and never fires on output-skew), and every candidate pair
-    pays row-decode of two arrays plus decimal(38) multiplies. Here a
-    cluster's pair search is one numpy gram matrix per group, emitting
-    only the passing pairs (guide §4.2).
+    BYTES and never fires on output-skew), every candidate pair pays
+    row-decode plus decimal(38) multiplies, and the closure then pays
+    ~5 shuffle stages x O(log n) rounds over the pair graph. Here a
+    cluster's whole pair-search-plus-closure is one numpy gram
+    computation per group (guide §4.2).
 
     `side` must be `(cluster int, id long, v array<long>)` with
     non-NULL fixed-`dim` vectors (semdedup's embeddings are total)."""
     import numpy as np
+    import pandas as pd
 
     qq, pp = q * q, p * p
     int63 = (1 << 63) - 1
@@ -247,9 +261,19 @@ def _pairs_arrow(side: DataFrame, p: int, q: int, dim: int) -> DataFrame:
     def kern(pdf):
         ids = pdf["id"].to_numpy(dtype=np.int64)
         m = len(ids)
-        if m < 2:
-            return _EMPTY_PAIRS_PDF()
-        X = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+        clusters = pdf["cluster"].to_numpy(dtype=np.int32)
+        if m == 0:
+            return pd.DataFrame({
+                "cluster": pd.Series([], dtype="int32"),
+                "id": pd.Series([], dtype="int64"),
+                "component": pd.Series([], dtype="int64")})
+        order = np.argsort(ids, kind="stable")  # index order == id order
+        ids = ids[order]
+        clusters = clusters[order]
+        if m == 1:
+            return pd.DataFrame(
+                {"cluster": clusters, "id": ids, "component": ids})
+        X = np.stack(pdf["v"].to_numpy()[order]).astype(np.int64)
         maxv = int(np.abs(X).max(initial=0))
         exact_f64 = maxv <= _f64_exact_bound(dim)
         Xc = X.astype(np.float64) if exact_f64 else X
@@ -260,15 +284,13 @@ def _pairs_arrow(side: DataFrame, p: int, q: int, dim: int) -> DataFrame:
         bound = dim * maxv * maxv
         int64_ok = max(qq, pp) * bound * bound <= int63
         col = np.arange(m)
-        out_a, out_b = [], []
+        pr, pc = [], []
         blk = 1024  # bound gram-block memory to ~blk*m cells
         for s in range(0, m, blk):
             e = min(s + blk, m)
             G = Xc[s:e] @ Xc.T  # exact integer dots
             Gi = G.astype(np.int64) if exact_f64 else G
-            # strict upper triangle in POSITION; each unordered pair
-            # visited once, emitted as (min_id, max_id) — identical to
-            # the join's id_a < id_b orientation
+            # strict upper triangle in POSITION == id order
             upper = col[None, :] > np.arange(s, e)[:, None]
             if int64_ok:
                 hit = upper & (Gi > 0) & (
@@ -281,26 +303,28 @@ def _pairs_arrow(side: DataFrame, p: int, q: int, dim: int) -> DataFrame:
                         hit[r, c] = True
             r_idx, c_idx = np.nonzero(hit)
             if len(r_idx):
-                ia = ids[s + r_idx]
-                ib = ids[c_idx]
-                out_a.append(np.minimum(ia, ib))
-                out_b.append(np.maximum(ia, ib))
-        if not out_a:
-            return _EMPTY_PAIRS_PDF()
-        import pandas as pd
-        return pd.DataFrame({
-            "id_a": np.concatenate(out_a),
-            "id_b": np.concatenate(out_b)})
+                pr.append(r_idx.astype(np.int64) + s)
+                pc.append(c_idx.astype(np.int64))
+        lab = np.arange(m, dtype=np.int64)
+        if pr:
+            r = np.concatenate(pr)
+            c = np.concatenate(pc)
+            # min-label propagation + pointer jumping; the unique
+            # fixpoint (min reachable index) is what the distributed
+            # closure computes, independent of iteration order
+            while True:
+                prev = lab.copy()
+                np.minimum.at(lab, r, lab[c])
+                np.minimum.at(lab, c, lab[r])
+                lab = lab[lab]  # pointer jump
+                if np.array_equal(lab, prev):
+                    break
+        return pd.DataFrame(
+            {"cluster": clusters, "id": ids, "component": ids[lab]})
 
     return side.groupBy("cluster").applyInPandas(
-        lambda _key, pdf: kern(pdf), schema="id_a long, id_b long")
-
-
-def _EMPTY_PAIRS_PDF():
-    import pandas as pd
-
-    return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                         "id_b": pd.Series([], dtype="int64")})
+        lambda _key, pdf: kern(pdf),
+        schema="cluster int, id long, component long")
 
 
 def kmeans_assign(emb: DataFrame, k: int = 4, iters: int = 2,
@@ -386,14 +410,24 @@ def semdedup(docs: DataFrame, key_col: str = "doc_id",
     clusters = kmeans_assign(emb, k=k, iters=iters, key_col=key_col,
                              emb_col="embedding")
     if k >= _KERNEL_MIN_K:
-        # Arrow pair kernel (bit-identical; see _pairs_arrow): a hot
-        # cluster's quadratic pair search is one numpy gram matrix in
-        # its group task instead of an SMJ pair explosion that AQE's
-        # byte-based skew split never touches
+        # Arrow decision kernel (bit-identical; see
+        # _cluster_decision_arrow): a hot cluster's quadratic pair
+        # search AND its transitive closure run as one numpy gram
+        # computation per group — semdedup's pairs are cluster-
+        # confined, so the per-cluster closure IS the global closure,
+        # and the distributed star-contraction rounds are skipped
+        # entirely on this path
         side_k = emb.join(clusters, key_col).select(
             "cluster", F.col(key_col).alias("id"),
             F.col("embedding").alias("v"))
-        pairs = _pairs_arrow(side_k, p, q, dim)
+        comp = _cluster_decision_arrow(side_k, p, q, dim)
+        out = comp.select(
+            F.col("id").alias(key_col), "cluster", "component",
+            (F.col("component") == F.col("id")).alias("is_keeper"))
+        if checkpoint_result:
+            out = out.localCheckpoint(eager=True)
+        emb.unpersist(blocking=False)
+        return out
     else:
         # flat element_at sums, not aggregate/zip_with lambdas:
         # higher-order functions are interpreted (CLAUDE.md r5
