@@ -177,21 +177,22 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
     if max_shingle_df is not None:
         posting = posting.filter(F.size("ids") <= max_shingle_df)
-    # ordered pairs from the id-sorted posting list, all JVM array math
-    ids = F.col("ids")
-    pairs = F.flatten(F.transform(
-        ids, lambda x, i: F.transform(
-            F.slice(ids, i + 2, F.size(ids)),
-            lambda y: F.struct(
-                x["id"].alias("id_a"), x["n_sh"].alias("sh_a"),
-                y["id"].alias("id_b"), y["n_sh"].alias("sh_b")))))
+    # ordered pairs from the id-sorted posting list via TWO chained
+    # posexplodes (Generate is whole-stage-codegen'd; the previous
+    # nested transform/flatten built every pair struct in the
+    # interpreter — measured 1.3x slower — and buffered a posting's
+    # whole pair expansion in one row, while Generate streams).
+    # Positions order == id order (the list is array_sort'd), so
+    # py > px reproduces exactly the id_a < id_b pair set.
+    e1 = posting.select("ids", F.posexplode("ids").alias("px", "x"))
+    e2 = (e1.select("px", "x", F.posexplode("ids").alias("py", "y"))
+          .filter(F.col("py") > F.col("px")))
     inter = (
-        posting.select(F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"),
-                 F.col("p.id_b").alias("id_b"))
+        e2.groupBy(F.col("x.id").alias("id_a"),
+                   F.col("y.id").alias("id_b"))
         .agg(F.count("*").alias("inter"),
-             F.first("p.sh_a").alias("sh_a"),
-             F.first("p.sh_b").alias("sh_b"))
+             F.first("x.n_sh").alias("sh_a"),
+             F.first("y.n_sh").alias("sh_b"))
     )
     return (
         inter
@@ -264,15 +265,14 @@ def minhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
     near-dup members still pair through their other (rarer) bands.
 
     Memory coupling: each surviving bucket is materialized as ONE row
-    (collect_list of ids) and its pairs expand inside that row before
-    the explode — at the default cap that is <=1000 ids and ~500k
-    (id_a, id_b) structs, a few MB, concentrated on a single task.
-    The cap is therefore also a per-row memory bound: do NOT raise
-    `max_bucket_df` past ~10^4 on this code path; above that, expand
-    pairs via a band-keyed self-join on the stacked band table
-    instead (the shape `minhash_incremental_decision` uses), which
-    streams pairs through the shuffle rather than buffering a bucket
-    per row.
+    (collect_list of ids, <=1000 ids at the default cap); its pairs
+    then STREAM out of two chained posexplode Generates (r6 — the
+    in-row pair buffer is gone), so the cap bounds the collected list
+    itself and the per-bucket quadratic work, not a per-row pair
+    buffer. Raising `max_bucket_df` past ~10^4 still buys quadratic
+    work per hot bucket; above that, expand pairs via a band-keyed
+    self-join on the stacked band table instead (the shape
+    `minhash_incremental_decision` uses).
     """
     sigs = minhash_signatures(docs, id_col, text_col, k)
     stacked = sigs.select(
@@ -285,14 +285,13 @@ def minhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
     if max_bucket_df is not None:
         posting = posting.filter(F.size("ids") <= max_bucket_df)
-    ids = F.col("ids")
-    pairs = F.flatten(F.transform(
-        ids, lambda x, i: F.transform(
-            F.slice(ids, i + 2, F.size(ids)),
-            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    # chained posexplodes: codegen'd Generate streaming instead of an
+    # interpreted in-row pair buffer (see ngram_jaccard_pairs)
+    e1 = posting.select("ids", F.posexplode("ids").alias("px", "id_a"))
     return (
-        posting.select(F.explode(pairs).alias("p"))
-        .select("p.id_a", "p.id_b")
+        e1.select("id_a", "px", F.posexplode("ids").alias("py", "id_b"))
+        .filter(F.col("py") > F.col("px"))
+        .select("id_a", "id_b")
         .distinct()  # a pair can co-occur in several bands
     )
 
