@@ -4034,7 +4034,11 @@ def q_top_docs_per_source(spark, sf_dir):
     source fixture) with no source-wide sort anywhere."""
     from document_extractor_spark.operators.topk import skew_safe_topk
 
-    d = _docs(spark, sf_dir).withColumn(
+    # raw scan on purpose: this query's scoring is light relative to
+    # the widen exchange (measured 2.1 s raw vs 3.4 s widened at both
+    # driver scales — the phase-1 window shuffle follows immediately,
+    # so the extra round-robin buys nothing here)
+    d = _docs_raw(spark, sf_dir).withColumn(
         "q", TS.quality_score(F.col("text")))
     return skew_safe_topk(
         d, ["source"], [F.col("q").desc(), F.col("doc_id")], k=5,
